@@ -1,0 +1,269 @@
+#!/usr/bin/env python3
+"""Line-faithful Python port of /root/reference (muraokamasaki/search_engine).
+
+Test ORACLE only -- not engine code. Replicates every quirk needed for
+rank-identity (see SURVEY.md section 2): ASCII-only tokenizer, IDF with
+N = vocabulary size (index_inverted.go:130), doc length = whitespace word
+count of Body only (document.go:47-49, searcher.go:275), BM25 k1=0.9 b=0.4
+(searcher.go:246-247), reset-on-empty folds in Fuzzy/Wildcard queries
+(searcher.go:147-151, 182-185), k-gram '$'-padding (index_kgram.go:39-54).
+
+Running it executes all 30 golden cases from the reference's own test suite
+(expect 30x PASS) and prints the golden vectors recorded in FIXTURES.md.
+"""
+import re, csv, math
+from collections import defaultdict
+
+def tokenize(text):
+    return [t.lower() for t in re.split(r'[^a-zA-Z0-9]+', text) if t != '']
+def tokenize_wildcard(text):
+    return [t.lower() for t in re.split(r'[^a-zA-Z0-9*?]+', text) if t != '']
+
+def edit_distance(s1, s2):
+    m = [[0]*(len(s2)+1) for _ in range(len(s1)+1)]
+    for i in range(1, len(s1)+1): m[i][0] = i
+    for j in range(1, len(s2)+1): m[0][j] = j
+    for i in range(1, len(s1)+1):
+        for j in range(1, len(s2)+1):
+            c = min(m[i-1][j], m[i][j-1]) + 1
+            m[i][j] = min(m[i-1][j-1] + (0 if s1[i-1]==s2[j-1] else 1), c)
+    return m[len(s1)][len(s2)]
+
+def wildcard_match(pat, s):
+    m = [[False]*(len(s)+1) for _ in range(len(pat)+1)]
+    m[0][0] = True
+    for i in range(1, len(pat)+1):
+        m[i][0] = pat[i-1]=='*' and m[i-1][0]
+    for i in range(1, len(pat)+1):
+        for j in range(1, len(s)+1):
+            if pat[i-1]==s[j-1] or pat[i-1]=='?': m[i][j] = m[i-1][j-1]
+            elif pat[i-1]=='*': m[i][j] = m[i][j-1] or m[i-1][j]
+    return m[len(pat)][len(s)]
+
+def build_kgrams(s, k):
+    if len(s) < k-1: return [s]
+    grams = ['']*(len(s)+k-1)
+    for i in range(len(s)-k+1): grams[i] = s[i:i+k]
+    for i in range(k-1):
+        pad = '$'*(i+1)
+        grams[i+len(s)] = pad + s[:k-i-1]
+        grams[len(s)-i-1] = s[len(s)-k+i+1:] + pad
+    return grams
+
+class InvertedIndex:
+    def __init__(self):
+        self.pl = defaultdict(list)   # term -> [docID]
+        self.tf = defaultdict(list)   # term -> [tf]
+    def add(self, term, docid):
+        if not term: return
+        p = self.pl[term]
+        if not p or p[-1] != docid:
+            p.append(docid); self.tf[term].append(1)
+        else:
+            self.tf[term][-1] += 1
+    def postings(self, t): return self.pl.get(t, [])
+    def intersect(self, terms):
+        terms = sorted(terms, key=lambda t: len(self.pl.get(t, [])))
+        res = self.postings(terms[0])
+        for t in terms[1:]:
+            if not res: break
+            res = intersect_posting(res, self.postings(t))
+        return res
+    def union(self, terms):
+        s = set()
+        for t in terms: s.update(self.postings(t))
+        return sorted(s)
+    def term_freq(self, term, docid):
+        for idx, i in enumerate(self.postings(term)):
+            if i == docid: return self.tf[term][idx]
+        return 0
+    def idf(self, term):
+        df = len(self.postings(term)); N = len(self.pl)
+        if N == 0 or df == 0: return 0.0
+        return math.log10(N/df)
+
+def intersect_posting(a, b):
+    r, i, j = [], 0, 0
+    while i < len(a) and j < len(b):
+        if a[i]==b[j]: r.append(a[i]); i+=1; j+=1
+        elif a[i]<b[j]: i+=1
+        else: j+=1
+    return r
+
+def union_posting(a, b): return sorted(set(a)|set(b))
+
+class KGramIndex:
+    def __init__(self, k):
+        self.k = k; self.pl = defaultdict(list)
+    def add_word(self, term):
+        for g in build_kgrams(term, self.k):
+            if term not in self.pl[g]: self.pl[g].append(term)
+    def overlap(self, s):
+        cnt = defaultdict(int)
+        for g in build_kgrams(s, self.k):
+            for t in self.pl.get(g, []): cnt[t]+=1
+        return cnt
+    def match(self, s):
+        cnt = defaultdict(int); grams = build_kgrams(s, self.k); wc = 0
+        for g in grams:
+            if '*' in g or '?' in g: wc += 1; continue
+            for t in self.pl.get(g, []): cnt[t]+=1
+        return [t for t,v in cnt.items() if v == len(grams)-wc]
+    def close_terms(self, s, max_ed):
+        out = []
+        for t, v in self.overlap(s).items():
+            lb = max(len(s), len(t)) - 1 - (max_ed-1)*self.k
+            if v >= lb and edit_distance(s, t) <= max_ed: out.append(t)
+        return out
+
+class Searcher:
+    def __init__(self, k, csvfile):
+        self.ii = InvertedIndex(); self.ki = KGramIndex(k)
+        self.doclens = []; self.total = 0
+        with open(csvfile) as f:
+            r = csv.reader(f); next(r)
+            for row in r:
+                docid, title, body = int(row[0]), row[1], row[2]
+                n = len(body.split())  # strings.Fields = whitespace split
+                self.doclens.append(n); self.total += n
+                for tok in tokenize(title):
+                    self.ii.add(tok, docid); self.ki.add_word(tok)
+                for tok in tokenize(body):
+                    self.ii.add(tok, docid); self.ki.add_word(tok)
+    def doclen(self, docid): return self.doclens[docid-1]
+    def avgdl(self): return self.total/len(self.doclens)
+    def terms_query(self, q): return self.ii.intersect(tokenize(q))
+    def split_trim_lower(self, s, sep): return [x.strip().lower() for x in s.split(sep)]
+    def parse_infix(self, expr):
+        out = []
+        for i in self.split_trim_lower(expr, '&&'):
+            for j in self.split_trim_lower(i, '||'):
+                out += [j, '||']
+            if out: out[-1] = '&&'
+        return out[:-1]
+    def shunting_yard(self, tokens):
+        prec = {'||':1, '&&':2}; out = []; ops = []
+        for t in tokens:
+            if t not in prec: out.append(t)
+            else:
+                while ops and prec[ops[-1]] >= prec[t]:
+                    out.append(ops.pop())
+                ops.append(t)
+        return out + ops[::-1]
+    def boolean_query(self, q):
+        i, u = '&&' in q, '||' in q
+        if i and u:
+            terms = self.shunting_yard(self.parse_infix(q)); stack = []
+            for t in terms:
+                if t == '&&':
+                    if len(stack)>=2:
+                        stack[-2] = intersect_posting(stack[-1], stack[-2]); stack.pop()
+                    else: return []
+                elif t == '||':
+                    if len(stack)>=2:
+                        stack[-2] = union_posting(stack[-1], stack[-2]); stack.pop()
+                    else: return []
+                else: stack.append(self.ii.postings(t))
+            return stack[0] if len(stack)==1 else []
+        elif u: return self.ii.union(self.split_trim_lower(q, '||'))
+        else: return self.ii.intersect(self.split_trim_lower(q, '&&'))
+    def fuzziness(self, s):
+        return 0 if len(s)<=2 else (1 if len(s)<=5 else 2)
+    def fuzzy_query(self, q):
+        results = []
+        for tok in tokenize(q):
+            terms = self.ki.close_terms(tok, self.fuzziness(tok))
+            if not results: results = self.ii.union(terms)
+            else: results = intersect_posting(results, self.ii.union(terms))
+        return results
+    def wildcard_query(self, q):
+        results = []
+        for tok in tokenize_wildcard(q):
+            cand = [t for t in self.ki.match(tok) if wildcard_match(tok, t)]
+            if not results: results = self.ii.union(cand)
+            else: results = intersect_posting(results, self.ii.union(cand))
+        return results
+    def vsm_query(self, q):
+        ids, scores = [], []
+        for tok in tokenize(q):
+            for docid in self.ii.postings(tok):
+                sc = self.ii.term_freq(tok, docid) * self.ii.idf(tok)
+                if docid in ids: scores[ids.index(docid)] += sc
+                else: ids.append(docid); scores.append(sc)
+        pairs = [(s/self.doclen(d), d) for s,d in zip(scores, ids)]
+        pairs.sort(key=lambda p: -p[0])
+        return [d for _,d in pairs], pairs
+    def bm25_query(self, q):
+        k1, b = 0.9, 0.4
+        ids, scores = [], []
+        for tok in tokenize(q):
+            for docid in self.ii.postings(tok):
+                tf = self.ii.term_freq(tok, docid); idf = self.ii.idf(tok)
+                sc = idf*(k1+1)*tf/(k1*((1-b)+b*(self.doclen(docid)/self.avgdl()))+tf)
+                if docid in ids: scores[ids.index(docid)] += sc
+                else: ids.append(docid); scores.append(sc)
+        pairs = sorted(zip(scores, ids), key=lambda p: -p[0])
+        return [d for _,d in pairs], pairs
+
+s = Searcher(3, '/root/reference/example.csv')
+def check(name, got, want):
+    ok = got == want
+    print(('PASS' if ok else 'FAIL'), name, 'got', got, 'want', want)
+
+# index_test.go golden cases
+check('buildKGrams hello', sorted(build_kgrams('hello',3)), sorted(["$$h","$he","hel","ell","llo","lo$","o$$"]))
+check('buildKGrams hi', sorted(build_kgrams('hi',3)), sorted(["$$h","$hi","hi$","i$$"]))
+check('buildKGrams i', build_kgrams('i',3), ['i'])
+# searcher_test.go golden cases
+check('Terms "is a statistic"', s.terms_query('is a statistic'), [1])
+check('Terms "language"', s.terms_query('language'), [2])
+check('Terms "is"', s.terms_query('is'), [1,2,3])
+check('Bool ""', s.boolean_query(''), [])
+check('Bool "statistic && coefficient"', s.boolean_query('statistic && coefficient'), [1])
+check('Bool "sTatistic && coeffIcient &&items"', s.boolean_query('sTatistic && coeffIcient &&items'), [1])
+check('Bool "reliability || technologies"', s.boolean_query('reliability || technologies'), [1,3])
+check('Bool mixed', s.boolean_query('qualitative || semantics && reliability || technologies'), [1,3])
+check('Bool "|| technique && language && processing"', s.boolean_query('|| technique && language && processing'), [2])
+check('Wild "cohe*"', s.wildcard_query('cohe*'), [1])
+check('Wild "ch?ce"', s.wildcard_query('ch?ce'), [])
+check('Wild "ch?nc?"', s.wildcard_query('ch?nc?'), [1])
+check('Wild "sem*t*c"', s.wildcard_query('sem*t*c'), [2])
+check('Wild "sem*ts*c"', s.wildcard_query('sem*ts*c'), [])
+check('Wild "con*s related"', s.wildcard_query('con*s related'), [2])
+check('Fuzzy "cohdn"', s.fuzzy_query('cohdn'), [1])
+check('Fuzzy "latent semantic"', s.fuzzy_query('latent semantic'), [2])
+check('Fuzzy long', s.fuzzy_query('by various radi communication techologies'), [3])
+check('Fuzzy "i"', s.fuzzy_query('i'), [])
+v,_ = s.vsm_query('cohen'); check('VSM "cohen"', v, [1])
+v,_ = s.vsm_query('latent semantic'); check('VSM "latent semantic"', v, [2])
+v,vp = s.vsm_query('statistic that'); check('VSM "statistic that"', v, [1,2])
+v,_ = s.vsm_query('matrix communication channel'); check('VSM "matrix..."', v, [3,2])
+b,_ = s.bm25_query('cohen'); check('BM25 "cohen"', b, [1])
+b,_ = s.bm25_query('latent semantic'); check('BM25 "latent semantic"', b, [2])
+b,bp = s.bm25_query('statistic that'); check('BM25 "statistic that"', b, [1,2])
+b,_ = s.bm25_query('matrix communication channel'); check('BM25 "matrix..."', b, [3,2])
+print('vocab size N =', len(s.ii.pl), 'doclens =', s.doclens, 'avgdl =', s.avgdl())
+print('BM25 "statistic that" scores:', bp)
+print('VSM "statistic that" scores:', vp)
+
+import hashlib, json
+print('--- extra vectors ---')
+for q in ['cohen', 'latent semantic', 'statistic that', 'matrix communication channel']:
+    b, bp = s.bm25_query(q)
+    v, vp = s.vsm_query(q)
+    print('BM25', repr(q), [(d, round(sc,10)) for sc,d in bp])
+    print('VSM ', repr(q), [(d, round(sc,10)) for sc,d in vp])
+for t in ['statistic','that','cohen','latent','semantic','matrix','communication','channel','is','the']:
+    print('idf', t, round(s.ii.idf(t),10), 'df', len(s.ii.postings(t)), 'postings', s.ii.postings(t), 'tf', s.ii.tf.get(t))
+with open('/root/reference/example.csv') as f:
+    r = csv.reader(f); next(r)
+    for row in r:
+        print('sha256 body doc', row[0], hashlib.sha256(row[2].encode()).hexdigest())
+print('code tokenize demo:', tokenize('def calcSum(x_1, y2): return x_1 + y2  # FIXME überprüfen'))
+print('code tokenize demo2:', tokenize('spark.read.parquet("/data/t.parquet").filter($"id" > 10)'))
+print('kgram close terms of "semantc" ed<=2:', sorted(s.ki.close_terms('semantc', 2)))
+print('vocab first 10 sorted:', sorted(s.ii.pl)[:10])
+
+# duplicate-query-token doubling check (FIXTURES.md section 5)
+b1, p1 = s.bm25_query('cohen'); b2, p2 = s.bm25_query('cohen cohen')
+check('BM25 dup-token 2x', p2[0][0], 2*p1[0][0])
