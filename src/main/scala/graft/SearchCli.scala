@@ -1,0 +1,56 @@
+package graft
+
+import graft.index.IndexBuilder
+import graft.query.QueryEngine
+import graft.sources.CorpusSource
+import org.apache.spark.sql.SparkSession
+
+/** Minimal end-user entry point: index a corpus and answer one query —
+  * the CLI analogue of the reference's HTTP SERP server (reference
+  * server.go:55-103; pagination = 5/page there, `--page` here).
+  *
+  * Usage:
+  *   runMain graft.SearchCli <csvPath|parquetDir> <algorithm> <query> [page]
+  *
+  * `algorithm` ∈ BM25 | "Classic TF-IDF" | Boolean | Terms | Fuzzy |
+  * Wildcard (unknown → BM25, like the reference's registry server.go:39-53).
+  * A path ending in .csv is read as the reference's id,title,body,URL CSV;
+  * otherwise it is read as the Iceberg-shaped source-file Parquet corpus.
+  */
+object SearchCli {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 3) {
+      System.err.println(
+        "usage: SearchCli <csvPath|parquetDir> <algorithm> <query> [page]")
+      sys.exit(2)
+    }
+    val Array(path, alg, query) = args.take(3)
+    val page = if (args.length > 3) args(3).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-search")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val docs =
+        if (path.endsWith(".csv")) CorpusSource.readDocsCsv(spark, path)
+        else CorpusSource.sourceFilesToDocs(
+          CorpusSource.readSourceFiles(spark, path))
+      val engine = new QueryEngine(IndexBuilder.build(docs, k = 3))
+      val ranked = engine.byName(alg)(query)
+      val pageDf = engine.paginate(ranked, page)
+      val out = engine.materialize(pageDf, docs)
+        .select("docId", "title", "url")
+      val rows = out.collect()
+      println(s"query='$query' algorithm=$alg page=$page " +
+        s"results=${rows.length}")
+      rows.foreach { r =>
+        println(s"  #${r.getAs[Long]("docId")}  ${r.getAs[String]("title")}" +
+          s"  <${r.getAs[String]("url")}>")
+      }
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,172 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference engine's analyzer, expressed twice with identical
+  * semantics:
+  *
+  *   - as pure Column expressions (codegen'd, run on executors during
+  *     index build — no UDFs on the hot path), and
+  *   - as plain Scala functions (run on the driver at query time, where
+  *     the query string is a single local value).
+  *
+  * Semantics pinned to the reference:
+  *   - `tokenize`: split on `[^a-zA-Z0-9]+`, drop empties, lowercase.
+  *     ASCII-only on purpose — non-ASCII letters are separators
+  *     (reference helper.go:10-18).
+  *   - `tokenizeWildcard`: same but `*` and `?` survive
+  *     (reference helper.go:22-30).
+  *   - `wordCount`: number of maximal non-whitespace runs, Unicode
+  *     whitespace (Go `strings.Fields` = `unicode.IsSpace`); this — not
+  *     tokenize — defines document length (reference document.go:47-49).
+  *   - `kgrams`: `$`-padded k-grams; strings shorter than k-1 return the
+  *     string itself unsplit (reference index_kgram.go:39-54).
+  */
+object Analyzer {
+
+  /** Java regex equivalents of the reference's RE2 patterns (no
+    * backtracking constructs involved, so semantics coincide).
+    */
+  val TokenPattern = "[^a-zA-Z0-9]+"
+  val WildcardTokenPattern = "[^a-zA-Z0-9*?]+"
+
+  /** `(?U)` makes Java's \s match Unicode whitespace like Go's
+    * `unicode.IsSpace` (the corpus is source code, i.e. effectively ASCII,
+    * but we keep the seam faithful).
+    */
+  val SpacePattern = "(?U)\\s+"
+
+  // ---------------------------------------------------------------------
+  // Column expressions (index build — executors, whole-stage codegen)
+  // ---------------------------------------------------------------------
+
+  /** tokens of a string column, duplicates and order preserved. */
+  def tokensCol(c: Column): Column =
+    filter(split(lower(c), TokenPattern), t => t =!= lit(""))
+
+  /** tokens keeping `*` / `?` (query-side analyzer, rarely needed as a
+    * column but provided for symmetry).
+    */
+  def wildcardTokensCol(c: Column): Column =
+    filter(split(lower(c), WildcardTokenPattern), t => t =!= lit(""))
+
+  /** Whitespace word count — the document-length definition. */
+  def wordCountCol(c: Column): Column =
+    size(filter(split(c, SpacePattern), t => t =!= lit("")))
+
+  /** `$`-padded k-grams of a term column. Pure Column expression: the
+    * padded string is sliced with a generated index sequence, so k-gram
+    * generation stays inside whole-stage codegen (no UDF).
+    */
+  def kgramsCol(term: Column, k: Int): Column = {
+    val pad = lit("$" * (k - 1))
+    val padded = concat(pad, term, pad)
+    when(length(term) < k - 1, array(term))
+      .otherwise(
+        transform(
+          sequence(lit(1), length(term) + lit(k - 1)),
+          i => padded.substr(i, lit(k))))
+  }
+
+  // ---------------------------------------------------------------------
+  // Driver-side mirrors (query parsing — a single local string)
+  // ---------------------------------------------------------------------
+
+  def tokenize(text: String): Seq[String] =
+    text.split(TokenPattern).iterator
+      .filter(_.nonEmpty).map(_.toLowerCase).toSeq
+
+  def tokenizeWildcard(text: String): Seq[String] =
+    text.split(WildcardTokenPattern).iterator
+      .filter(_.nonEmpty).map(_.toLowerCase).toSeq
+
+  def wordCount(text: String): Int =
+    text.split(SpacePattern).count(_.nonEmpty)
+
+  def kgrams(s: String, k: Int): Seq[String] =
+    if (s.length < k - 1) Seq(s)
+    else {
+      val pad = "$" * (k - 1)
+      val padded = pad + s + pad
+      (0 until s.length + k - 1).map(i => padded.substring(i, i + k))
+    }
+
+  /** Unit-cost Levenshtein distance (reference helper.go:33-57). Driver
+    * side only; executors use Spark's built-in `levenshtein`, which has
+    * identical semantics.
+    */
+  def editDistance(s1: String, s2: String): Int = {
+    val (n, m) = (s1.length, s2.length)
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = Array.tabulate(m + 1)(identity)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      cur(0) = i
+      var j = 1
+      while (j <= m) {
+        val sub = prev(j - 1) + (if (s1.charAt(i - 1) == s2.charAt(j - 1)) 0 else 1)
+        cur(j) = math.min(sub, math.min(prev(j) + 1, cur(j - 1) + 1))
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      i += 1
+    }
+    prev(m)
+  }
+
+  /** Wildcard pattern match: `?` = exactly one char, `*` = ZERO or more
+    * (the reference's comment says "one or more" but its DP — and its
+    * tests, e.g. ("*m*","time") → true — allow zero; helper.go:59-84).
+    */
+  def wildcardMatch(pattern: String, str: String): Boolean = {
+    val (p, s) = (pattern.length, str.length)
+    var prev = new Array[Boolean](s + 1)
+    var cur = new Array[Boolean](s + 1)
+    prev(0) = true
+    var i = 1
+    while (i <= p) {
+      val pc = pattern.charAt(i - 1)
+      cur(0) = pc == '*' && prev(0)
+      var j = 1
+      while (j <= s) {
+        cur(j) =
+          if (pc == str.charAt(j - 1) || pc == '?') prev(j - 1)
+          else if (pc == '*') cur(j - 1) || prev(j)
+          else false
+        j += 1
+      }
+      val t = prev; prev = cur; cur = t
+      java.util.Arrays.fill(cur, false)
+      i += 1
+    }
+    prev(s)
+  }
+
+  /** Anchored Java regex equivalent of a wildcard token (tokens only
+    * contain `[a-z0-9*?]`, but we quote defensively). Used executor-side
+    * via `rlike` where a distributed post-filter is preferred.
+    */
+  def wildcardRegex(pattern: String): String =
+    "^" + pattern.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if c.isLetterOrDigit => c.toString
+      case c => java.util.regex.Pattern.quote(c.toString)
+    } + "$"
+
+  /** Edit-distance budget ladder by token length
+    * (reference searcher.go:159-168).
+    */
+  def getFuzziness(str: String): Int =
+    if (str.length <= 2) 0 else if (str.length <= 5) 1 else 2
+
+  /** Prune bound on shared k-grams for candidates within `maxEditDistance`
+    * (reference index_kgram.go:94-96 — their variant of the IIR bound;
+    * replicated exactly, including for maxED = 0).
+    */
+  def lowerBoundKGramOverlap(len1: Int, len2: Int, maxEditDistance: Int, k: Int): Int =
+    math.max(len1, len2) - 1 - (maxEditDistance - 1) * k
+}

@@ -1,0 +1,99 @@
+package graft.index
+
+import graft.CorpusStats
+import graft.analysis.Analyzer._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** The logical inverted index as a bundle of typed, partitionable
+  * Datasets — the Spark-native replacement for the reference's in-memory
+  * maps (reference index_inverted.go:9-16, index_kgram.go:8-11,
+  * document.go:23-44):
+  *
+  *   - `postings`  (term, docId, tf)   — the inverted index + tf map
+  *   - `docLens`   (docId, len)        — body word counts
+  *   - `termStats` (term, df, maxTf)   — per-term document frequency
+  *   - `kgramIndex`(gram, term)        — the k-gram index over the vocab
+  *   - `stats`                         — nDocs / vocabSize / totalLen
+  *
+  * Everything is declarative DataFrame code: tokenization is a codegen'd
+  * Column expression, tf aggregation is one hash-partial + final
+  * aggregation (map-side combine ⇒ the shuffle carries (term,docId)
+  * pairs already reduced), and no arrival-order assumption exists anywhere
+  * — the reference relies on documents arriving in increasing-id order
+  * (index_inverted.go:25-35); here order is imposed where needed by
+  * explicit sorts instead.
+  *
+  * For the compressed, block-structured physical index (varbyte, salting,
+  * WAND bounds, checkpointed sharded writes) see [[BlockIndex]].
+  */
+final case class IndexBundle(
+    postings: DataFrame,
+    docLens: DataFrame,
+    termStats: DataFrame,
+    kgramIndex: DataFrame,
+    stats: CorpusStats,
+    k: Int) {
+
+  /** idf = log10(vocabSize / df) — the reference's quirk: N is the number
+    * of DISTINCT TERMS, not documents (reference index_inverted.go:128-135).
+    * Rank identity on the reference query set requires this.
+    */
+  def idfCol(df: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(df > 0 && lit(stats.vocabSize) > 0,
+      log(10.0, lit(stats.vocabSize.toDouble) / df)).otherwise(0.0)
+
+  def unpersist(): Unit = {
+    postings.unpersist(); docLens.unpersist()
+    termStats.unpersist(); kgramIndex.unpersist()
+  }
+}
+
+object IndexBuilder {
+
+  /** (docId, term) token stream: title tokens then body tokens, duplicates
+    * kept (reference searcher.go:272-286). Narrow: no shuffle.
+    */
+  def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(
+      col("docId"),
+      explode(concat(tokensCol(col("title")), tokensCol(col("body")))).as("term"))
+
+  /** Build the full logical index. One shuffle for the tf aggregation,
+    * one (much smaller, term-keyed) for the term stats, one narrow-ish
+    * distinct for the k-gram index over the vocabulary (vocab ≪ corpus).
+    */
+  def build(docs: DataFrame, k: Int = 3, persist: Boolean = true): IndexBundle = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    def maybePersist(df: DataFrame): DataFrame =
+      if (persist) df.persist(lvl) else df
+
+    val postings = maybePersist(
+      tokenStream(docs)
+        .groupBy(col("term"), col("docId"))
+        .agg(count(lit(1)).cast("int").as("tf")))
+
+    val docLens = maybePersist(
+      docs.select(col("docId"), wordCountCol(col("body")).as("len")))
+
+    val termStats = maybePersist(
+      postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), max(col("tf")).as("maxTf")))
+
+    // Vocabulary k-gram index. distinct() mirrors the reference's
+    // per-gram dedup of terms (index_kgram.go:18-36).
+    val kgramIndex = maybePersist(
+      termStats
+        .select(explode(kgramsCol(col("term"), k)).as("gram"), col("term"))
+        .distinct())
+
+    val Array(nDocs, totalLen) = docLens
+      .agg(count(lit(1)), coalesce(sum(col("len")), lit(0L)))
+      .head().toSeq.map(_.asInstanceOf[Long]).toArray
+    val vocabSize = termStats.count()
+
+    IndexBundle(postings, docLens, termStats, kgramIndex,
+      CorpusStats(nDocs, vocabSize, totalLen), k)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+/** Core data model of the engine.
+  *
+  * The reference engine (muraokamasaki/search_engine) models a document as
+  * `{id int; Title, Body, URL string}` (reference document.go:14-19). The
+  * rebuild target corpus is an Iceberg-shaped table of source code files
+  * (BASELINE.json `input_hint`): `(repo, path, commit, lang, content)`.
+  * Both are mapped onto [[Doc]] before indexing; see
+  * [[graft.sources.CorpusSource]].
+  */
+final case class Doc(docId: Long, title: String, body: String, url: String)
+
+/** One row of the Iceberg-shaped source-code corpus (BASELINE.json:15). */
+final case class SourceFile(
+    repo: String,
+    path: String,
+    commit: String,
+    lang: String,
+    content: String)
+
+/** One posting: a term occurs `tf` times in document `docId`.
+  * Mirrors the reference's parallel maps `postingsLists` /
+  * `docTermFrequency` (reference index_inverted.go:9-16) as a typed,
+  * partitionable Dataset row.
+  */
+final case class Posting(term: String, docId: Long, tf: Int)
+
+/** Per-document length = whitespace word count of the body ONLY (the title
+  * is indexed but excluded from length — reference searcher.go:272-286,
+  * document.go:47-49).
+  */
+final case class DocLen(docId: Long, len: Int)
+
+/** Per-term statistics. `df` = number of documents containing the term.
+  * NOTE the reference's IDF quirk: idf = log10(N / df) where N is the
+  * VOCABULARY size (number of distinct terms), not the document count
+  * (reference index_inverted.go:128-135). Rank identity requires it.
+  */
+final case class TermStat(term: String, df: Long, maxTf: Int)
+
+/** K-gram index row: `gram` (k=3 with `$` padding) maps to a vocabulary
+  * term containing it (reference index_kgram.go:8-26).
+  */
+final case class KGramEntry(gram: String, term: String)
+
+/** A compressed posting block: all postings of `term` whose docIds fall in
+  * the global docId-range bucket `blockId` (bucket = (docId-1)/blockSpan).
+  *
+  * The docId-range grid is shared by ALL terms, which gives us three things
+  * at once:
+  *   - bounded row size for Zipfian head terms (the salting the north rule
+  *     asks for: a term with df = 10^9 becomes ~df/span block rows instead
+  *     of one giant row, so no single reducer key explodes);
+  *   - block-aligned skipping for block-max WAND (per-block maxTf/minDl
+  *     upper bounds; blocks of different terms cover identical doc ranges
+  *     so range-level upper bounds are sums over terms);
+  *   - ordered reassembly for free (blocks sort by blockId; postings are
+  *     delta-encoded within a block, first docId stored absolute).
+  *
+  * `bytes` = varbyte(gap)+varbyte(tf)+varbyte(dl) per posting, docId-sorted.
+  * Doc length is denormalized into the block so BM25 scoring needs no join
+  * against a docLens table (one shuffle saved on the hot path).
+  */
+final case class PostingBlock(
+    term: String,
+    blockId: Long,
+    minDoc: Long,
+    maxDoc: Long,
+    n: Int,
+    maxTf: Int,
+    minDl: Int,
+    bytes: Array[Byte])
+
+/** Global corpus statistics needed by the scorers; cheap to collect and
+  * broadcast (reference document.go:23-44, index_inverted.go:128-135).
+  */
+final case class CorpusStats(nDocs: Long, vocabSize: Long, totalLen: Long) {
+  def avgdl: Double = totalLen.toDouble / nDocs.toDouble
+}

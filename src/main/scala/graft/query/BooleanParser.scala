@@ -1,0 +1,82 @@
+package graft.query
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Driver-local boolean query parsing — `&&` / `||` only, `&&` binds
+  * tighter, left-associative (reference searcher.go:42-137). The parse is
+  * a few dozen tokens; it composes the distributed set operators, it never
+  * runs on executors.
+  *
+  * Quirks preserved on purpose (they are pinned by the reference's tests):
+  * segments are NOT re-tokenized (a multi-word segment is a single — failed
+  * — term lookup), empty segments survive as the empty term `""`, malformed
+  * postfix (operator with < 2 operands) yields the empty result.
+  */
+object BooleanParser {
+
+  val And = "&&"
+  val Or = "||"
+
+  /** Split on a literal separator, keep empties, Unicode-trim + lowercase
+    * each segment (reference searcher.go:131-137).
+    */
+  def splitTrimToLower(str: String, sep: String): Seq[String] =
+    str.split(java.util.regex.Pattern.quote(sep), -1)
+      .map(_.strip().toLowerCase).toSeq
+
+  /** Infix token stream: words, `&&`, `||` (reference searcher.go:85-96). */
+  def parseInfix(expr: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    for (i <- splitTrimToLower(expr, And)) {
+      for (j <- splitTrimToLower(i, Or)) { out += j; out += Or }
+      if (out.nonEmpty) out(out.length - 1) = And
+    }
+    out.dropRight(1).toSeq
+  }
+
+  private val precedence = Map(Or -> 1, And -> 2)
+
+  /** Shunting-yard, binary left-associative operators only
+    * (reference searcher.go:102-127).
+    */
+  def shuntingYard(tokens: Seq[String]): Seq[String] = {
+    val output = ArrayBuffer.empty[String]
+    var stack = List.empty[String]
+    for (token <- tokens) {
+      precedence.get(token) match {
+        case None => output += token
+        case Some(p) =>
+          while (stack.nonEmpty && precedence(stack.head) >= p) {
+            output += stack.head
+            stack = stack.tail
+          }
+          stack = token :: stack
+      }
+    }
+    output ++= stack
+    output.toSeq
+  }
+
+  sealed trait Node
+  final case class Term(word: String) extends Node
+  final case class Op(isAnd: Boolean, left: Node, right: Node) extends Node
+
+  /** Postfix → expression tree; None on malformed input (the reference's
+    * empty-result paths, searcher.go:55-75).
+    */
+  def toTree(postfix: Seq[String]): Option[Node] = {
+    var stack = List.empty[Node]
+    for (tok <- postfix) {
+      if (tok == And || tok == Or) {
+        stack match {
+          case r :: l :: rest => stack = Op(tok == And, l, r) :: rest
+          case _ => return None
+        }
+      } else stack = Term(tok) :: stack
+    }
+    stack match {
+      case only :: Nil => Some(only)
+      case _ => None
+    }
+  }
+}

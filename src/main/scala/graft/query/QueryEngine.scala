@@ -1,0 +1,276 @@
+package graft.query
+
+import graft.analysis.Analyzer
+import graft.index.IndexBundle
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The six query modes of the reference engine (searcher.go), composed as
+  * declarative DataFrame plans over the [[IndexBundle]] Datasets. Query
+  * strings are parsed on the driver (they are single local values); all
+  * set operations, candidate generation, and scoring run distributed.
+  *
+  * Determinism: unscored results order by docId ascending (the reference's
+  * posting-list order); scored results order by (score desc, docId asc) —
+  * the reference's sort is unstable with unspecified tie order
+  * (searcher.go:193-203), so ties get a deterministic tie-break here.
+  */
+final class QueryEngine(
+    val index: IndexBundle,
+    val k1: Double = 0.9, // reference searcher.go:246
+    val b: Double = 0.4 // reference searcher.go:247
+) extends Serializable {
+
+  private def spark = index.postings.sparkSession
+  private def postings = index.postings
+  private def kk = index.k
+
+  private def emptyIds: DataFrame =
+    postings.select(col("docId")).where(lit(false))
+
+  /** Postings of several terms in one scan-with-IN-filter (pushed down to
+    * the source when postings are parquet-backed).
+    */
+  def postingsOf(terms: Seq[String]): DataFrame =
+    if (terms.isEmpty) postings.where(lit(false))
+    else postings.where(col("term").isin(terms.distinct: _*))
+
+  // ---------------------------------------------------------------------
+  // Set operators (the engine's joins; reference index_inverted.go:43-112)
+  // ---------------------------------------------------------------------
+
+  /** n-ary intersection. The reference reorders by ascending df and folds
+    * two-pointer merges (index_inverted.go:43-52); the groupBy-count
+    * formulation is order-insensitive and does it in ONE shuffle: a doc
+    * is in the intersection iff it matched all |terms| distinct terms
+    * (each (term,docId) is unique in the postings).
+    */
+  def intersect(terms: Seq[String]): DataFrame = {
+    val ts = terms.distinct
+    if (ts.isEmpty) emptyIds
+    else
+      postingsOf(ts)
+        .groupBy(col("docId")).agg(count(lit(1)).as("__m"))
+        .where(col("__m") === ts.size)
+        .select(col("docId"))
+        .orderBy(col("docId"))
+  }
+
+  /** n-ary union, ascending docIds (reference index_inverted.go:77-92). */
+  def union(terms: Seq[String]): DataFrame =
+    if (terms.isEmpty) emptyIds
+    else postingsOf(terms).select(col("docId")).distinct().orderBy(col("docId"))
+
+  private def unionOf(ids: DataFrame, other: DataFrame): DataFrame =
+    ids.union(other).distinct()
+
+  private def intersectOf(ids: DataFrame, other: DataFrame): DataFrame =
+    ids.join(other, "docId")
+
+  // ---------------------------------------------------------------------
+  // Unscored query modes
+  // ---------------------------------------------------------------------
+
+  /** Conjunctive exact match of all query tokens (reference searcher.go:35-38). */
+  def termsQuery(query: String): DataFrame =
+    intersect(Analyzer.tokenize(query))
+
+  /** Boolean retrieval, `&&`/`||` (reference searcher.go:42-81). */
+  def booleanQuery(query: String): DataFrame = {
+    import BooleanParser._
+    val hasAnd = query.contains(And)
+    val hasOr = query.contains(Or)
+    if (hasAnd && hasOr) {
+      toTree(shuntingYard(parseInfix(query))) match {
+        case None => emptyIds
+        case Some(tree) =>
+          def eval(n: Node): DataFrame = n match {
+            case Term(w) =>
+              postings.where(col("term") === w).select(col("docId"))
+            case Op(isAnd, l, r) =>
+              if (isAnd) intersectOf(eval(l), eval(r))
+              else unionOf(eval(l), eval(r))
+          }
+          eval(tree).orderBy(col("docId"))
+      }
+    } else if (hasOr) union(splitTrimToLower(query, Or))
+    else intersect(splitTrimToLower(query, And))
+  }
+
+  // ---------------------------------------------------------------------
+  // Approximate matching (k-gram candidate generation;
+  // reference index_kgram.go + searcher.go:142-189)
+  // ---------------------------------------------------------------------
+
+  /** Small broadcast table of the query string's k-grams WITH multiplicity
+    * — the reference counts each occurrence of a repeated gram separately
+    * (index_kgram.go:58-67).
+    */
+  private def queryGramsDf(grams: Seq[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    grams.groupBy(identity).view.mapValues(_.size).toSeq
+      .toDF("gram", "qcnt")
+  }
+
+  /** Vocabulary terms within `maxEditDistance` of `str`: k-gram overlap
+    * pre-filter (the cheap conjunct, evaluated first) gating the exact
+    * levenshtein (reference index_kgram.go:94-108). Returns (term).
+    */
+  def closeTerms(str: String, maxEditDistance: Int): DataFrame = {
+    val grams = Analyzer.kgrams(str, kk)
+    val bound =
+      greatest(lit(str.length), length(col("term"))) - 1 -
+        lit((maxEditDistance - 1) * kk)
+    index.kgramIndex
+      .join(broadcast(queryGramsDf(grams)), "gram")
+      .groupBy(col("term")).agg(sum(col("qcnt")).as("__overlap"))
+      .where(col("__overlap") >= bound &&
+        levenshtein(lit(str), col("term")) <= maxEditDistance)
+      .select(col("term"))
+  }
+
+  /** Vocabulary terms containing every non-wildcard k-gram of the pattern
+    * (reference index_kgram.go:71-90). All-wildcard patterns have no
+    * non-wildcard grams and match nothing.
+    */
+  def kgramMatch(pattern: String): DataFrame = {
+    val grams = Analyzer.kgrams(pattern, kk)
+      .filterNot(g => g.contains('*') || g.contains('?'))
+    if (grams.isEmpty) index.kgramIndex.select(col("term")).where(lit(false))
+    else
+      index.kgramIndex
+        .join(broadcast(queryGramsDf(grams)), "gram")
+        .groupBy(col("term")).agg(sum(col("qcnt")).as("__overlap"))
+        .where(col("__overlap") === grams.size)
+        .select(col("term"))
+  }
+
+  /** Union of the postings of a (small) term-candidate relation. */
+  private def unionOfTerms(terms: DataFrame): DataFrame =
+    postings.join(broadcast(terms), "term").select(col("docId")).distinct()
+
+  /** Per-token candidate sets folded with the reference's reset-on-empty
+    * quirk: when the accumulated result is empty the next token's union
+    * REPLACES it instead of short-circuiting (searcher.go:147-151,182-185).
+    * The emptiness check is a driver-side action per token, exactly like
+    * the reference's `len(results) == 0`.
+    */
+  private def foldResetOnEmpty(perToken: Seq[DataFrame]): DataFrame = {
+    var results: DataFrame = null
+    for (u <- perToken) {
+      results =
+        if (results == null || results.isEmpty) u
+        else intersectOf(results, u)
+    }
+    if (results == null) emptyIds else results.orderBy(col("docId"))
+  }
+
+  /** Fuzzy retrieval with the per-token-length edit budget
+    * (reference searcher.go:142-168).
+    */
+  def fuzzyQuery(query: String): DataFrame =
+    foldResetOnEmpty(
+      Analyzer.tokenize(query).map { tok =>
+        unionOfTerms(closeTerms(tok, Analyzer.getFuzziness(tok)))
+      })
+
+  /** Wildcard retrieval: k-gram candidates post-filtered by the exact
+    * wildcard match — kills k-gram false positives like `sem*ts*c` vs
+    * `semantic` (reference searcher.go:173-189). The post-filter runs
+    * executor-side as an anchored regex (`*`→`.*`, `?`→`.`), which has
+    * semantics identical to the reference's DP (`*` = zero or more).
+    */
+  def wildcardQuery(query: String): DataFrame =
+    foldResetOnEmpty(
+      Analyzer.tokenizeWildcard(query).map { tok =>
+        val cands = kgramMatch(tok)
+          .where(col("term").rlike(Analyzer.wildcardRegex(tok)))
+        unionOfTerms(cands)
+      })
+
+  // ---------------------------------------------------------------------
+  // Scored query modes
+  // ---------------------------------------------------------------------
+
+  /** Query tokens with multiplicity: duplicate query tokens double-score
+    * (reference searcher.go:211-223,249).
+    */
+  private def queryTermsDf(tokens: Seq[String]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    tokens.groupBy(identity).view.mapValues(_.size).toSeq
+      .toDF("term", "qcnt")
+  }
+
+  private def scoredEmpty: DataFrame =
+    postings.select(col("docId"), lit(0.0).as("score")).where(lit(false))
+
+  /** TF-IDF vector-space scoring, normalized by body word count — the
+    * reference's simplified cosine (searcher.go:208-230).
+    */
+  def vectorSpaceQuery(query: String): DataFrame = {
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty) scoredEmpty
+    else {
+      postings
+        .join(broadcast(queryTermsDf(toks)), "term")
+        .join(index.termStats, "term")
+        .groupBy(col("docId"))
+        .agg(sum(col("qcnt") * col("tf") * index.idfCol(col("df"))).as("__raw"))
+        .join(index.docLens, "docId")
+        .select(col("docId"),
+          (col("__raw") / col("len").cast("double")).as("score"))
+        .orderBy(col("score").desc, col("docId").asc)
+    }
+  }
+
+  /** Okapi BM25 (k1 = 0.9, b = 0.4 reference defaults;
+    * searcher.go:245-268). `topK = None` returns every matching document,
+    * like the reference; `Some(k)` compiles to TakeOrderedAndProject.
+    */
+  def bm25Query(query: String, topK: Option[Int] = None): DataFrame = {
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty) scoredEmpty
+    else {
+      val idf = index.idfCol(col("df"))
+      val tf = col("tf").cast("double")
+      val dl = col("len").cast("double")
+      val partial = idf * (k1 + 1) * tf /
+        (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(index.stats.avgdl)) + tf)
+      val scored = postings
+        .join(broadcast(queryTermsDf(toks)), "term")
+        .join(index.termStats, "term")
+        .join(index.docLens, "docId")
+        .groupBy(col("docId"))
+        .agg(sum(col("qcnt") * partial).as("score"))
+        .orderBy(col("score").desc, col("docId").asc)
+      topK.fold(scored)(scored.limit)
+    }
+  }
+
+  /** Algorithm registry (reference server.go:39-53); unknown names fall
+    * back to BM25.
+    */
+  def byName(name: String): String => DataFrame = name match {
+    case "Classic TF-IDF" => vectorSpaceQuery
+    case "Boolean" => booleanQuery
+    case "Terms" => termsQuery
+    case "Fuzzy" => fuzzyQuery
+    case "Wildcard" => wildcardQuery
+    case _ => q => bm25Query(q)
+  }
+
+  /** Rank-preserving materialization of result documents — the reference's
+    * `Searcher.Query` + `storage.Get(ids)` (searcher.go:26-29). `ranked`
+    * must carry docId (+ optional score).
+    */
+  def materialize(ranked: DataFrame, docs: DataFrame): DataFrame = {
+    val withRank = ranked.withColumn("__rank", monotonically_increasing_id())
+    withRank.join(docs, "docId").orderBy(col("__rank")).drop("__rank")
+  }
+
+  /** SERP pagination: 5 results per page (reference server.go:11,23-28). */
+  def paginate(ranked: DataFrame, page: Int, perPage: Int = 5): DataFrame =
+    ranked.offset((page - 1) * perPage).limit(perPage)
+}

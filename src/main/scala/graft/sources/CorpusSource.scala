@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus ingestion: every storage backend of the reference
+  * (CSV — reference document.go:73-158, SQL — document.go:171-202) plus
+  * the rebuild target, an Iceberg-shaped source-code table
+  * (BASELINE.json `input_hint`), normalized to the document schema
+  * `(docId, title, body, url)` the indexer consumes.
+  *
+  * No Iceberg runtime jar ships in this sandbox, so the Iceberg path reads
+  * Parquet with the identical schema; swapping in
+  * `spark.read.table("catalog.db.files")` is a one-line change kept behind
+  * [[CorpusSource.readSourceFiles]].
+  */
+object CorpusSource {
+
+  /** CSV with header `id,title,body,URL` (RFC-4180 quoting, as written by
+    * Go's encoding/csv — embedded quotes doubled, hence escape = quote).
+    */
+  def readDocsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .csv(path)
+      .select(
+        col("id").cast("long").as("docId"),
+        col("title"),
+        col("body"),
+        col("URL").as("url"))
+
+  /** Iceberg-shaped corpus `(repo, path, commit, lang, content)`. */
+  def readSourceFiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select("repo", "path", "commit", "lang", "content")
+
+  /** Normalize a source-file corpus to the document model. Identity is
+    * anchored by sha256(content) (BASELINE.json per-row invariant); docIds
+    * are dense 1..N in (repo, path) order, matching the reference's
+    * dense-id assumption (reference document.go:37-39).
+    */
+  def sourceFilesToDocs(files: DataFrame): DataFrame = {
+    val withCols = files.select(
+      concat_ws("/", col("repo"), col("path")).as("title"),
+      col("content").as("body"),
+      concat_ws("@", concat_ws("/", col("repo"), col("path")), col("commit")).as("url"),
+      sha2(col("content"), 256).as("contentSha"),
+      col("repo"), col("path"))
+    withDenseDocIds(withCols, Seq(col("repo"), col("path")))
+      .drop("repo", "path")
+  }
+
+  /** Dense docId assignment that scales: a single global
+    * `row_number() over (order by ...)` funnels all rows through ONE
+    * partition, which is a non-starter at 10^12 rows. Instead:
+    * range-partition by the sort key, count rows per partition (small
+    * collect: one long per partition), broadcast the cumulative offsets
+    * back, and number rows per partition with a partition-local window.
+    * Every step is parallel; the only driver data is nPartitions longs.
+    *
+    * The input is cached before the two passes so the (sampled) range
+    * boundaries cannot shift between the count pass and the numbering
+    * pass.
+    */
+  def withDenseDocIds(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nPart = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val parted = df
+      .repartitionByRange(nPart, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val counts = parted.groupBy($"__pid").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until nPart).scanLeft(0L) { (acc, pid) =>
+      acc + counts.getOrElse(pid, 0L)
+    }
+    val offsetDf = offsets.init.zipWithIndex
+      .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
+    val w = Window.partitionBy($"__pid").orderBy(sortCols: _*)
+    parted
+      .join(broadcast(offsetDf), "__pid")
+      .withColumn("docId", row_number().over(w).cast("long") + $"__offset")
+      .drop("__pid", "__offset")
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import graft.analysis.Analyzer
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden tables from the reference's helper_test.go, index_test.go and
+  * document_test.go — they pin the analyzer quirks (ASCII-only splitting,
+  * `$`-padding, `*` = zero-or-more).
+  */
+class AnalyzerSpec extends AnyFunSuite {
+
+  test("tokenize goldens (reference helper_test.go:5-29)") {
+    assert(Analyzer.tokenize("Test string.") == Seq("test", "string"))
+    assert(Analyzer.tokenize("I'm 23 years old.") ==
+      Seq("i", "m", "23", "years", "old"))
+    assert(Analyzer.tokenize("3d!e-fg.") == Seq("3d", "e", "fg"))
+  }
+
+  test("tokenize is ASCII-only: non-ASCII letters split") {
+    assert(Analyzer.tokenize("überprüfen") == Seq("berpr", "fen"))
+  }
+
+  test("tokenizeWildcard goldens (reference helper_test.go:31-49)") {
+    assert(Analyzer.tokenizeWildcard("Test string.") == Seq("test", "string"))
+    assert(Analyzer.tokenizeWildcard("W?ld*rd.") == Seq("w?ld*rd"))
+    assert(Analyzer.tokenizeWildcard("*me ?? *.") == Seq("*me", "??", "*"))
+  }
+
+  test("editDistance goldens (reference helper_test.go:88-106)") {
+    assert(Analyzer.editDistance("fast", "cats") == 3)
+    assert(Analyzer.editDistance("gopher", "python") == 5)
+    assert(Analyzer.editDistance("hello", "") == 5)
+    assert(Analyzer.editDistance("", "world") == 5)
+  }
+
+  test("wildcardMatch goldens (reference helper_test.go:108-128)") {
+    val cases = Seq(
+      ("time", "time") -> true,
+      ("tome", "time") -> false,
+      ("t?me", "time") -> true,
+      ("t?e", "time") -> false,
+      ("?ime", "time") -> true,
+      ("t*e", "time") -> true,
+      ("t*", "time") -> true,
+      ("*e", "time") -> true,
+      ("t*er", "time") -> false,
+      ("*m*", "time") -> true,
+      ("*m?", "time") -> true)
+    for (((p, s), want) <- cases)
+      assert(Analyzer.wildcardMatch(p, s) == want, s"pattern=$p str=$s")
+  }
+
+  test("wildcardRegex mirrors wildcardMatch on the same goldens") {
+    val cases = Seq("time", "tome", "t?me", "t?e", "?ime", "t*e", "t*",
+      "*e", "t*er", "*m*", "*m?")
+    for (p <- cases)
+      assert("time".matches(Analyzer.wildcardRegex(p)) ==
+        Analyzer.wildcardMatch(p, "time"), s"pattern=$p")
+  }
+
+  test("kgrams goldens (reference index_test.go:94-119)") {
+    assert(Analyzer.kgrams("hello", 3).sorted ==
+      Seq("$$h", "$he", "hel", "ell", "llo", "lo$", "o$$").sorted)
+    assert(Analyzer.kgrams("hi", 3).sorted ==
+      Seq("$$h", "$hi", "hi$", "i$$").sorted)
+    assert(Analyzer.kgrams("i", 3) == Seq("i"))
+  }
+
+  test("wordCount goldens (reference document_test.go:10-27)") {
+    assert(Analyzer.wordCount("My name is John.") == 4)
+    assert(Analyzer.wordCount("  to be  or not    to be") == 6)
+    assert(Analyzer.wordCount("Document A: This is a hat. This is a cat.") == 10)
+    assert(Analyzer.wordCount("") == 0)
+  }
+
+  test("getFuzziness ladder (reference searcher.go:159-168)") {
+    assert(Analyzer.getFuzziness("i") == 0)
+    assert(Analyzer.getFuzziness("ab") == 0)
+    assert(Analyzer.getFuzziness("abc") == 1)
+    assert(Analyzer.getFuzziness("abcde") == 1)
+    assert(Analyzer.getFuzziness("abcdef") == 2)
+  }
+
+  test("Column expressions agree with driver mirrors") {
+    val spark = SparkSessionFixture.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val texts = Seq(
+      "Test string.", "I'm 23 years old.", "3d!e-fg.", "überprüfen",
+      "def calcSum(x_1, y2): return x_1 + y2  # FIXME überprüfen",
+      "  to be  or not    to be", "", "a",
+      "spark.read.parquet(\"/data/t.parquet\").filter($\"id\" > 10)")
+    val df = texts.toDF("t").select(
+      col("t"),
+      Analyzer.tokensCol(col("t")).as("toks"),
+      Analyzer.wordCountCol(col("t")).as("wc"))
+    val rows = df.collect()
+    for (r <- rows) {
+      val t = r.getString(0)
+      assert(r.getSeq[String](1) == Analyzer.tokenize(t), s"tokens of '$t'")
+      assert(r.getInt(2) == Analyzer.wordCount(t), s"wordCount of '$t'")
+    }
+    // kgramsCol vs kgrams
+    val terms = Seq("hello", "hi", "i", "a", "calcsum", "überprüfen")
+    val kdf = terms.toDF("term")
+      .select(col("term"), Analyzer.kgramsCol(col("term"), 3).as("g"))
+    for (r <- kdf.collect()) {
+      val term = r.getString(0)
+      assert(r.getSeq[String](1) == Analyzer.kgrams(term, 3), s"kgrams of '$term'")
+    }
+  }
+
+  test("FIXTURES analyzer spot checks on code content") {
+    assert(Analyzer.tokenize(
+      "def calcSum(x_1, y2): return x_1 + y2  # FIXME überprüfen") ==
+      Seq("def", "calcsum", "x", "1", "y2", "return", "x", "1", "y2",
+        "fixme", "berpr", "fen"))
+    assert(Analyzer.tokenize(
+      """spark.read.parquet("/data/t.parquet").filter($"id" > 10)""") ==
+      Seq("spark", "read", "parquet", "data", "t", "parquet", "filter",
+        "id", "10"))
+  }
+
+  test("lowerBoundKGramOverlap (reference index_kgram.go:94-96)") {
+    assert(Analyzer.lowerBoundKGramOverlap(5, 5, 1, 3) == 4)
+    // maxED=0: bound = max - 1 + k, passable only by near-exact strings
+    assert(Analyzer.lowerBoundKGramOverlap(1, 1, 0, 3) == 3)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.query.BooleanParser._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser golden tables from the reference's searcher_test.go:7-80. */
+class BooleanParserSpec extends AnyFunSuite {
+
+  test("parseInfix goldens") {
+    val cases = Seq(
+      "A || B" -> Seq("a", "||", "b"),
+      "A&&B" -> Seq("a", "&&", "b"),
+      "A&& B &&C||D" -> Seq("a", "&&", "b", "&&", "c", "||", "d"),
+      "A&&B&&C&&D" -> Seq("a", "&&", "b", "&&", "c", "&&", "d"),
+      "A||B|| C ||D" -> Seq("a", "||", "b", "||", "c", "||", "d"),
+      " A &&&&C|| D " -> Seq("a", "&&", "", "&&", "c", "||", "d"),
+      "A||B&&||" -> Seq("a", "||", "b", "&&", "", "||", ""))
+    for ((expr, want) <- cases)
+      assert(parseInfix(expr) == want, s"expr='$expr'")
+  }
+
+  test("shuntingYard goldens") {
+    val cases = Seq(
+      Seq("A", "||", "B") -> Seq("A", "B", "||"),
+      Seq("A", "||", "B", "&&", "C") -> Seq("A", "B", "C", "&&", "||"),
+      Seq("A", "||", "B", "&&", "C", "||", "D") ->
+        Seq("A", "B", "C", "&&", "||", "D", "||"),
+      Seq("A", "||", "B", "&&", "", "&&", "C") ->
+        Seq("A", "B", "", "&&", "C", "&&", "||"))
+    for ((toks, want) <- cases)
+      assert(shuntingYard(toks) == want, s"tokens=$toks")
+  }
+
+  test("splitTrimToLower goldens") {
+    assert(splitTrimToLower("Hello && World", "&&") == Seq("hello", "world"))
+    assert(splitTrimToLower("Hello, Goodbye && Tomorrow && Time ", "&&") ==
+      Seq("hello, goodbye", "tomorrow", "time"))
+  }
+
+  test("toTree malformed postfix yields None") {
+    assert(toTree(Seq("a", "&&")).isEmpty)
+    assert(toTree(Seq("&&")).isEmpty)
+    assert(toTree(Seq("a", "b")).isEmpty) // two operands, no operator
+    assert(toTree(Seq("a", "b", "||")).nonEmpty)
+  }
+}

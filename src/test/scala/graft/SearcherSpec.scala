@@ -1,0 +1,186 @@
+package graft
+
+import graft.index.IndexBuilder
+import graft.query.QueryEngine
+import graft.sources.CorpusSource
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end rank identity on the reference's own corpus + query set
+  * (example.csv, searcher_test.go:82-241), plus the golden score vectors
+  * from FIXTURES.md (produced by the verified oracle port).
+  */
+class SearcherSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  lazy val engine: QueryEngine = {
+    val docs = CorpusSource.readDocsCsv(
+      spark, SparkSessionFixture.resourcePath("example.csv"))
+    new QueryEngine(IndexBuilder.build(docs, k = 3))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("docId").collect().map(_.getLong(0)).toSeq
+
+  private def scored(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("docId", "score").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("corpus stats: N=184 vocab, totalLen=314, avgdl=314/3 (FIXTURES §1)") {
+    val s = engine.index.stats
+    assert(s.nDocs == 3)
+    assert(s.vocabSize == 184)
+    assert(s.totalLen == 314)
+    assert(math.abs(s.avgdl - 314.0 / 3.0) < 1e-12)
+  }
+
+  test("doc lengths 87/155/72 (FIXTURES §1)") {
+    val lens = engine.index.docLens.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lens == Map(1L -> 87, 2L -> 155, 3L -> 72))
+  }
+
+  test("term stats goldens (FIXTURES §1)") {
+    import org.apache.spark.sql.functions._
+    val want = Map(
+      "statistic" -> (1L, Seq(1L), Seq(1)),
+      "that" -> (2L, Seq(1L, 2L), Seq(2, 2)),
+      "cohen" -> (1L, Seq(1L), Seq(3)),
+      "latent" -> (1L, Seq(2L), Seq(2)),
+      "semantic" -> (1L, Seq(2L), Seq(2)),
+      "matrix" -> (1L, Seq(2L), Seq(1)),
+      "communication" -> (1L, Seq(3L), Seq(2)),
+      "channel" -> (1L, Seq(3L), Seq(2)),
+      "is" -> (3L, Seq(1L, 2L, 3L), Seq(5, 3, 3)),
+      "the" -> (3L, Seq(1L, 2L, 3L), Seq(4, 11, 1)))
+    val got = engine.index.postings
+      .where(col("term").isin(want.keys.toSeq: _*))
+      .orderBy("term", "docId").collect()
+      .groupBy(_.getString(0))
+      .map { case (t, rows) =>
+        t -> (rows.length.toLong,
+          rows.map(_.getLong(1)).toSeq, rows.map(_.getInt(2)).toSeq)
+      }
+    assert(got == want)
+    // idf sanity on one term
+    val dfs = engine.index.termStats
+      .where(col("term") === "statistic").collect()
+    assert(dfs.head.getLong(1) == 1L)
+    assert(math.abs(math.log10(184.0 / 1.0) - 2.2648178230) < 1e-9)
+  }
+
+  // --- TermsQuery goldens (searcher_test.go:88-112) ---
+  test("TermsQuery goldens") {
+    assert(ids(engine.termsQuery("is a statistic")) == Seq(1L))
+    assert(ids(engine.termsQuery("language")) == Seq(2L))
+    assert(ids(engine.termsQuery("is")) == Seq(1L, 2L, 3L))
+  }
+
+  // --- BooleanQuery goldens (searcher_test.go:114-143) ---
+  test("BooleanQuery goldens") {
+    assert(ids(engine.booleanQuery("")) == Seq())
+    assert(ids(engine.booleanQuery("statistic && coefficient")) == Seq(1L))
+    assert(ids(engine.booleanQuery("statistic && coefficient && items")) == Seq(1L))
+    assert(ids(engine.booleanQuery("sTatistic && coeffIcient &&items")) == Seq(1L))
+    assert(ids(engine.booleanQuery("reliability || technologies")) == Seq(1L, 3L))
+    assert(ids(engine.booleanQuery(
+      "qualitative || semantics && reliability || technologies")) == Seq(1L, 3L))
+    assert(ids(engine.booleanQuery(
+      "|| technique && language && processing")) == Seq(2L))
+  }
+
+  // --- WildcardQuery goldens (searcher_test.go:145-168) ---
+  test("WildcardQuery goldens") {
+    assert(ids(engine.wildcardQuery("cohe*")) == Seq(1L))
+    assert(ids(engine.wildcardQuery("ch?ce")) == Seq())
+    assert(ids(engine.wildcardQuery("ch?nc?")) == Seq(1L))
+    assert(ids(engine.wildcardQuery("sem*t*c")) == Seq(2L))
+    assert(ids(engine.wildcardQuery("sem*ts*c")) == Seq())
+    assert(ids(engine.wildcardQuery("con*s related")) == Seq(2L))
+  }
+
+  // --- FuzzyQuery goldens (searcher_test.go:170-191) ---
+  test("FuzzyQuery goldens") {
+    assert(ids(engine.fuzzyQuery("cohdn")) == Seq(1L))
+    assert(ids(engine.fuzzyQuery("latent semantic")) == Seq(2L))
+    assert(ids(engine.fuzzyQuery(
+      "by various radi communication techologies")) == Seq(3L))
+    assert(ids(engine.fuzzyQuery("i")) == Seq())
+  }
+
+  // --- VectorSpaceQuery goldens incl. scores (FIXTURES §2) ---
+  test("VectorSpaceQuery rank + score goldens") {
+    val eps = 1e-9
+    def check(q: String, want: Seq[(Long, Double)]): Unit = {
+      val got = scored(engine.vectorSpaceQuery(q))
+      assert(got.map(_._1) == want.map(_._1), s"ranks for '$q': $got")
+      for (((_, g), (_, w)) <- got.zip(want))
+        assert(math.abs(g - w) < eps, s"scores for '$q': $got")
+    }
+    check("cohen", Seq(1L -> 0.0780971663))
+    check("latent semantic", Seq(2L -> 0.0584469116))
+    check("statistic that", Seq(1L -> 0.0711769365, 2L -> 0.0253391978))
+    check("matrix communication channel",
+      Seq(3L -> 0.1258232124, 2L -> 0.0146117279))
+  }
+
+  // --- BM25Query goldens incl. scores (FIXTURES §2) ---
+  test("BM25Query rank + score goldens") {
+    val eps = 1e-9
+    def check(q: String, want: Seq[(Long, Double)]): Unit = {
+      val got = scored(engine.bm25Query(q))
+      assert(got.map(_._1) == want.map(_._1), s"ranks for '$q': $got")
+      for (((_, g), (_, w)) <- got.zip(want))
+        assert(math.abs(g - w) < eps, s"scores for '$q': $got")
+    }
+    check("cohen", Seq(1L -> 3.3625082451))
+    check("latent semantic", Seq(2L -> 5.6010210297))
+    check("statistic that", Seq(1L -> 4.9679532496, 2L -> 2.4282785147))
+    check("matrix communication channel",
+      Seq(3L -> 6.1746118595, 2L -> 2.0756886955))
+  }
+
+  test("duplicate query tokens double-score (FIXTURES §5)") {
+    val single = scored(engine.bm25Query("cohen")).head._2
+    val doubled = scored(engine.bm25Query("cohen cohen")).head._2
+    assert(math.abs(doubled - 2 * single) < 1e-9)
+  }
+
+  test("k-gram index behaviors (reference index_test.go:121-170)") {
+    // vocabulary {hello, helicopter, man} — build a tiny corpus exposing it
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "", "hello helicopter", ""),
+      (2L, "", "man", ""))
+      .toDF("docId", "title", "body", "url")
+    val eng = new QueryEngine(IndexBuilder.build(docs, k = 3, persist = false))
+    def terms(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.getString(0)).toSet
+    assert(terms(eng.kgramMatch("he*")) == Set("hello", "helicopter"))
+    assert(terms(eng.kgramMatch("hell*")) == Set("hello"))
+    assert(terms(eng.kgramMatch("m?n")) == Set("man"))
+    assert(terms(eng.kgramMatch("*n")) == Set("man"))
+    // closeTerms via k-gram overlap + levenshtein. "help" matches NOTHING:
+    // overlap(hello)=3 < bound max(4,5)-1=4 (and ED=2 > 1) — the reference's
+    // prune bound excludes it too (index_kgram.go:99-108).
+    assert(terms(eng.closeTerms("help", 1)) == Set())
+    // "hell": overlap(hello)=4 >= bound 4, ED=1 → candidate.
+    assert(terms(eng.closeTerms("hell", 1)) == Set("hello"))
+  }
+
+  test("BM25 topK limit + pagination") {
+    val top1 = engine.bm25Query("statistic that", topK = Some(1))
+    assert(ids(top1) == Seq(1L))
+    val page1 = engine.paginate(engine.bm25Query("is"), page = 1, perPage = 2)
+    assert(page1.count() == 2)
+  }
+
+  test("materialize preserves rank order (reference searcher.go:26-29)") {
+    val docs = CorpusSource.readDocsCsv(
+      spark, SparkSessionFixture.resourcePath("example.csv"))
+    val ranked = engine.bm25Query("matrix communication channel")
+    val out = engine.materialize(ranked, docs).collect()
+    assert(out.map(_.getAs[Long]("docId")).toSeq == Seq(3L, 2L))
+    assert(out.head.getAs[String]("title") == "Code-division multiple access")
+  }
+}
