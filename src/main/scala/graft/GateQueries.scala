@@ -1,0 +1,666 @@
+package graft
+
+import graft.analysis.Analyzer
+import graft.index.{IndexBuilder, IndexBundle}
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextPipeline}
+import graft.query.QueryEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The driver-facing correctness gate: one named query per implemented
+  * operator (SURVEY.md §2 + the training-data pipeline ops), each with an
+  * equivalent DuckDB SQL oracle over the same parquet tables
+  * (`documents`, `embeddings`).
+  *
+  * Determinism rules shared by every entry (so Spark and DuckDB hash-match):
+  *   - every aggregate/computed column is aliased identically on both sides;
+  *   - counts are BIGINT on both sides;
+  *   - doubles are `round(x, 6)` on both sides, computed from exact integer
+  *     or sequentially-summed inputs;
+  *   - ordering keys include a unique tie-break (doc_id / term) so LIMIT
+  *     boundaries are engine-independent.
+  */
+object GateQueries {
+
+  // ------------------------------------------------------------------
+  // Shared fixed query strings (chosen from the synthetic corpus vocab)
+  // ------------------------------------------------------------------
+  val TermsQ = "spark table join"
+  val BoolQ = "spark && join || window"
+  val UnionQ = "vector || stream"
+  val ScoredQ = "spark join fast window"
+  val FuzzyTok = "tble" // 1 edit (insert 'a') from "table"
+  val FuzzyQ = "tble window"
+  val WildTok = "ta*le"
+  val WildQ = "ta*le str*am"
+
+  // ------------------------------------------------------------------
+  // Spark side: corpus loading + a per-directory index cache (Verify and
+  // Bench run many queries against one directory in one JVM)
+  // ------------------------------------------------------------------
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents table → the engine's document model (text is the body;
+    * there is no title in this corpus).
+    */
+  def docsAsModel(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(
+      col("doc_id").cast("long").as("docId"),
+      lit("").as("title"),
+      col("text").as("body"),
+      lit("").as("url"))
+
+  private val bundles = scala.collection.mutable.Map.empty[String, IndexBundle]
+  def bundle(spark: SparkSession, dir: String): IndexBundle = synchronized {
+    bundles.getOrElseUpdate(dir, IndexBuilder.build(docsAsModel(spark, dir)))
+  }
+  def engine(spark: SparkSession, dir: String): QueryEngine =
+    new QueryEngine(bundle(spark, dir))
+
+  // ------------------------------------------------------------------
+  // Oracle SQL shared CTE fragments
+  // ------------------------------------------------------------------
+
+  /** Analyzer tokenization in DuckDB — mirrors Analyzer.tokensCol. */
+  private val ToksCte =
+    """toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+      |    x -> x <> '')) AS term
+      |  FROM documents
+      |)""".stripMargin
+
+  private val PostingsCte =
+    """postings AS (
+      |  SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id
+      |)""".stripMargin
+
+  private val DlCte =
+    """dl AS (
+      |  SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\s+'),
+      |    x -> x <> ''))::BIGINT AS len
+      |  FROM documents
+      |)""".stripMargin
+
+  private val TstatsCte =
+    """tstats AS (
+      |  SELECT term, count(*)::BIGINT AS df, max(tf)::BIGINT AS max_tf
+      |  FROM postings GROUP BY term
+      |)""".stripMargin
+
+  /** k=3 k-gram set per vocabulary term (the reference's `$`-padding and
+    * the len<k-1 short-circuit — reference index_kgram.go:39-54).
+    */
+  private val KgramsCte =
+    """kgrams AS (
+      |  SELECT DISTINCT term, unnest(CASE WHEN length(term) < 2 THEN [term]
+      |    ELSE [substring('$$' || term || '$$', i, 3)
+      |          for i in range(1, length(term) + 3)] END) AS gram
+      |  FROM tstats
+      |)""".stripMargin
+
+  /** Word n-gram shingle LIST per document (duplicates kept; fewer than n
+    * tokens → one whole-text shingle). Mirrors TextPipeline.shingles.
+    */
+  private def shinglesCte(n: Int) =
+    s"""tokarr AS (
+       |  SELECT doc_id, list_filter(
+       |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+       |    x -> x <> '') AS toks
+       |  FROM documents
+       |),
+       |shingles AS (
+       |  SELECT doc_id, CASE WHEN len(toks) < $n THEN [array_to_string(toks, ' ')]
+       |    ELSE [array_to_string(toks[i:i+${n - 1}], ' ')
+       |          for i in range(1, len(toks) - ${n - 2})] END AS sl
+       |  FROM tokarr
+       |)""".stripMargin
+
+  /** Distinct (doc_id, shingle) index. */
+  private def shingleIdxCte(n: Int) =
+    s"""${shinglesCte(n)},
+       |sidx AS (
+       |  SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shingles
+       |)""".stripMargin
+
+  private def valuesOf(pairs: Seq[(String, Int)]): String =
+    pairs.map { case (s, c) => s"('${s.replace("'", "''")}', $c)" }.mkString(", ")
+
+  private def withMult(xs: Seq[String]): Seq[(String, Int)] =
+    xs.groupBy(identity).view.mapValues(_.size).toSeq.sortBy(_._1)
+
+  // ==================================================================
+  // The gate entries
+  // ==================================================================
+
+  final case class Gate(
+      name: String,
+      run: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  val entries: Seq[Gate] = Seq(
+
+    // ---------------- index core ----------------
+
+    Gate("q01_postings",
+      (s, d) => bundle(s, d).postings
+        .select(col("term"), col("docId").as("doc_id"), col("tf").cast("long").as("tf"))
+        .orderBy(col("term"), col("doc_id")),
+      Some(s"""WITH $ToksCte, $PostingsCte
+              |SELECT term, doc_id, tf FROM postings ORDER BY term, doc_id""".stripMargin)),
+
+    Gate("q02_doc_lens",
+      (s, d) => bundle(s, d).docLens
+        .select(col("docId").as("doc_id"), col("len").cast("long").as("len"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $DlCte
+              |SELECT doc_id, len FROM dl ORDER BY doc_id""".stripMargin)),
+
+    Gate("q03_term_stats",
+      (s, d) => bundle(s, d).termStats
+        .select(col("term"), col("df").cast("long").as("df"),
+          col("maxTf").cast("long").as("max_tf"))
+        .orderBy(col("term")),
+      Some(s"""WITH $ToksCte, $PostingsCte, $TstatsCte
+              |SELECT term, df, max_tf FROM tstats ORDER BY term""".stripMargin)),
+
+    Gate("q04_corpus_stats",
+      (s, d) => {
+        val b = bundle(s, d)
+        val sp = s
+        import sp.implicits._
+        Seq((b.stats.nDocs, b.stats.vocabSize, b.stats.totalLen,
+          BigDecimal(b.stats.avgdl).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          .toDF("n_docs", "vocab_size", "total_len", "avgdl")
+      },
+      Some(s"""WITH $ToksCte, $PostingsCte, $DlCte
+              |SELECT (SELECT count(*)::BIGINT FROM documents) AS n_docs,
+              |       (SELECT count(DISTINCT term)::BIGINT FROM postings) AS vocab_size,
+              |       (SELECT sum(len)::BIGINT FROM dl) AS total_len,
+              |       round((SELECT sum(len)::DOUBLE FROM dl) /
+              |             (SELECT count(*)::DOUBLE FROM documents), 6) AS avgdl""".stripMargin)),
+
+    // idf = log10(vocabSize / df): the reference's vocabulary-size-N quirk
+    // (reference index_inverted.go:128-135)
+    Gate("q05_idf",
+      (s, d) => {
+        val b = bundle(s, d)
+        b.termStats.select(col("term"), col("df").cast("long").as("df"),
+          round(b.idfCol(col("df")), 6).as("idf"))
+          .orderBy(col("term"))
+      },
+      Some(s"""WITH $ToksCte, $PostingsCte, $TstatsCte,
+              |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats)
+              |SELECT term, df, round(log10(vocab.n / df::DOUBLE), 6) AS idf
+              |FROM tstats, vocab ORDER BY term""".stripMargin)),
+
+    Gate("q06_terms_query",
+      (s, d) => engine(s, d).termsQuery(TermsQ).select(col("docId").as("doc_id")),
+      Some {
+        val ts = Analyzer.tokenize(TermsQ).distinct
+        val in = ts.map(t => s"'$t'").mkString(", ")
+        s"""WITH $ToksCte, $PostingsCte
+           |SELECT doc_id FROM postings WHERE term IN ($in)
+           |GROUP BY doc_id HAVING count(*) = ${ts.size} ORDER BY doc_id""".stripMargin
+      }),
+
+    // (spark && join) || window — && binds tighter (reference searcher.go:42-81)
+    Gate("q07_boolean_query",
+      (s, d) => engine(s, d).booleanQuery(BoolQ).select(col("docId").as("doc_id")),
+      Some(s"""WITH $ToksCte, $PostingsCte
+              |SELECT DISTINCT doc_id FROM (
+              |  SELECT doc_id FROM postings WHERE term IN ('spark', 'join')
+              |  GROUP BY doc_id HAVING count(*) = 2
+              |  UNION
+              |  SELECT doc_id FROM postings WHERE term = 'window'
+              |) ORDER BY doc_id""".stripMargin)),
+
+    Gate("q08_union_query",
+      (s, d) => engine(s, d).booleanQuery(UnionQ).select(col("docId").as("doc_id")),
+      Some(s"""WITH $ToksCte, $PostingsCte
+              |SELECT DISTINCT doc_id FROM postings
+              |WHERE term IN ('vector', 'stream') ORDER BY doc_id""".stripMargin)),
+
+    Gate("q09_bm25_topk",
+      (s, d) => {
+        val scored = engine(s, d).bm25Query(ScoredQ)
+          .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, round(raw, 6) AS score FROM scored
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    Gate("q10_vsm_topk",
+      (s, d) => {
+        val scored = engine(s, d).vectorSpaceQuery(ScoredQ)
+          .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * p.tf::DOUBLE * log10(vocab.n / t.df::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  CROSS JOIN vocab
+           |  GROUP BY p.doc_id)
+           |SELECT s.doc_id AS doc_id, round(s.raw / d.len::DOUBLE, 6) AS score
+           |FROM scored s JOIN dl d ON s.doc_id = d.doc_id
+           |ORDER BY score DESC, s.doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    Gate("q11_kgram_index",
+      (s, d) => bundle(s, d).kgramIndex
+        .select(col("gram"), col("term")).orderBy(col("gram"), col("term")),
+      Some(s"""WITH $ToksCte, $PostingsCte, $TstatsCte, $KgramsCte
+              |SELECT gram, term FROM kgrams ORDER BY gram, term""".stripMargin)),
+
+    Gate("q12_close_terms",
+      (s, d) => engine(s, d).closeTerms(FuzzyTok, 1)
+        .select(col("term")).orderBy(col("term")),
+      Some {
+        val qg = valuesOf(withMult(Analyzer.kgrams(FuzzyTok, 3)))
+        s"""WITH $ToksCte, $PostingsCte, $TstatsCte, $KgramsCte,
+           |qgrams(gram, qcnt) AS (VALUES $qg),
+           |overlap AS (
+           |  SELECT k.term, sum(q.qcnt)::BIGINT AS ov
+           |  FROM kgrams k JOIN qgrams q ON k.gram = q.gram GROUP BY k.term)
+           |SELECT term FROM overlap
+           |WHERE ov >= greatest(${FuzzyTok.length}, length(term)) - 1
+           |  AND levenshtein('$FuzzyTok', term) <= 1
+           |ORDER BY term""".stripMargin
+      }),
+
+    Gate("q13_wildcard_terms",
+      (s, d) => engine(s, d).kgramMatch(WildTok)
+        .where(col("term").rlike(Analyzer.wildcardRegex(WildTok)))
+        .select(col("term")).orderBy(col("term")),
+      Some {
+        val grams = Analyzer.kgrams(WildTok, 3)
+          .filterNot(g => g.contains('*') || g.contains('?'))
+        val qg = valuesOf(withMult(grams))
+        val re = Analyzer.wildcardRegex(WildTok)
+        s"""WITH $ToksCte, $PostingsCte, $TstatsCte, $KgramsCte,
+           |qgrams(gram, qcnt) AS (VALUES $qg),
+           |overlap AS (
+           |  SELECT k.term, sum(q.qcnt)::BIGINT AS ov
+           |  FROM kgrams k JOIN qgrams q ON k.gram = q.gram GROUP BY k.term)
+           |SELECT term FROM overlap
+           |WHERE ov = ${grams.size} AND regexp_matches(term, '$re')
+           |ORDER BY term""".stripMargin
+      }),
+
+    // Fuzzy / wildcard doc retrieval. The oracle encodes the plain
+    // intersection; the engine's reset-on-empty fold (searcher.go:147-151)
+    // coincides with it because every per-token candidate set is non-empty
+    // on this corpus (asserted in the specs).
+    Gate("q14_fuzzy_docs",
+      (s, d) => engine(s, d).fuzzyQuery(FuzzyQ).select(col("docId").as("doc_id")),
+      Some {
+        val toks = Analyzer.tokenize(FuzzyQ)
+        val tokCtes = toks.zipWithIndex.map { case (t, i) =>
+          val qg = valuesOf(withMult(Analyzer.kgrams(t, 3)))
+          val ed = Analyzer.getFuzziness(t)
+          s"""cand$i AS (
+             |  SELECT k.term FROM kgrams k
+             |  JOIN (SELECT * FROM (VALUES $qg) v(gram, qcnt)) q ON k.gram = q.gram
+             |  GROUP BY k.term
+             |  HAVING sum(q.qcnt) >= greatest(${t.length}, length(k.term)) - 1 - ${(ed - 1) * 3}
+             |     AND levenshtein('$t', k.term) <= $ed),
+             |docs$i AS (SELECT DISTINCT doc_id FROM postings JOIN cand$i USING (term))""".stripMargin
+        }.mkString(",\n")
+        val inter = toks.indices.map(i => s"SELECT doc_id FROM docs$i")
+          .mkString("\nINTERSECT\n")
+        s"""WITH $ToksCte, $PostingsCte, $TstatsCte, $KgramsCte,
+           |$tokCtes
+           |SELECT doc_id FROM ($inter) ORDER BY doc_id""".stripMargin
+      }),
+
+    Gate("q15_wildcard_docs",
+      (s, d) => engine(s, d).wildcardQuery(WildQ).select(col("docId").as("doc_id")),
+      Some {
+        val toks = Analyzer.tokenizeWildcard(WildQ)
+        val tokCtes = toks.zipWithIndex.map { case (t, i) =>
+          val grams = Analyzer.kgrams(t, 3)
+            .filterNot(g => g.contains('*') || g.contains('?'))
+          val qg = valuesOf(withMult(grams))
+          val re = Analyzer.wildcardRegex(t)
+          s"""cand$i AS (
+             |  SELECT k.term FROM kgrams k
+             |  JOIN (SELECT * FROM (VALUES $qg) v(gram, qcnt)) q ON k.gram = q.gram
+             |  GROUP BY k.term
+             |  HAVING sum(q.qcnt) = ${grams.size}),
+             |fcand$i AS (SELECT term FROM cand$i WHERE regexp_matches(term, '$re')),
+             |docs$i AS (SELECT DISTINCT doc_id FROM postings JOIN fcand$i USING (term))""".stripMargin
+        }.mkString(",\n")
+        val inter = toks.indices.map(i => s"SELECT doc_id FROM docs$i")
+          .mkString("\nINTERSECT\n")
+        s"""WITH $ToksCte, $PostingsCte, $TstatsCte, $KgramsCte,
+           |$tokCtes
+           |SELECT doc_id FROM ($inter) ORDER BY doc_id""".stripMargin
+      }),
+
+    // ---------------- training-data pipeline ----------------
+
+    Gate("q16_exact_dedup",
+      (s, d) => Dedup.exactDupGroups(documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("content_sha"), col("canonical_id"),
+          col("group_size"), col("keep"))
+        .orderBy(col("doc_id")),
+      Some("""WITH hashed AS (
+             |  SELECT doc_id, sha256(text) AS content_sha FROM documents),
+             |canon AS (
+             |  SELECT content_sha, min(doc_id) AS canonical_id,
+             |         count(*)::BIGINT AS group_size
+             |  FROM hashed GROUP BY content_sha)
+             |SELECT h.doc_id, h.content_sha, c.canonical_id, c.group_size,
+             |       h.doc_id = c.canonical_id AS keep
+             |FROM hashed h JOIN canon c ON h.content_sha = c.content_sha
+             |ORDER BY h.doc_id""".stripMargin)),
+
+    Gate("q17_token_counts",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextPipeline.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextPipeline.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"),
+        TextPipeline.analyzerTokenCount(col("text")).cast("long").as("analyzer_tokens"))
+        .orderBy(col("doc_id")),
+      Some(s"""SELECT doc_id,
+              |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
+              |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpeish_tokens,
+              |  len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> ''))::BIGINT AS analyzer_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Gate("q18_quality",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        round(TextPipeline.punctRatio(col("text")), 6).as("punct_ratio"),
+        round(TextPipeline.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        TextPipeline.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id")),
+      Some {
+        val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+           |      x -> x <> '') AS toks,
+           |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+           |  FROM documents),
+           |ratios AS (
+           |  SELECT doc_id,
+           |    CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0.0 END AS pr,
+           |    CASE WHEN len(toks) > 0 THEN
+           |      len(list_filter(toks, t -> t IN ($sw)))::DOUBLE / len(toks)::DOUBLE
+           |      ELSE 0.0 END AS sr,
+           |    len(toks)::DOUBLE AS nt
+           |  FROM base)
+           |SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+           |  round(least(nt / 20.0, 1.0) * (CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+           |      + greatest(0.0, 1.0 - pr * 2.0) * 0.3
+           |      + least(1.0, sr * 4.0) * 0.3, 6) AS quality
+           |FROM ratios ORDER BY doc_id""".stripMargin
+      }),
+
+    Gate("q19_langid",
+      (s, d) => documents(s, d).select(
+        col("doc_id"), TextPipeline.langId(col("text")).as("lang_detected"))
+        .orderBy(col("doc_id")),
+      Some {
+        val hitCols = TextPipeline.LangMarkers.map { case (lang, words) =>
+          val in = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($in))) AS h_$lang"
+        }.mkString(",\n    ")
+        val langs = TextPipeline.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
+        s"""WITH base AS (
+           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+           |    '[^a-zA-Z0-9]+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |hits AS (
+           |  SELECT doc_id,
+           |    $hitCols
+           |  FROM base),
+           |scored AS (SELECT *, $best AS best FROM hits)
+           |SELECT doc_id,
+           |  CASE WHEN best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    Gate("q20_fingerprint",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextPipeline.fingerprint(col("text"), 5).as("fingerprint"),
+        size(TextPipeline.shingleSet(col("text"), 5)).cast("long").as("n_shingles"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shinglesCte(5)}
+              |SELECT doc_id,
+              |  list_min([md5(x) for x in list_distinct(sl)]) AS fingerprint,
+              |  len(list_distinct(sl))::BIGINT AS n_shingles
+              |FROM shingles ORDER BY doc_id""".stripMargin)),
+
+    Gate("q21_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(documents(s, d), "doc_id", "text",
+        n = 3, minJaccard = 0.03)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${shingleIdxCte(3)},
+              |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sidx GROUP BY doc_id),
+              |inter AS (
+              |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n
+              |  FROM sidx l JOIN sidx r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT i.id_a, i.id_b,
+              |  round(i.n::DOUBLE / (sa.sz + sb.sz - i.n)::DOUBLE, 6) AS jaccard
+              |FROM inter i
+              |JOIN sizes sa ON i.id_a = sa.doc_id
+              |JOIN sizes sb ON i.id_b = sb.doc_id
+              |WHERE round(i.n::DOUBLE / (sa.sz + sb.sz - i.n)::DOUBLE, 6) >= 0.03
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Gate("q22_minhash_bands",
+      (s, d) => Dedup.lshBands(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4)
+        .select(col("id").as("doc_id"), col("band"), col("band_key"))
+        .orderBy(col("doc_id"), col("band")),
+      Some(s"""WITH ${shingleIdxCte(3)},
+              |mh AS (
+              |  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || shingle)) AS v
+              |  FROM sidx CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+              |  GROUP BY doc_id, h)
+              |SELECT doc_id, (h // 2)::INT AS band,
+              |  md5(string_agg(v, '' ORDER BY h)) AS band_key
+              |FROM mh GROUP BY doc_id, h // 2
+              |ORDER BY doc_id, band""".stripMargin)),
+
+    Gate("q23_simhash",
+      (s, d) => documents(s, d).select(
+        col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        .orderBy(col("doc_id")),
+      Some("""WITH toksm AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+             |    x -> x <> '')) AS term
+             |  FROM documents),
+             |votes AS (
+             |  SELECT doc_id, j,
+             |    sum(CASE WHEN substring(md5(term), j, 1) >= '8' THEN 1 ELSE -1 END)::BIGINT AS v
+             |  FROM toksm CROSS JOIN (SELECT unnest(range(1, 33)) AS j) js
+             |  GROUP BY doc_id, j)
+             |SELECT doc_id,
+             |  sum(CASE WHEN v >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)::BIGINT AS simhash
+             |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    Gate("q24_simhash_blocks",
+      (s, d) => {
+        val fp = documents(s, d).select(col("doc_id"),
+          Dedup.simhash32(col("text")).as("sh"))
+        fp.select(col("doc_id"), explode(array((0 until 4).map { b =>
+          struct(lit(b).as("blk"),
+            shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("blk_key"))
+        }: _*)).as("e"))
+          .select(col("doc_id"), col("e.blk").as("blk"), col("e.blk_key").as("blk_key"))
+          .orderBy(col("doc_id"), col("blk"))
+      },
+      Some("""WITH toksm AS (
+             |  SELECT doc_id, unnest(list_filter(
+             |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+             |    x -> x <> '')) AS term
+             |  FROM documents),
+             |votes AS (
+             |  SELECT doc_id, j,
+             |    sum(CASE WHEN substring(md5(term), j, 1) >= '8' THEN 1 ELSE -1 END)::BIGINT AS v
+             |  FROM toksm CROSS JOIN (SELECT unnest(range(1, 33)) AS j) js
+             |  GROUP BY doc_id, j),
+             |sh AS (
+             |  SELECT doc_id,
+             |    sum(CASE WHEN v >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)::BIGINT AS sh
+             |  FROM votes GROUP BY doc_id)
+             |SELECT doc_id, blk::INT AS blk, ((sh >> (blk * 8)) & 255)::BIGINT AS blk_key
+             |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bs
+             |ORDER BY doc_id, blk""".stripMargin)),
+
+    // ---------------- similarity search ----------------
+
+    Gate("q25_cosine_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.bruteForceTopK(
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          e, k = 10)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, e.vec_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) *
+             |       sqrt(list_sum([x * x for x in v]))), 6) AS sim
+             |  FROM e CROSS JOIN q),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    Gate("q26_srp_buckets",
+      (s, d) => embeddings(s, d).select(
+        col("vec_id"),
+        Similarity.srpBucket(col("embedding"), 64, 4).as("bucket"))
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings)
+             |SELECT vec_id,
+             |  list_sum([CASE WHEN
+             |    list_sum([v[i] * ((((1103515245 * (h * 1024 + i - 1) + 12345) % 65536) - 32768)::DOUBLE)
+             |              for i in range(1, len(v) + 1)]) >= 0
+             |    THEN (1::BIGINT << h) ELSE 0 END for h in range(0, 4)])::BIGINT AS bucket
+             |FROM e ORDER BY vec_id""".stripMargin)),
+
+    Gate("q27_lsh_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.lshTopK(
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          e, k = 10, dim = 64, nPlanes = 4)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |b AS (
+             |  SELECT vec_id, v,
+             |    list_sum([CASE WHEN
+             |      list_sum([v[i] * ((((1103515245 * (h * 1024 + i - 1) + 12345) % 65536) - 32768)::DOUBLE)
+             |                for i in range(1, len(v) + 1)]) >= 0
+             |      THEN (1::BIGINT << h) ELSE 0 END for h in range(0, 4)])::BIGINT AS bucket
+             |  FROM e),
+             |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT q.query_id, b.vec_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) *
+             |       sqrt(list_sum([x * x for x in v]))), 6) AS sim
+             |  FROM b JOIN q ON b.bucket = q.bucket),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // ---------------- multimodal plumbing ----------------
+
+    Gate("q28_multimodal_meta",
+      (s, d) => Multimodal.syntheticAssets(documents(s, d), "doc_id", "text")
+        .select(col("assetId").as("asset_id"), col("modality"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("payload_sha"))
+        .orderBy(col("asset_id")),
+      Some("""SELECT doc_id AS asset_id,
+             |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |    ELSE 'video' END AS modality,
+             |  octet_length(encode(text))::BIGINT AS n_bytes,
+             |  sha256(text) AS payload_sha
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    Gate("q29_asset_stats",
+      (s, d) => {
+        val a = Multimodal.syntheticAssets(documents(s, d), "doc_id", "text")
+        a.groupBy(col("modality"))
+          .agg(count(lit(1)).as("n_assets"),
+            sum(length(col("payload"))).cast("long").as("total_bytes"),
+            round(avg(col("width") * col("height")), 6).as("avg_pixels"))
+          .orderBy(col("modality"))
+      },
+      Some("""WITH a AS (
+             |  SELECT doc_id,
+             |    CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             |      ELSE 'video' END AS modality,
+             |    octet_length(encode(text))::BIGINT AS n_bytes,
+             |    (doc_id % 64 + 1) AS width, (doc_id % 48 + 1) AS height
+             |  FROM documents)
+             |SELECT modality, count(*)::BIGINT AS n_assets,
+             |  sum(n_bytes)::BIGINT AS total_bytes,
+             |  round(avg(width * height), 6) AS avg_pixels
+             |FROM a GROUP BY modality ORDER BY modality""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    entries.map(g => g.name -> g.run).toMap
+
+  def oracleSql: Map[String, String] =
+    entries.flatMap(g => g.oracle.map(g.name -> _)).toMap
+}

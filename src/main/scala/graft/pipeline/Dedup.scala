@@ -1,0 +1,232 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data curation, each expressed as a
+  * declarative DataFrame plan that scales to web corpora:
+  *
+  *   - exact:        sha256 groupBy (one shuffle, map-side combinable)
+  *   - n-gram Jaccard: inverted shingle index self-join — pair candidates
+  *                   are generated ONLY for documents sharing a shingle,
+  *                   never the O(n²) cross join
+  *   - MinHash+LSH:  signature → band buckets → bucket join; candidate
+  *                   count is bounded by bucket sizes, tunable via
+  *                   (numHashes, bands)
+  *   - SimHash:      32-bit tf-weighted fingerprint; near-dup pairs via
+  *                   byte-band pigeonhole blocking + popcount verify
+  *
+  * All hash material is md5-derived (deterministic, engine-portable — any
+  * md5 agrees byte-for-byte), so every operator is oracle-checkable and
+  * reproducible across runs/clusters. No RNG, no UDFs, no driver loops.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------------
+  // Exact dedup
+  // ---------------------------------------------------------------------
+
+  /** Per document: its content hash and the canonical (minimum) id among
+    * all documents with byte-identical text. `keep = (id == canonicalId)`.
+    * One hash-aggregation shuffle on the 64-hex sha256 key; at 10^12 rows
+    * the key is uniform (cryptographic hash) so no skew handling needed.
+    */
+  def exactDupGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(
+      col(idCol).cast("long").as("id"),
+      TextPipeline.contentSha(col(textCol)).as("content_sha"))
+    val canon = hashed.groupBy(col("content_sha"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(canon, "content_sha")
+      .select(col("id"), col("content_sha"), col("canonical_id"),
+        col("group_size"), (col("id") === col("canonical_id")).as("keep"))
+  }
+
+  // ---------------------------------------------------------------------
+  // N-gram Jaccard (exact set similarity, index-accelerated)
+  // ---------------------------------------------------------------------
+
+  /** (id, shingle) pairs — distinct word n-gram shingles per document. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("id"),
+      explode(TextPipeline.shingleSet(col(textCol), n)).as("shingle"))
+
+  /** All document pairs (a < b) with Jaccard(shingleSet(a), shingleSet(b))
+    * ≥ minJaccard. Plan: inverted index on shingles → self-join per
+    * shingle (generates a candidate row per shared shingle) → groupBy pair
+    * counts the intersection → Jaccard from |A|+|B|−|A∩B|.
+    *
+    * Scale notes: a stop-shingle appearing in f documents contributes
+    * f·(f−1)/2 candidate rows — the classic quadratic blowup. `maxShingleDf`
+    * drops such shingles from pair GENERATION only (standard practice: a
+    * shingle shared by half the corpus carries no discriminative signal);
+    * set sizes still count every shingle, so Jaccard stays exact for pairs
+    * that survive. At 100 TB also pre-filter by near-equal set sizes
+    * (|A|/|B| ≥ minJaccard is a necessary condition), applied below.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.8,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    val pruned = maxShingleDf.fold(idx) { cap =>
+      val hot = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+        .where(col("__df") > cap).select(col("shingle"))
+      idx.join(hot, Seq("shingle"), "left_anti")
+    }
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = pruned.as("l")
+      .join(pruned.as("r"), col("l.shingle") === col("r.shingle") &&
+        col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+      // necessary size-ratio condition: jaccard ≤ min(szA,szB)/max(szA,szB)
+      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
+        greatest(col("sz_a"), col("sz_b")) * minJaccard)
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash + LSH (approximate Jaccard at corpus scale)
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature as an array of `numHashes` hex strings: the h-th
+    * component is min over shingles of md5(h ++ ":" ++ shingle). Min over
+    * an independent keyed hash per component — the classic one-permutation-
+    * per-component MinHash; md5's hex ordering is a total order so `min`
+    * is well-defined and engine-portable.
+    */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val sh = TextPipeline.shingleSet(text, n)
+    array((0 until numHashes).map { h =>
+      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
+    }: _*)
+  }
+
+  /** (id, band, bandKey) — the LSH blocking relation. `numHashes` must be
+    * divisible by `bands`; band key = md5 of its rows' concatenated
+    * minhashes. Two documents collide in a band iff all rows of that band
+    * agree — P[collide] = jaccard^(numHashes/bands) per band.
+    */
+  def lshBands(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = docs.select(
+      col(idCol).cast("long").as("id"),
+      minhashSignature(col(textCol), n, numHashes).as("sig"))
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col("sig").getItem(b * rows + r))
+      struct(lit(b).as("band"), md5(concat(parts: _*)).as("band_key")).as(s"b$b")
+    }
+    sig.select(col("id") +: bandCols: _*)
+      .select(col("id"), explode(array((0 until bands).map(b => col(s"b$b")): _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Near-duplicate pairs by MinHash LSH, verified with exact Jaccard.
+    * Candidates = pairs sharing ≥1 band bucket (distinct'd); the exact
+    * Jaccard verify joins the (small relative to corpus) candidate set
+    * back to the shingle index — false positives die here, so the output
+    * has no approximation in the REPORTED similarity, only in recall.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val bandsDf = lshBands(docs, idCol, textCol, n, numHashes, bands)
+    val cands = bandsDf.as("l")
+      .join(bandsDf.as("r"),
+        col("l.band") === col("r.band") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val idx = shingleIndex(docs, idCol, textCol, n)
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    minhashVerify(cands, idx, sizes, minJaccard)
+  }
+
+  /** Exact-Jaccard verification of a candidate pair relation against the
+    * shingle index. Kept separate so SimHash / embedding blockers can
+    * reuse it.
+    */
+  def minhashVerify(
+      cands: DataFrame, shingleIdx: DataFrame, sizes: DataFrame,
+      minJaccard: Double): DataFrame = {
+    val ia = shingleIdx.select(col("id").as("id_a"), col("shingle"))
+    val ib = shingleIdx.select(col("id").as("id_b"), col("shingle"))
+    val inter = cands.join(ia, "id_a").join(ib, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+    cands
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 32-bit tf-weighted SimHash (Charikar, STOC'02) as a pure Column
+    * expression. Bit j (1-based) of a token's hash = high bit of the j-th
+    * hex digit of md5(token) — i.e. digit ∈ {8..f}. Each token occurrence
+    * votes +1/−1 per bit; bit j of the fingerprint is set iff the vote sum
+    * is ≥ 0. All-integer arithmetic → exact and engine-portable.
+    */
+  def simhash32(text: Column): Column = {
+    val toks = graft.analysis.Analyzer.tokensCol(text)
+    val bits = (1 to 32).map { j =>
+      // hex digits ≥ '8' ('8','9','a'..'f') are exactly those with the
+      // high bit set; the ASCII comparison holds in any engine.
+      val vote = aggregate(toks, lit(0),
+        (acc, t) => acc + when(substring(md5(t), j, 1) >= "8", 1).otherwise(-1))
+      when(vote >= 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("simhash")
+  }
+
+  /** Near-duplicate pairs by SimHash: pigeonhole blocking on the four
+    * 8-bit bytes of the fingerprint (hamming ≤ 3 ⇒ at least one byte is
+    * untouched ⇒ the pair collides in ≥1 of the 4 byte-blocks), then an
+    * exact popcount verify. Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "byte-block pigeonhole covers hamming <= 3")
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+      simhash32(col(textCol)).as("sh"))
+    val blocks = fp.select(col("id"), col("sh"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("blk"),
+          shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("blk_key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.blk_key").as("blk_key"))
+    blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.blk") === col("r.blk") &&
+          col("l.blk_key") === col("r.blk_key") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        bit_count(col("l.sh").bitwiseXOR(col("r.sh"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride through the
+  * pipeline as opaque `binary` columns with typed metadata, exactly like a
+  * production training-data pipeline — schema, partitioning, and the
+  * batched decode seam are real; only the codec itself is stubbed (no
+  * image/audio libraries ship in this sandbox).
+  *
+  * Layout decisions that matter at 100 TB:
+  *   - payloads live in their own column so Parquet column pruning skips
+  *     the heavy bytes for metadata-only queries;
+  *   - decode runs per-PARTITION (mapPartitions) so a real codec would
+  *     amortize library init per task, not per row — the same batch shape
+  *     `Iterator[Row] → Iterator[Row]` that a Python `mapInPandas` decode
+  *     would use;
+  *   - feature vectors come back as `array<float>`, feeding directly into
+  *     [[Similarity]] for embedding dedup / ANN.
+  */
+object Multimodal {
+
+  /** A multimodal asset row. `meta` fields are modality-dependent
+    * (images: width/height/channels; audio: sampleRate/frames).
+    */
+  final case class Asset(
+      assetId: Long,
+      modality: String, // "image" | "audio" | "video"
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      channels: Int,
+      sampleRate: Int)
+
+  final case class DecodedAsset(
+      assetId: Long,
+      modality: String,
+      nBytes: Long,
+      payloadSha: String,
+      features: Array[Float])
+
+  /** Deterministic synthetic assets derived from a documents table —
+    * payload = UTF-8 bytes of the text, metadata derived from its length.
+    * Stands in for `spark.read.format("binaryFile")` / an Iceberg table
+    * with a binary column; schema and sizes behave like the real thing.
+    */
+  def syntheticAssets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("assetId"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col(idCol).cast("long") % 3 + 1).cast("int")).as("modality"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      (col(idCol).cast("long") % 64 + 1).cast("int").as("width"),
+      (col(idCol).cast("long") % 48 + 1).cast("int").as("height"),
+      lit(3).as("channels"),
+      lit(16000).as("sampleRate"))
+
+  /** STUB DECODER — this is where a real implementation would call an
+    * image/audio codec (JavaCV, TwelveMonkeys, librosa via mapInPandas on
+    * the Python side, …). The sandbox ships no media libraries, so the
+    * "decode" is a deterministic fake: an 8-dim feature vector derived
+    * from payload bytes. Everything AROUND the stub — the per-partition
+    * batching, the schema, the Encoder round-trip — is production-shaped
+    * and tested.
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val n = 8
+    val out = new Array[Float](n)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < payload.length) {
+        out(i % n) += (payload(i) & 0xff) / 255.0f
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Batched decode: one `mapPartitions` pass so a real codec would init
+    * once per task. Input must have the [[Asset]] schema.
+    */
+  def decodeAssets(assets: DataFrame): Dataset[DecodedAsset] = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.as[Asset].mapPartitions { it =>
+      // real impl: val codec = Codec.open(); it.map(... codec.decode ...)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+      it.map { a =>
+        digest.reset()
+        val sha = digest.digest(a.payload).map("%02x".format(_)).mkString
+        DecodedAsset(a.assetId, a.modality, a.payload.length.toLong, sha,
+          decodeStub(a.payload))
+      }
+    }
+  }
+
+  /** Metadata-only projection — must prune the payload column at the scan
+    * (verified in the spec via the physical plan's ReadSchema when parquet-
+    * backed).
+    */
+  def assetStats(assets: DataFrame): DataFrame =
+    assets.groupBy(col("modality"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(length(col("payload"))).as("total_bytes"),
+        avg(col("width") * col("height")).as("avg_pixels"))
+}

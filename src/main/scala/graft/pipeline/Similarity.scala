@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), with a brute-force exact baseline and an LSH-bucketed
+  * scale path.
+  *
+  * Numeric discipline: embeddings are cast element-wise to double BEFORE
+  * any arithmetic and all reductions are sequential left-folds
+  * (`aggregate` over the array), so scores are bit-reproducible across
+  * runs and engines — which is what makes these operators oracle-checkable.
+  * No UDFs: `zip_with`/`aggregate` stay inside codegen.
+  */
+object Similarity {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  /** Sequential-sum dot product of two float-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(asDouble(a), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val nn = norm(a) * norm(b)
+    when(nn > 0, d / nn).otherwise(0.0)
+  }
+
+  /** Exact top-k by cosine for each query vector — the brute-force
+    * baseline. `queries` is expected to be small (it is broadcast); the
+    * corpus side streams, so the plan is one broadcast-nested-loop +
+    * a per-query top-k window. At 1000 executors this is a full scan per
+    * query batch — linear, shuffle-free until the final per-query top-k
+    * (tiny: k rows per query per partition after partial ranking).
+    *
+    * Output: (query_id, vec_id, sim, rank), rank 1..k, ties broken by
+    * ascending vec_id.
+    */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      corpusIdCol: String = "vec_id"): DataFrame = {
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+      col(vecCol).as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  // ---------------------------------------------------------------------
+  // LSH (random hyperplane / SRP) bucketing — the scale path
+  // ---------------------------------------------------------------------
+
+  /** Deterministic pseudo-random hyperplane component for (hyperplane h,
+    * dimension d): one LCG step, centered. No RNG objects → identical
+    * plans/results everywhere, and expressible in ANSI SQL for the oracle.
+    */
+  def hyperplaneWeight(h: Int, d: Int): Long =
+    ((1103515245L * (h * 1024L + d) + 12345L) % 65536L) - 32768L
+
+  /** Sign-random-projection bucket id from `nPlanes` hyperplanes (bucket
+    * space = 2^nPlanes). Charikar SRP: bit h = [dot(v, hp_h) ≥ 0].
+    */
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+    val v = asDouble(vec)
+    val bits = (0 until nPlanes).map { h =>
+      val w = array((0 until dim).map(d => lit(hyperplaneWeight(h, d).toDouble)): _*)
+      val proj = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: corpus is pre-bucketed by SRP; each query probes
+    * only its own bucket (single-probe; recall rises with fewer planes or
+    * multiprobe). The bucket join is an equi-join on bucket id — at scale
+    * the corpus side is bucketed/partitioned by `bucket` once and reused
+    * across query batches, so a probe touches 1/2^nPlanes of the data.
+    *
+    * Exactness caveat by construction: this is ANN — results are exact
+    * cosines but recall < 1; the brute-force baseline is the oracle for
+    * recall measurements.
+    */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int, nPlanes: Int = 4,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      corpusIdCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+      col(vecCol).as("__cv"),
+      srpBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"),
+      srpBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ minSim),
+    * blocked by SRP bucket: only within-bucket pairs are scored. With
+    * nPlanes=4 this prunes ~15/16 of the O(n²) pair space while keeping
+    * high recall for near-identical vectors (their projections rarely
+    * straddle a hyperplane).
+    */
+  def cosineNearDupPairs(
+      corpus: DataFrame, dim: Int, minSim: Double, nPlanes: Int = 4,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(corpusIdCol).cast("long").as("id"),
+      col(vecCol).as("__v"),
+      srpBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    c.as("l").join(c.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        round(cosine(col("l.__v"), col("r.__v")), 6).as("sim"))
+      .where(col("sim") >= minSim)
+  }
+}

@@ -1,0 +1,152 @@
+package graft.pipeline
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline, built
+  * on top of the engine's analyzer ([[graft.analysis.Analyzer]], which pins
+  * the reference's tokenization — reference helper.go:10-18).
+  *
+  * Everything here is a pure, codegen'd Column expression over one row —
+  * embarrassingly parallel, no shuffle, no UDF — so throughput scales
+  * linearly with executors and the expressions survive whole-stage codegen
+  * at 100 TB. All constants are deterministic (no RNG) so results are
+  * reproducible and oracle-checkable.
+  */
+object TextPipeline {
+
+  // ---------------------------------------------------------------------
+  // Token counting
+  // ---------------------------------------------------------------------
+
+  /** Whitespace token count — the reference's document-length definition
+    * (reference document.go:47-49).
+    */
+  def wsTokenCount(text: Column): Column = Analyzer.wordCountCol(text)
+
+  /** BPE-ish pre-token count: runs of letters, runs of digits, and single
+    * non-alnum-non-space characters each count as one pre-token — a cheap
+    * proxy for byte-pair-encoding token counts used for corpus budgeting.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  /** Analyzer token count (lowercase alnum runs). */
+  def analyzerTokenCount(text: Column): Column =
+    size(Analyzer.tokensCol(text))
+
+  // ---------------------------------------------------------------------
+  // Quality scoring
+  // ---------------------------------------------------------------------
+
+  /** Small stopword list used by quality scoring and language ID. Order
+    * matters only for documentation; matching is set membership.
+    */
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "of", "to", "and", "is", "in", "that", "it", "as")
+
+  private def tokCount(toks: Column): Column = size(toks)
+
+  /** Fraction of characters that are neither alphanumeric nor whitespace. */
+  def punctRatio(text: Column): Column = {
+    val punct = length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    when(length(text) > 0, punct.cast("double") / length(text).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Fraction of analyzer tokens that are English stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = Analyzer.tokensCol(text)
+    val sw = size(filter(toks, t => t.isin(EnStopwords: _*)))
+    when(tokCount(toks) > 0, sw.cast("double") / tokCount(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Mean analyzer-token length (0.0 for token-free text). */
+  def meanTokenLen(text: Column): Column = {
+    val toks = Analyzer.tokensCol(text)
+    when(tokCount(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        tokCount(toks).cast("double"))
+      .otherwise(0.0)
+  }
+
+  /** Composite heuristic quality score in [0,1]: rewards documents in a
+    * sane length band with low punctuation noise and a natural-language
+    * stopword ratio. Deterministic, monotone components → auditable.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokCount(Analyzer.tokensCol(text)).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0)) * when(nTok > 10000, 0.5).otherwise(1.0)
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 2.0)
+    val swScore = least(lit(1.0), stopwordRatio(text) * 4.0)
+    round((lenScore * 0.4 + punctScore * 0.3 + swScore * 0.3), 6)
+  }
+
+  // ---------------------------------------------------------------------
+  // Language identification (marker-word heuristic)
+  // ---------------------------------------------------------------------
+
+  /** Marker words per language. A real system would use char n-gram
+    * profiles (e.g. CLD); the heuristic keeps the pipeline end-to-end
+    * testable with zero external models while exercising the same plan
+    * shape (per-row scoring → argmax).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "que", "pour"))
+
+  /** Detected language: argmax of marker-word hits; ties resolved by the
+    * declaration order above; zero hits → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = Analyzer.tokensCol(text)
+    val hits = LangMarkers.map { case (lang, words) =>
+      lang -> size(filter(toks, t => t.isin(words: _*)))
+    }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // First language reaching the max wins (deterministic tie-break).
+    val cases = hits.foldLeft(when(best <= 0, "und")) { case (acc, (lang, h)) =>
+      acc.when(h === best, lang)
+    }
+    cases.otherwise("und")
+  }
+
+  // ---------------------------------------------------------------------
+  // Shingling + fingerprinting
+  // ---------------------------------------------------------------------
+
+  /** Word n-gram shingles of the analyzer token stream, space-joined.
+    * Documents with fewer than n tokens yield one shingle = all tokens
+    * joined (so no document fingerprints to empty).
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = Analyzer.tokensCol(text)
+    when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct shingle set (the input to Jaccard / MinHash). */
+  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Content-defined document fingerprint: the minimum md5 over the word
+    * n-gram shingles — the 1-hash special case of winnowing (Schleimer et
+    * al., SIGMOD'03). Two documents sharing their minimal shingle hash are
+    * near-duplicate candidates; the full MinHash generalization lives in
+    * [[Dedup.minhashSignature]]. md5 keeps the fingerprint reproducible
+    * across engines (same value in any md5 implementation).
+    */
+  def fingerprint(text: Column, n: Int = 5): Column =
+    array_min(transform(shingleSet(text, n), s => md5(s)))
+
+  /** Exact-identity content hash (the per-row identity anchor of the north
+    * rule: sha256 of content — BASELINE.json input_hint).
+    */
+  def contentSha(text: Column): Column = sha2(text, 256)
+}

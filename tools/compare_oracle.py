@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run DuckDB on each
+oracle SQL from <outDir>/oracle_sql.json against the sf parquet tables and
+compare (schema-insensitively: columns sorted by name, rows sorted, values
+normalized) with the Spark parquet dumps produced by `graft.Verify`.
+
+Usage: python3 tools/compare_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, math, sys
+import duckdb
+
+def norm_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # driver-style value hash: canonical repr; rounded values survive
+        return repr(round(v, 9))
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(norm_cell(r[i]) for i in order))
+    out.sort()
+    return [c for _, c in sorted(zip(cols, cols))], out
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in ["documents", "embeddings", "lineitem", "orders", "customer",
+              "supplier", "part", "nation", "region", "events"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        try:
+            res = con.execute(oracle[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        try:
+            sres = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            scols = [d[0] for d in sres.description]
+            srows = sres.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: spark result missing: {e}")
+            n_fail += 1
+            continue
+        if sorted(ocols) != sorted(scols):
+            print(f"FAIL {name}: columns differ: oracle={sorted(ocols)} spark={sorted(scols)}")
+            n_fail += 1
+            continue
+        _, oc = canon(orows, ocols)
+        _, sc = canon(srows, scols)
+        if oc == sc:
+            print(f"PASS {name} ({len(oc)} rows)")
+            n_pass += 1
+        else:
+            print(f"FAIL {name}: rows differ (oracle {len(oc)}, spark {len(sc)})")
+            only_o = [r for r in oc if r not in set(sc)][:3]
+            only_s = [r for r in sc if r not in set(oc)][:3]
+            if only_o:
+                print(f"  only-oracle: {only_o}")
+            if only_s:
+                print(f"  only-spark:  {only_s}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
