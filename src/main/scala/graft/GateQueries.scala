@@ -62,6 +62,21 @@ object GateQueries {
   def engine(spark: SparkSession, dir: String): QueryEngine =
     new QueryEngine(bundle(spark, dir))
 
+  /** Compressed block index ([[graft.index.BlockIndex]]) built once per
+    * corpus directory under java.io.tmpdir; queries against it exercise
+    * the full physical path (varbyte blocks, sharded parquet, WAND).
+    */
+  private val blockDirs = scala.collection.mutable.Map.empty[String, String]
+  def blockIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    blockDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-blockidx").toString
+      graft.index.BlockIndex.build(docsAsModel(spark, dir), d,
+        graft.index.BlockIndex.Layout(blockSpan = 256, nShards = 8))
+      d
+    })
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL shared CTE fragments
   // ------------------------------------------------------------------
@@ -658,9 +673,39 @@ object GateQueries {
              |FROM a GROUP BY modality ORDER BY modality""".stripMargin))
   )
 
+  /** Entries exercising the persistent block index (appended after the
+    * logical-plan entries; same oracle SQL as their logical twins since
+    * the physical layout must not change any result).
+    */
+  val blockEntries: Seq[Gate] = Seq(
+
+    // decode(varbyte blocks) == logical postings ⋈ doc lengths
+    Gate("q30_block_postings",
+      (s, d) => graft.index.BlockIndex.decodePostings(
+        graft.index.BlockIndex.readBlocks(s, blockIndexDir(s, d)))
+        .select(col("term"), col("docId").as("doc_id"),
+          col("tf").cast("long").as("tf"), col("dl").cast("long").as("dl"))
+        .orderBy(col("term"), col("doc_id")),
+      Some(s"""WITH $ToksCte, $PostingsCte, $DlCte
+              |SELECT p.term, p.doc_id, p.tf, d.len AS dl
+              |FROM postings p JOIN dl d ON p.doc_id = d.doc_id
+              |ORDER BY p.term, p.doc_id""".stripMargin)),
+
+    // block-max WAND top-k == the naive BM25 oracle (pruning is exact)
+    Gate("q31_wand_bm25_topk",
+      // over-fetch (k=30) then re-rank on the rounded score so the
+      // 20/21 boundary is decided exactly like the oracle's ORDER BY
+      (s, d) => graft.index.BlockIndex
+        .bm25TopK(s, blockIndexDir(s, d), ScoredQ, 30)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      entries.find(_.name == "q09_bm25_topk").get.oracle)
+  )
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    entries.map(g => g.name -> g.run).toMap
+    (entries ++ blockEntries).map(g => g.name -> g.run).toMap
 
   def oracleSql: Map[String, String] =
-    entries.flatMap(g => g.oracle.map(g.name -> _)).toMap
+    (entries ++ blockEntries).flatMap(g => g.oracle.map(g.name -> _)).toMap
 }

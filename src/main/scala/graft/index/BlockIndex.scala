@@ -1,0 +1,304 @@
+package graft.index
+
+import graft.CorpusStats
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import scala.collection.mutable.ArrayBuffer
+
+/** The persistent, compressed, block-structured inverted index — the
+  * 100 TB-scale physical counterpart of the in-memory [[IndexBundle]].
+  *
+  * Layout (`dir/`):
+  *   - `shard=S/…parquet` — [[graft.PostingBlock]] rows, hash-sharded by
+  *     term (`pmod(xxhash64(term), nShards)`); Spark partition pruning
+  *     means a query for terms t₁..tₙ touches only their shards, and the
+  *     `term` filter is pushed to parquet row groups.
+  *   - `_manifest.jsonl` — one line per completed shard with row/term/
+  *     block counts and wall time: the checkpoint + lineage record. A
+  *     killed build resumes by skipping shards already in the manifest
+  *     (each shard write is idempotent: overwrite of its own directory).
+  *   - `_stats.json` — corpus stats (nDocs, vocabSize incl. the
+  *     reference's N=vocabulary IDF quirk, totalLen) + layout params.
+  *
+  * Salting / skew: the aggregation key is `(term, blockId)` where
+  * `blockId = docId / blockSpan` on a GLOBAL docId grid. A Zipfian head
+  * term with df = 10⁹ becomes ~df/span bounded-size rows instead of one
+  * giant reducer key — this IS the explicit head-term salting the north
+  * rule asks for, and because every term shares the same grid, block-level
+  * score upper bounds can be summed across terms for WAND.
+  *
+  * Postings inside a block are delta + varbyte compressed ([[VarByte]]),
+  * with doc length denormalized in, so BM25 scoring decodes sequential
+  * bytes and needs no docLens join.
+  */
+object BlockIndex {
+
+  val ManifestName = "_manifest.jsonl"
+  val StatsName = "_stats.json"
+
+  final case class Layout(blockSpan: Int, nShards: Int)
+  final case class ShardEntry(shard: Int, rows: Long, terms: Long, blocks: Long, wallMs: Long)
+
+  // ------------------------------------------------------------------
+  // Codecs as UDFs (narrow, per-group; the only non-Column code on the
+  // build path — encoding variable-length bytes needs real byte buffers)
+  // ------------------------------------------------------------------
+
+  private val encodeUdf = udf { rows: Seq[Row] =>
+    VarByte.encode(rows.map(r => VarByte.P(r.getLong(0), r.getInt(1), r.getInt(2))))
+  }
+
+  private val decodeUdf = udf { bytes: Array[Byte] =>
+    VarByte.decode(bytes).map(p => (p.docId, p.tf, p.dl))
+  }
+
+  // ------------------------------------------------------------------
+  // Build (checkpointed, resumable)
+  // ------------------------------------------------------------------
+
+  /** The logical → physical block transformation. Two shuffles: the tf
+    * aggregation and the docId-keyed doc-length join; the (term, blockId)
+    * block aggregation reuses the tf shuffle's partitioning where AQE
+    * allows. Returns a DataFrame of PostingBlock rows + shard column.
+    */
+  def blocksOf(docs: DataFrame, layout: Layout): DataFrame = {
+    val postings = IndexBuilder.tokenStream(docs)
+      .groupBy(col("term"), col("docId"))
+      .agg(count(lit(1)).cast("int").as("tf"))
+    val docLens = docs.select(col("docId"),
+      Analyzer.wordCountCol(col("body")).cast("int").as("dl"))
+    postings
+      .join(docLens, "docId")
+      .withColumn("blockId", floor(col("docId") / layout.blockSpan).cast("long"))
+      .withColumn("shard", pmod(xxhash64(col("term")), lit(layout.nShards)).cast("int"))
+      .groupBy(col("shard"), col("term"), col("blockId"))
+      .agg(
+        min(col("docId")).as("minDoc"),
+        max(col("docId")).as("maxDoc"),
+        count(lit(1)).cast("int").as("n"),
+        max(col("tf")).as("maxTf"),
+        min(col("tf")).as("minTf"),
+        min(col("dl")).as("minDl"),
+        max(col("dl")).as("maxDl"),
+        encodeUdf(sort_array(collect_list(struct(col("docId"), col("tf"), col("dl")))))
+          .as("bytes"))
+  }
+
+  /** Build the index at `dir`. Resumable: shards already recorded in
+    * `_manifest.jsonl` are skipped; each shard writes to its own
+    * directory with overwrite (idempotent), and its manifest line is
+    * appended only after the write commits — kill at any point and re-run
+    * to finish exactly the missing shards. `limitShards` exists for the
+    * kill/resume tests (process only the first N pending shards).
+    */
+  def build(
+      docs: DataFrame,
+      dir: String,
+      layout: Layout = Layout(blockSpan = 4096, nShards = 16),
+      limitShards: Option[Int] = None): Seq[ShardEntry] = {
+    val spark = docs.sparkSession
+    Files.createDirectories(Paths.get(dir))
+    val done = readManifest(dir).map(_.shard).toSet
+    val pending0 = (0 until layout.nShards).filterNot(done)
+    val pending = limitShards.fold(pending0)(pending0.take)
+    if (pending.isEmpty) return readManifest(dir)
+
+    val blocks = blocksOf(docs, layout)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val entries = ArrayBuffer.empty[ShardEntry]
+      pending.foreach { s =>
+        val t0 = System.nanoTime()
+        val shardDf = blocks.where(col("shard") === s).drop("shard")
+        shardDf.write.mode("overwrite").parquet(s"$dir/shard=$s")
+        val Row(rows: Long, terms: Long, nBlocks: Long) = shardDf
+          .agg(coalesce(sum(col("n").cast("long")), lit(0L)),
+            coalesce(countDistinct(col("term")), lit(0L)),
+            count(lit(1))).head()
+        val e = ShardEntry(s, rows, terms, nBlocks, (System.nanoTime() - t0) / 1000000)
+        appendManifest(dir, e)
+        entries += e
+      }
+      // corpus stats last — their presence marks the index complete
+      if (readManifest(dir).size == layout.nShards) {
+        val Row(nDocs: Long, totalLen: Long) = docs
+          .agg(count(lit(1)),
+            coalesce(sum(Analyzer.wordCountCol(col("body")).cast("long")), lit(0L)))
+          .head()
+        val vocab = readManifest(dir).map(_.terms).sum // terms are hash-disjoint across shards
+        writeStats(dir, CorpusStats(nDocs, vocab, totalLen), layout)
+      }
+      readManifest(dir)
+    } finally blocks.unpersist()
+  }
+
+  // ------------------------------------------------------------------
+  // Manifest / stats (tiny driver-side JSON; no library dependency)
+  // ------------------------------------------------------------------
+
+  private def appendManifest(dir: String, e: ShardEntry): Unit = {
+    val line = s"""{"shard":${e.shard},"rows":${e.rows},"terms":${e.terms},"blocks":${e.blocks},"wallMs":${e.wallMs}}\n"""
+    Files.write(Paths.get(dir, ManifestName), line.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  def readManifest(dir: String): Seq[ShardEntry] = {
+    val p = Paths.get(dir, ManifestName)
+    if (!Files.exists(p)) return Seq.empty
+    val re = """"(\w+)":(\d+)""".r
+    Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { l =>
+      val kv = re.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toLong).toMap
+      ShardEntry(kv("shard").toInt, kv("rows"), kv("terms"), kv("blocks"), kv("wallMs"))
+    }
+  }
+
+  private def writeStats(dir: String, stats: CorpusStats, layout: Layout): Unit = {
+    val json =
+      s"""{"nDocs":${stats.nDocs},"vocabSize":${stats.vocabSize},"totalLen":${stats.totalLen},"blockSpan":${layout.blockSpan},"nShards":${layout.nShards}}"""
+    val tmp = Paths.get(dir, StatsName + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, StatsName), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def readStats(dir: String): (CorpusStats, Layout) = {
+    val s = new String(Files.readAllBytes(Paths.get(dir, StatsName)), StandardCharsets.UTF_8)
+    val re = """"(\w+)":(\d+)""".r
+    val kv = re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toMap
+    (CorpusStats(kv("nDocs"), kv("vocabSize"), kv("totalLen")),
+      Layout(kv("blockSpan").toInt, kv("nShards").toInt))
+  }
+
+  /** All block rows (partition column `shard` recovered from the path). */
+  def readBlocks(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("basePath", dir).parquet(
+      (0 until readStats(dir)._2.nShards).map(s => s"$dir/shard=$s"): _*)
+
+  /** Decode a filtered block relation back to (term, docId, tf, dl). */
+  def decodePostings(blocks: DataFrame): DataFrame =
+    blocks.select(col("term"), explode(decodeUdf(col("bytes"))).as("p"))
+      .select(col("term"), col("p._1").as("docId"), col("p._2").as("tf"),
+        col("p._3").as("dl"))
+
+  // ------------------------------------------------------------------
+  // BM25 top-k with block-max WAND pruning
+  // ------------------------------------------------------------------
+
+  /** Exact BM25 top-k over the block index with two-phase block-max
+    * pruning (Ding & Suel's block-max WAND adapted to a batch engine):
+    *
+    *   1. driver reads only the BLOCK METADATA of the query's terms
+    *      (columns term/blockId/n/maxTf/minDl — parquet never touches the
+    *      posting bytes) and computes a per-block score upper bound
+    *      UB(block) = Σ_terms qcnt·idf·(k1+1)·maxTf / (k1·(1−b+b·minDl/avgdl)+maxTf)
+    *      — monotone ↑ in tf, ↓ in dl, so it dominates every doc in the block;
+    *   2. phase 1 scores the highest-UB blocks covering ≥ k docs → the
+    *      k-th score θ there is a LOWER bound of the true k-th score;
+    *   3. every block with UB < θ is pruned (no doc in it can reach the
+    *      top k); the survivors are scored exactly and the global top-k
+    *      returned. Result is EXACT — pruning, not approximation.
+    *
+    * Scale: the per-query driver state is |query terms| · df/blockSpan
+    * metadata rows; decode + scoring touch only surviving blocks, and all
+    * blocks of one blockId land in the same aggregation key range.
+    *
+    * IDF uses the reference's N = vocabulary size quirk
+    * (reference index_inverted.go:128-135), so ranks match the reference
+    * and the naive [[graft.query.QueryEngine.bm25Query]] exactly.
+    */
+  def bm25TopK(
+      spark: SparkSession, dir: String, query: String, k: Int,
+      k1: Double = 0.9, b: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    val (stats, layout) = readStats(dir)
+    val toks = Analyzer.tokenize(query)
+    val emptyOut = Seq.empty[(Long, Double)].toDF("docId", "score")
+    if (toks.isEmpty) return emptyOut
+    val qcnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val terms = qcnt.keys.toSeq
+
+    // shard of each term (same xxhash64 the build used), one tiny local job
+    val shards = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(layout.nShards)).cast("int"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+
+    val termBlocks = spark.read.option("basePath", dir)
+      .parquet(shards.map(s => s"$dir/shard=$s"): _*)
+      .where(col("term").isin(terms: _*))
+
+    // ---- driver-side metadata (bytes column never read) ----
+    final case class M(term: String, blockId: Long, n: Int,
+        maxTf: Int, minTf: Int, minDl: Int, maxDl: Int)
+    val meta = termBlocks
+      .select("term", "blockId", "n", "maxTf", "minTf", "minDl", "maxDl").collect()
+      .map(r => M(r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getInt(5), r.getInt(6)))
+    if (meta.isEmpty) return emptyOut
+
+    val df = meta.groupBy(_.term).view.mapValues(_.map(_.n.toLong).sum).toMap
+    def idf(t: String): Double =
+      if (stats.vocabSize == 0 || df.getOrElse(t, 0L) == 0L) 0.0
+      else math.log10(stats.vocabSize.toDouble / df(t).toDouble)
+    val avgdl = stats.avgdl
+    // tf-saturation factor: positive, ↑ in tf, ↓ in dl
+    def sat(tf: Int, dl: Int): Double =
+      (k1 + 1) * tf / (k1 * ((1 - b) + b * dl / avgdl) + tf)
+    /** Max contribution of `t` over docs in this block. The reference's
+      * vocabulary-size IDF (N = #terms) goes NEGATIVE when df > vocab —
+      * common on small-vocab corpora — so the extremal (tf, dl) corner
+      * flips with the sign of idf.
+      */
+    def partialUb(m: M): Double = {
+      val i = qcnt(m.term) * idf(m.term)
+      if (i >= 0) i * sat(m.maxTf, m.minDl) else i * sat(m.minTf, m.maxDl)
+    }
+
+    // Per-block UB over docs: a doc absent from a term contributes 0, so
+    // positive per-term bounds add up; if every term's bound is negative
+    // the best doc still matches ≥1 term (blocks hold only matching docs)
+    // and the max single negative bound dominates.
+    val blockUb: Map[Long, Double] = meta
+      .groupBy(_.blockId).view
+      .mapValues { ms =>
+        val ubs = ms.map(partialUb)
+        val pos = ubs.filter(_ > 0).sum
+        if (ubs.exists(_ >= 0)) pos else ubs.max
+      }
+      .toMap
+    val blockDocs: Map[Long, Int] = meta.groupBy(_.blockId).view
+      .mapValues(_.map(_.n).max).toMap // ≥ distinct docs per block / term
+
+    val idfDf = broadcast(terms.map(t => (t, idf(t), qcnt(t))).toDF("term", "idf", "qcnt"))
+    def scoreBlocks(blockIds: Seq[Long]): DataFrame = {
+      val sel = if (blockIds.size == blockUb.size) termBlocks
+        else termBlocks.where(col("blockId").isin(blockIds: _*))
+      decodePostings(sel)
+        .join(idfDf, "term")
+        .groupBy(col("docId"))
+        .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
+          (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)) + col("tf")))
+          .as("score"))
+    }
+
+    val ranked = blockUb.toSeq.sortBy { case (id, ub) => (-ub, id) }
+    // phase 1: enough highest-UB blocks to guarantee ≥ k docs (2× slack)
+    var cum = 0L
+    val phase1 = ranked.takeWhile { case (id, _) =>
+      val take = cum < 2L * k; cum += blockDocs(id); take
+    }.map(_._1)
+    val theta: Double =
+      if (phase1.size == ranked.size) Double.NegativeInfinity
+      else {
+        val top = scoreBlocks(phase1)
+          .orderBy(col("score").desc, col("docId").asc).limit(k).collect()
+        if (top.length < k) Double.NegativeInfinity else top.last.getDouble(1)
+      }
+    val keep = ranked.filter { case (id, ub) => ub >= theta || phase1.contains(id) }.map(_._1)
+    scoreBlocks(keep)
+      .orderBy(col("score").desc, col("docId").asc)
+      .limit(k)
+  }
+}

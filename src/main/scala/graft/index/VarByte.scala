@@ -1,0 +1,87 @@
+package graft.index
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Delta + variable-byte codec for posting blocks.
+  *
+  * Classic VByte (7 data bits per byte, high bit = continuation) over the
+  * posting triple stream `(docIdGap, tf, dl)`:
+  *   - the first posting stores its docId absolute, later ones the gap to
+  *     the previous docId; postings are strictly increasing by docId so
+  *     gaps ≥ 1 (first gap stored as-is, may be large);
+  *   - tf ≥ 1 and dl ≥ 0 are stored raw (no delta);
+  *   - doc length is denormalized into the block so BM25 needs no join
+  *     against a docLens table at query time.
+  *
+  * This is the reference engine's `map[term][]docID` + parallel tf map
+  * (reference index_inverted.go:9-16) re-laid-out for scale: ~1-2 bytes
+  * per posting instead of 16, decoded sequentially (cache-friendly) and
+  * block-aligned for WAND skipping.
+  */
+object VarByte {
+
+  /** Append one non-negative long as VByte. */
+  def writeLong(out: ArrayBuffer[Byte], value: Long): Unit = {
+    require(value >= 0, s"vbyte value must be >= 0, got $value")
+    var v = value
+    while (v >= 0x80L) {
+      out += ((v & 0x7fL) | 0x80L).toByte
+      v >>>= 7
+    }
+    out += v.toByte
+  }
+
+  final class Reader(bytes: Array[Byte]) {
+    private var pos = 0
+    def hasNext: Boolean = pos < bytes.length
+    def readLong(): Long = {
+      var shift = 0
+      var v = 0L
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff
+        pos += 1
+        v |= (b & 0x7fL) << shift
+        shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+  }
+
+  /** One decoded posting. */
+  final case class P(docId: Long, tf: Int, dl: Int)
+
+  /** Encode postings (MUST be strictly increasing by docId). */
+  def encode(postings: Iterable[P]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](postings.size * 4)
+    var prev = 0L
+    var first = true
+    postings.foreach { p =>
+      require(first || p.docId > prev,
+        s"postings must be strictly increasing: ${p.docId} after $prev")
+      writeLong(out, if (first) p.docId else p.docId - prev)
+      writeLong(out, p.tf.toLong)
+      writeLong(out, p.dl.toLong)
+      prev = p.docId
+      first = false
+    }
+    out.toArray
+  }
+
+  def decode(bytes: Array[Byte]): IndexedSeq[P] = {
+    val r = new Reader(bytes)
+    val out = ArrayBuffer.empty[P]
+    var prev = 0L
+    var first = true
+    while (r.hasNext) {
+      val gap = r.readLong()
+      val tf = r.readLong().toInt
+      val dl = r.readLong().toInt
+      val docId = if (first) gap else prev + gap
+      out += P(docId, tf, dl)
+      prev = docId
+      first = false
+    }
+    out.toIndexedSeq
+  }
+}

@@ -69,7 +69,9 @@ final case class PostingBlock(
     maxDoc: Long,
     n: Int,
     maxTf: Int,
+    minTf: Int,
     minDl: Int,
+    maxDl: Int,
     bytes: Array[Byte])
 
 /** Global corpus statistics needed by the scorers; cheap to collect and

@@ -1,0 +1,150 @@
+package graft
+
+import graft.index.{BlockIndex, IndexBuilder, VarByte}
+import graft.query.QueryEngine
+import graft.sources.CorpusSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.{Files, Path}
+
+/** The physical block index: varbyte codec roundtrip (seeded property
+  * sweep), decode ≡ logical postings, salting invariants, kill/resume ≡
+  * cold build, and block-max WAND top-k ≡ naive BM25.
+  */
+class BlockIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private def tmpDir(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  // ------------------------------------------------------------------
+  // VarByte codec
+  // ------------------------------------------------------------------
+
+  private def randomPostings(rnd: scala.util.Random): List[VarByte.P] = {
+    val n = rnd.nextInt(201)
+    var id = rnd.nextLong(1000000000L)
+    List.fill(n) {
+      id += 1 + rnd.nextLong(1000000L)
+      VarByte.P(id, 1 + rnd.nextInt(10000), rnd.nextInt(1000000))
+    }
+  }
+
+  test("varbyte roundtrip (seeded property sweep, 300 cases)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 300).foreach { i =>
+      val ps = randomPostings(rnd)
+      assert(VarByte.decode(VarByte.encode(ps)) == ps.toIndexedSeq, s"case $i")
+    }
+    // edges: empty, single, large values
+    assert(VarByte.decode(VarByte.encode(Nil)) == IndexedSeq.empty)
+    val big = VarByte.P(Long.MaxValue / 2, Int.MaxValue, Int.MaxValue)
+    assert(VarByte.decode(VarByte.encode(Seq(big))) == IndexedSeq(big))
+  }
+
+  test("varbyte rejects non-increasing docIds") {
+    intercept[IllegalArgumentException] {
+      VarByte.encode(Seq(VarByte.P(5, 1, 1), VarByte.P(5, 1, 1)))
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Block index on the sf0.001 documents corpus
+  // ------------------------------------------------------------------
+
+  private lazy val docs = GateQueries.docsAsModel(spark, "/root/testdata/sf0.001")
+  private val layout = BlockIndex.Layout(blockSpan = 64, nShards = 8)
+
+  private lazy val coldDir: String = {
+    val d = tmpDir("blockidx-cold").toString
+    BlockIndex.build(docs, d, layout)
+    d
+  }
+
+  test("decoded block postings == logical postings (with dl)") {
+    val logical = IndexBuilder.build(docs, persist = false)
+    val expected = logical.postings
+      .join(logical.docLens, "docId")
+      .select(col("term"), col("docId"), col("tf"), col("len").cast("int").as("dl"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    val actual = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, coldDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(actual == expected)
+    logical.unpersist()
+  }
+
+  test("salting invariant: every block row bounded by blockSpan and doc-range grid") {
+    val bad = BlockIndex.readBlocks(spark, coldDir)
+      .where(col("n") > layout.blockSpan ||
+        floor(col("minDoc") / layout.blockSpan) =!= col("blockId") ||
+        floor(col("maxDoc") / layout.blockSpan) =!= col("blockId") ||
+        col("minDoc") > col("maxDoc"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("manifest records every shard with consistent totals") {
+    val m = BlockIndex.readManifest(coldDir)
+    assert(m.map(_.shard).sorted == (0 until layout.nShards))
+    val totalRows = m.map(_.rows).sum
+    val logicalRows = IndexBuilder.tokenStream(docs)
+      .select(col("term"), col("docId")).distinct().count()
+    assert(totalRows == logicalRows)
+    val (stats, _) = BlockIndex.readStats(coldDir)
+    assert(stats.nDocs == 500)
+    assert(stats.vocabSize == m.map(_.terms).sum)
+  }
+
+  test("kill/resume == cold build") {
+    val d = tmpDir("blockidx-resume").toString
+    // simulate a kill after 3 shards
+    BlockIndex.build(docs, d, layout, limitShards = Some(3))
+    assert(BlockIndex.readManifest(d).size == 3)
+    assert(!Files.exists(java.nio.file.Paths.get(d, BlockIndex.StatsName)))
+    // resume completes only the missing shards
+    val m = BlockIndex.build(docs, d, layout)
+    assert(m.size == layout.nShards)
+    val cold = BlockIndex.readBlocks(spark, coldDir)
+      .select("term", "blockId", "minDoc", "maxDoc", "n", "maxTf", "minDl", "bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getAs[Array[Byte]](7).toSeq)).toSet
+    val resumed = BlockIndex.readBlocks(spark, d)
+      .select("term", "blockId", "minDoc", "maxDoc", "n", "maxTf", "minDl", "bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6),
+        r.getAs[Array[Byte]](7).toSeq)).toSet
+    assert(resumed == cold)
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir))
+  }
+
+  test("block-max WAND top-k == naive BM25 (rank + score)") {
+    val engine = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    val queries = Seq(
+      "spark join fast window",
+      "table",
+      "spark spark join", // duplicate tokens double-score
+      "customer query stream batch vector",
+      "nosuchterm spark")
+    for (q <- queries; k <- Seq(1, 5, 20)) {
+      val naive = engine.bm25Query(q, Some(k)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val wand = BlockIndex.bm25TopK(spark, coldDir, q, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(wand.map(_._1).toSeq == naive.map(_._1).toSeq, s"rank mismatch q='$q' k=$k")
+      wand.zip(naive).foreach { case ((_, ws), (_, ns)) =>
+        assert(math.abs(ws - ns) < 1e-9, s"score mismatch q='$q' k=$k")
+      }
+    }
+    engine.index.unpersist()
+  }
+
+  test("WAND on empty/unknown query") {
+    assert(BlockIndex.bm25TopK(spark, coldDir, "", 5).count() == 0)
+    assert(BlockIndex.bm25TopK(spark, coldDir, "zzzznope", 5).count() == 0)
+  }
+}
