@@ -1,24 +1,107 @@
 package graft
+
+import graft.index.{BlockIndex, IndexBuilder}
+import graft.pipeline.{Dedup, Similarity}
+import graft.query.QueryEngine
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Benchmark main. Prints ONE JSON line:
+  * `{"metric":"total","value":…,"unit":"sec","queries":{…},"sf":…, …}`
+  * with extra keys for the north-rule metrics: `index_docs_per_sec`
+  * (block-index build throughput incl. the sharded checkpointed write),
+  * `n_docs`, `cpus`, and hardware facts.
+  *
+  * Scaling-efficiency evidence (BASELINE.md): run this twice on the SAME
+  * input with `SPARK_GRAFT_CPUS=8` and `=32`; efficiency =
+  * (docs/sec @32) / (4 × docs/sec @8). Results are recorded in BENCH.md.
+  */
 object Bench {
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val docs = GateQueries.docsAsModel(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count() // also materializes the cache
+
+    // ---- north-rule metric: block-index build throughput (docs/sec) ----
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-idx").toString
+    val (_, buildSec) = time {
+      BlockIndex.build(docs, idxDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8))
+    }
+    val docsPerSec = nDocs / buildSec
+
+    // logical in-memory index for the naive query paths
+    val (bundle, logicalSec) = time {
+      val b = IndexBuilder.build(docs)
+      b.postings.count(); b.docLens.count(); b.kgramIndex.count() // materialize caches
+      b
+    }
+    val engine = new QueryEngine(bundle)
+
+    val documents = GateQueries.documents(spark, sfDir)
+    val embeddings = GateQueries.embeddings(spark, sfDir)
+
+    val benches: Seq[(String, () => Long)] = Seq(
+      "bm25_wand_top10" ->
+        (() => BlockIndex.bm25TopK(spark, idxDir, GateQueries.ScoredQ, 10).count()),
+      "bm25_naive_top10" ->
+        (() => engine.bm25Query(GateQueries.ScoredQ, Some(10)).count()),
+      "tfidf_top10" ->
+        (() => engine.vectorSpaceQuery(GateQueries.ScoredQ).limit(10).count()),
+      "terms_query" -> (() => engine.termsQuery(GateQueries.TermsQ).count()),
+      "boolean_query" -> (() => engine.booleanQuery(GateQueries.BoolQ).count()),
+      "fuzzy_query" -> (() => engine.fuzzyQuery(GateQueries.FuzzyQ).count()),
+      "wildcard_query" -> (() => engine.wildcardQuery(GateQueries.WildQ).count()),
+      "dedup_exact" ->
+        (() => Dedup.exactDupGroups(documents, "doc_id", "text").count()),
+      "dedup_minhash_bands" ->
+        (() => Dedup.lshBands(documents, "doc_id", "text", 3, 8, 4).count()),
+      "dedup_simhash" ->
+        (() => documents.select(Dedup.simhash32(col("text"))).count()),
+      "dedup_ngram_jaccard" ->
+        (() => Dedup.ngramJaccardPairs(documents, "doc_id", "text",
+          n = 3, minJaccard = 0.03).count()),
+      "ann_brute_top10" -> (() => Similarity.bruteForceTopK(
+        embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        embeddings, 10).count()),
+      "ann_lsh_top10" -> (() => Similarity.lshTopK(
+        embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        embeddings, 10, dim = 64, nPlanes = 4).count()))
+
+    val results: Seq[(String, Double)] =
+      ("block_index_build" -> buildSec) +:
+      ("logical_index_build" -> logicalSec) +:
+      benches.map { case (name, f) =>
+        val sec = try time(f()) ._2 catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        }
+        name -> sec
+      }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val hw = s"${Runtime.getRuntime.availableProcessors}cores/" +
+      s"${Runtime.getRuntime.maxMemory() / (1L << 30)}g-heap/" +
+      s"jdk${System.getProperty("java.version")}/spark${spark.version}"
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec":${f"$docsPerSec%.1f"},"n_docs":$nDocs,"cpus":$cpus,"hardware":"$hw"}""")
     spark.stop()
   }
 }

@@ -6,7 +6,6 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import scala.collection.mutable.ArrayBuffer
 
 /** The persistent, compressed, block-structured inverted index — the
   * 100 TB-scale physical counterpart of the in-memory [[IndexBundle]].
@@ -64,7 +63,8 @@ object BlockIndex {
     * block aggregation reuses the tf shuffle's partitioning where AQE
     * allows. Returns a DataFrame of PostingBlock rows + shard column.
     */
-  def blocksOf(docs: DataFrame, layout: Layout): DataFrame = {
+  def blocksOf(docs0: DataFrame, layout: Layout): DataFrame = {
+    val docs = IndexBuilder.ensureParallelism(docs0)
     val postings = IndexBuilder.tokenStream(docs)
       .groupBy(col("term"), col("docId"))
       .agg(count(lit(1)).cast("int").as("tf"))
@@ -88,17 +88,22 @@ object BlockIndex {
   }
 
   /** Build the index at `dir`. Resumable: shards already recorded in
-    * `_manifest.jsonl` are skipped; each shard writes to its own
-    * directory with overwrite (idempotent), and its manifest line is
-    * appended only after the write commits — kill at any point and re-run
-    * to finish exactly the missing shards. `limitShards` exists for the
-    * kill/resume tests (process only the first N pending shards).
+    * `_manifest.jsonl` are skipped. Pending shards are written in GROUPS
+    * of `shardGroupSize`: each group is ONE `partitionBy("shard")` job
+    * (all cores write concurrently — a per-shard job loop would serialize
+    * nShards × job overhead and wreck scaling efficiency), with dynamic
+    * partition overwrite so a re-run only replaces the shards it touches.
+    * Manifest lines append after the group's job commits — kill at any
+    * point and re-run to finish exactly the missing shards; the group is
+    * the checkpoint quantum, the shard the pruning/lineage quantum.
+    * `limitShards` exists for the kill/resume tests.
     */
   def build(
       docs: DataFrame,
       dir: String,
       layout: Layout = Layout(blockSpan = 4096, nShards = 16),
-      limitShards: Option[Int] = None): Seq[ShardEntry] = {
+      limitShards: Option[Int] = None,
+      shardGroupSize: Int = 8): Seq[ShardEntry] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(dir))
     val done = readManifest(dir).map(_.shard).toSet
@@ -109,18 +114,25 @@ object BlockIndex {
     val blocks = blocksOf(docs, layout)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val entries = ArrayBuffer.empty[ShardEntry]
-      pending.foreach { s =>
+      // one metrics pass for ALL pending shards (vs one agg job per shard)
+      val metrics = blocks.groupBy(col("shard"))
+        .agg(sum(col("n").cast("long")).as("rows"),
+          countDistinct(col("term")).as("terms"),
+          count(lit(1)).as("blocks"))
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      pending.grouped(shardGroupSize).foreach { group =>
         val t0 = System.nanoTime()
-        val shardDf = blocks.where(col("shard") === s).drop("shard")
-        shardDf.write.mode("overwrite").parquet(s"$dir/shard=$s")
-        val Row(rows: Long, terms: Long, nBlocks: Long) = shardDf
-          .agg(coalesce(sum(col("n").cast("long")), lit(0L)),
-            coalesce(countDistinct(col("term")), lit(0L)),
-            count(lit(1))).head()
-        val e = ShardEntry(s, rows, terms, nBlocks, (System.nanoTime() - t0) / 1000000)
-        appendManifest(dir, e)
-        entries += e
+        blocks.where(col("shard").isin(group: _*))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard")
+          .parquet(dir)
+        val wallMs = (System.nanoTime() - t0) / 1000000
+        group.foreach { s =>
+          val (rows, terms, nBlocks) = metrics.getOrElse(s, (0L, 0L, 0L))
+          appendManifest(dir, ShardEntry(s, rows, terms, nBlocks, wallMs))
+        }
       }
       // corpus stats last — their presence marks the index complete
       if (readManifest(dir).size == layout.nShards) {

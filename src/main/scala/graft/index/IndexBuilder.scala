@@ -64,7 +64,18 @@ object IndexBuilder {
     * one (much smaller, term-keyed) for the term stats, one narrow-ish
     * distinct for the k-gram index over the vocabulary (vocab ≪ corpus).
     */
-  def build(docs: DataFrame, k: Int = 3, persist: Boolean = true): IndexBundle = {
+  /** Raise scan parallelism for under-partitioned sources (small/few
+    * files collapse into a handful of input splits and the tokenize stage
+    * runs almost serially; a real large table has plenty of splits and
+    * skips this). Costs one plan materialization, no job.
+    */
+  private[index] def ensureParallelism(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
+  def build(docs0: DataFrame, k: Int = 3, persist: Boolean = true): IndexBundle = {
+    val docs = ensureParallelism(docs0)
     val lvl = StorageLevel.MEMORY_AND_DISK
     def maybePersist(df: DataFrame): DataFrame =
       if (persist) df.persist(lvl) else df

@@ -53,17 +53,28 @@ object Dedup {
       explode(TextPipeline.shingleSet(col(textCol), n)).as("shingle"))
 
   /** All document pairs (a < b) with Jaccard(shingleSet(a), shingleSet(b))
-    * ≥ minJaccard. Plan: inverted index on shingles → self-join per
-    * shingle (generates a candidate row per shared shingle) → groupBy pair
-    * counts the intersection → Jaccard from |A|+|B|−|A∩B|.
+    * ≥ minJaccard — EXACT, with AllPairs-style prefix filtering (Bayardo
+    * et al., WWW'07) for candidate generation:
     *
-    * Scale notes: a stop-shingle appearing in f documents contributes
-    * f·(f−1)/2 candidate rows — the classic quadratic blowup. `maxShingleDf`
-    * drops such shingles from pair GENERATION only (standard practice: a
-    * shingle shared by half the corpus carries no discriminative signal);
-    * set sizes still count every shingle, so Jaccard stays exact for pairs
-    * that survive. At 100 TB also pre-filter by near-equal set sizes
-    * (|A|/|B| ≥ minJaccard is a necessary condition), applied below.
+    *   1. order each document's shingles by ascending global frequency
+    *      (rarest first — ties broken by shingle text for determinism);
+    *   2. a pair with Jaccard ≥ θ has overlap ≥ ⌈θ·max(|A|,|B|)⌉, so the
+    *      first `|d| − ⌈θ·|d|⌉ + 1` shingles of each doc (its PREFIX)
+    *      must collide for any qualifying pair → candidates come from a
+    *      self-join on prefix shingles only;
+    *   3. exact verify: count the full intersection for candidates and
+    *      filter on true Jaccard.
+    *
+    * At θ=0.8 a hot stop-shingle shared by half the corpus almost never
+    * lands in a prefix (it is the most frequent), so the quadratic
+    * pair blowup vanishes while recall stays 100%. As θ→0 the prefix
+    * approaches the whole set and the plan degrades gracefully to the
+    * full shingle join. Additionally the size-ratio necessary condition
+    * (⌈θ|A|⌉ ≤ |B| ≤ |A|/θ) prunes verify candidates.
+    *
+    * `maxShingleDf` optionally drops ultra-hot shingles from candidate
+    * generation entirely (recall trade-off, OFF by default; sizes and
+    * Jaccard stay exact for surviving pairs).
     */
   def ngramJaccardPairs(
       docs: DataFrame,
@@ -79,17 +90,31 @@ object Dedup {
       idx.join(hot, Seq("shingle"), "left_anti")
     }
     val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    val inter = pruned.as("l")
-      .join(pruned.as("r"), col("l.shingle") === col("r.shingle") &&
-        col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
+    // prefix per doc: rarest (|d| - ceil(θ|d|) + 1) shingles
+    val sdf = pruned.groupBy(col("shingle")).agg(count(lit(1)).as("__sdf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__sdf").asc, col("shingle").asc)
+    val prefix = pruned
+      .join(sdf, "shingle")
+      .join(sizes, "id")
+      .withColumn("__pos", row_number().over(w))
+      .where(col("__pos") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+    val cands = prefix.as("l")
+      .join(prefix.as("r"), col("l.shingle") === col("r.shingle") &&
+        col("l.id") < col("r.id") &&
+        // size-ratio necessary condition for jaccard ≥ θ
+        least(col("l.sz"), col("r.sz")).cast("double") >=
+          greatest(col("l.sz"), col("r.sz")) * minJaccard)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val ia = idx.select(col("id").as("id_a"), col("shingle"))
+    val ib = idx.select(col("id").as("id_b"), col("shingle"))
+    val inter = cands.join(ia, "id_a").join(ib, Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      // necessary size-ratio condition: jaccard ≤ min(szA,szB)/max(szA,szB)
-      .where(least(col("sz_a"), col("sz_b")).cast("double") >=
-        greatest(col("sz_a"), col("sz_b")) * minJaccard)
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))

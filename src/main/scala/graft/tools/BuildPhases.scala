@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import scala.collection.mutable.ArrayBuffer
+
+/** Stage-level timing of one block-index build (scaling diagnosis):
+  * prints per-stage wall, task count, summed executor run time, and the
+  * gap between wall and ideal (runtime / cores).
+  */
+object BuildPhases {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    final case class St(id: Int, name: String, tasks: Int, wallMs: Long, runMs: Long,
+        cpuMs: Long, gcMs: Long)
+    val stages = ArrayBuffer.empty[St]
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val wall = (for {s <- i.submissionTime; c <- i.completionTime} yield c - s).getOrElse(-1L)
+        stages += St(i.stageId, i.name.takeWhile(_ != '\n').take(40), i.numTasks,
+          wall, i.taskMetrics.executorRunTime,
+          i.taskMetrics.executorCpuTime / 1000000, i.taskMetrics.jvmGCTime)
+      }
+    })
+
+    val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"),
+        concat_ws("/", col("repo"), col("path")).as("title"),
+        col("content").as("body"))
+    docs.count()
+    val layout = BlockIndex.Layout(65536, 16)
+    // warmup
+    BlockIndex.build(docs.where(col("docId") % 10 === 0),
+      java.nio.file.Files.createTempDirectory("ph-warm").toString, layout)
+    stages.clear()
+    val t0 = System.nanoTime()
+    BlockIndex.build(docs,
+      java.nio.file.Files.createTempDirectory("ph-idx").toString, layout)
+    val wall = (System.nanoTime() - t0) / 1e9
+    Thread.sleep(500) // let listener drain
+    println(f"[stages] total build wall ${wall}%.2f s, cpus=$cpus")
+    var sumWall = 0L
+    stages.sortBy(_.id).foreach { s =>
+      sumWall += s.wallMs
+      println(f"[stages] id=${s.id}%3d tasks=${s.tasks}%3d wall=${s.wallMs / 1000.0}%6.2f" +
+        f" run=${s.runMs / 1000.0}%7.2f cpu=${s.cpuMs / 1000.0}%7.2f gc=${s.gcMs / 1000.0}%5.2f  ${s.name}")
+    }
+    println(f"[stages] sum stage wall ${sumWall / 1000.0}%.2f s; gaps ${wall - sumWall / 1000.0}%.2f s")
+    spark.stop()
+  }
+}

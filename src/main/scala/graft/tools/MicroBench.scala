@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.index.IndexBuilder
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Warmed micro-timings of the build's component operations. */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs0 = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"),
+        concat_ws("/", col("repo"), col("path")).as("title"),
+        col("content").as("body"))
+    val docs = docs0.repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    def t(name: String)(f: => Any): Unit = {
+      f // warmup
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      println(f"[micro] $name%-28s ${runs.min}%6.2f s  (runs ${runs.map(r => f"$r%.2f").mkString(",")})")
+    }
+    t("scan_only")(docs.count())
+    t("split_size")(docs.select(
+      size(split(lower(col("body")), "[^a-zA-Z0-9]+")).as("n")).agg(sum("n")).collect())
+    t("tokenize_explode_count")(IndexBuilder.tokenStream(docs).count())
+    t("tf_agg_count")(IndexBuilder.tokenStream(docs)
+      .groupBy(col("term"), col("docId")).agg(count(lit(1))).count())
+    spark.stop()
+  }
+}

@@ -121,6 +121,18 @@ class AnalyzerSpec extends AnyFunSuite {
         "id", "10"))
   }
 
+  test("fast scanners ≡ regex semantics (incl. unicode whitespace)") {
+    val texts = Seq(
+      "Test string.", "I'm 23 years old.", "3d!e-fg.", "überprüfen",
+      "", "a", "  leading and  trailing   ",
+      "a\u00a0b c", "x\u2007y z\u202fw", "tab\tnl\nvtff end",
+      "mixed \t \nspace runs")
+    for (t <- texts) {
+      assert(Analyzer.tokenizeFast(t) == Analyzer.tokenize(t), s"tokens of '$t'")
+      assert(Analyzer.wordCountFast(t) == Analyzer.wordCount(t), s"wc of '$t'")
+    }
+  }
+
   test("lowerBoundKGramOverlap (reference index_kgram.go:94-96)") {
     assert(Analyzer.lowerBoundKGramOverlap(5, 5, 1, 3) == 4)
     // maxED=0: bound = max - 1 + k, passable only by near-exact strings

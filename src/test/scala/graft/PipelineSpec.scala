@@ -1,0 +1,164 @@
+package graft
+
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Training-data pipeline operators on corpora with PLANTED duplicates and
+  * neighbors — the gate queries check engine-vs-oracle equivalence on the
+  * driver corpus; these specs check the operators actually FIND what they
+  * exist to find.
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat watches from the fence"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("lazy", "sleepy")), // near dup of 1
+    (4L, "completely different content about spark sql aggregation and shuffles here"),
+    (5L, base + " and then some extra words at the end of it"), // near dup
+    (6L, "der hund läuft und die katze ist nicht da ein guter tag zu spielen"),
+    (7L, "le chat est sur la table et les oiseaux pour une belle journée ensemble"),
+    (8L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups byte-identical docs, keeps min id") {
+    val out = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == (1L, true))
+    assert(out(2L) == (1L, false))
+    assert(out(3L)._2 && out(4L)._2 && out(5L)._2)
+  }
+
+  test("ngram jaccard finds planted near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical → jaccard 1.0
+    assert(pairs.contains((2L, 3L)) == pairs.contains((1L, 3L))) // symmetry via canon
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash LSH recalls exact + near dup pairs and verifies true jaccard") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, numHashes = 8, bands = 4, minJaccard = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.get((1L, 2L)).contains(1.0)) // exact dup: jaccard exactly 1
+    // near-dups share most shingles → at least one band collides w.h.p.
+    assert(pairs.contains((1L, 3L)) || pairs.contains((1L, 5L)))
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical text → identical hash; near-dup → small hamming") {
+    val fp = docs.where(col("doc_id") =!= 8L)
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("langid marker heuristic separates en/de/fr; empty text → und") {
+    val out = docs.select(col("doc_id"), TextPipeline.langId(col("text")).as("l"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en")
+    assert(out(6L) == "de")
+    assert(out(7L) == "fr")
+    assert(out(8L) == "und")
+  }
+
+  test("quality score: empty text scores 0, normal prose scores higher") {
+    val q = docs.select(col("doc_id"), TextPipeline.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(8L) < 0.4) // no tokens: only the punct component survives
+    assert(q(1L) > q(8L))
+  }
+
+  test("fingerprint: equal for identical docs, engine-portable md5 form") {
+    val f = docs.where(length(col("text")) > 0)
+      .select(col("doc_id"), TextPipeline.fingerprint(col("text"), 5).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(f(1L) == f(2L))
+    assert(f(1L).matches("[0-9a-f]{32}"))
+  }
+
+  // ------------------------------------------------------------------
+  // Similarity / ANN
+  // ------------------------------------------------------------------
+
+  private def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+  private val vecs = Seq(
+    (1L, vec(1, 0, 0, 0)),
+    (2L, vec(0.99, 0.1, 0, 0)), // close to 1
+    (3L, vec(0, 1, 0, 0)),
+    (4L, vec(0, 0.1, 0.99, 0)),
+    (5L, vec(-1, 0, 0, 0)) // opposite of 1
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k: exact ranking with tie-break") {
+    val top = Similarity.bruteForceTopK(
+      vecs.where(col("vec_id") === 1L).withColumnRenamed("vec_id", "query_id"),
+      vecs, k = 3)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(top == Seq(1L, 2L, 3L)) // self, near, orthogonal; -1 last
+  }
+
+  test("LSH ANN: same-direction vectors share buckets; probe finds the near dup") {
+    val buckets = vecs.select(col("vec_id"),
+      Similarity.srpBucket(col("embedding"), 4, 4).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L)) // nearly-parallel vectors agree on all planes
+    val res = Similarity.lshTopK(
+      vecs.where(col("vec_id") === 1L).withColumnRenamed("vec_id", "query_id"),
+      vecs, k = 3, dim = 4, nPlanes = 4)
+      .orderBy(col("rank")).collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(res.take(2) == Seq(1L, 2L))
+  }
+
+  test("cosine near-dup pairs with SRP blocking") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, minSim = 0.9, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 5L)))
+  }
+
+  // ------------------------------------------------------------------
+  // Multimodal plumbing
+  // ------------------------------------------------------------------
+
+  test("multimodal decode: per-partition batch, schema round-trip, stub features") {
+    val assets = Multimodal.syntheticAssets(docs, "doc_id", "text")
+    val decoded = Multimodal.decodeAssets(assets).collect()
+      .map(d => d.assetId -> d).toMap
+    assert(decoded.size == 8)
+    val d1 = decoded(1L)
+    assert(d1.nBytes == base.getBytes("UTF-8").length.toLong)
+    assert(d1.features.length == 8)
+    assert(d1.payloadSha == decoded(2L).payloadSha) // identical payloads
+    assert(decoded(8L).features.forall(_ == 0.0f)) // empty payload
+    // deterministic: same input → same features
+    assert(Multimodal.decodeStub(base.getBytes("UTF-8")).toSeq ==
+      d1.features.toSeq)
+  }
+
+  test("metadata-only scan prunes the payload column (parquet ReadSchema)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString
+    Multimodal.syntheticAssets(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(dir)
+    // a metadata-only aggregation must not read the heavy payload column
+    val scanPlan = spark.read.parquet(dir)
+      .groupBy(col("modality")).agg(count(lit(1)).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(scanPlan.contains("ReadSchema"))
+    assert(!scanPlan.replaceAll("\\s", "").contains("payload"),
+      s"payload column not pruned:\n$scanPlan")
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.index.BlockIndex
+import graft.pipeline.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan quality gates: the properties that make the engine viable
+  * at 100 TB must hold in the compiled plan, not just in intent. Each test
+  * renders the executed plan and asserts the shape (filter pushdown,
+  * column pruning, broadcast sides, codegen coverage).
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private lazy val idxDir = GateQueries.blockIndexDir(spark, "/root/testdata/sf0.001")
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("WAND metadata scan: term filter pushed to parquet, bytes column pruned") {
+    val meta = BlockIndex.readBlocks(spark, idxDir)
+      .where(col("term").isin("spark", "join"))
+      .select("term", "blockId", "n", "maxTf", "minTf", "minDl", "maxDl")
+    val plan = planOf(meta)
+    assert(plan.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("bytes"),
+      s"posting bytes must not be read for metadata-only planning:\n$readSchema")
+  }
+
+  test("WAND scoring scan reads only the query terms' shards (partition pruning)") {
+    // bm25TopK reads parquet paths for the terms' shards only; assert the
+    // shard count touched is < nShards for a single-term query
+    val (_, layout) = BlockIndex.readStats(idxDir)
+    val shardOfSpark = spark.range(1)
+      .select(pmod(xxhash64(lit("spark")), lit(layout.nShards)).cast("int"))
+      .head().getInt(0)
+    val scan = spark.read.option("basePath", idxDir)
+      .parquet(s"$idxDir/shard=$shardOfSpark")
+      .where(col("term") === "spark")
+    assert(scan.count() > 0) // the term's postings live in its hash shard
+    val others = (0 until layout.nShards).filter(_ != shardOfSpark)
+    val elsewhere = spark.read.option("basePath", idxDir)
+      .parquet(others.map(s => s"$idxDir/shard=$s"): _*)
+      .where(col("term") === "spark")
+    assert(elsewhere.count() == 0) // and nowhere else → pruning is sound
+  }
+
+  test("BM25 scoring plan broadcasts the query-term relations") {
+    val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
+    val df = e.bm25Query("spark join", Some(10))
+    df.collect() // materialize AQE's final plan before inspecting it
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"query-terms join should broadcast, not shuffle:\n$plan")
+    // top-k must not materialize a full globally-sorted result: a global
+    // sort would require a rangepartitioning exchange before the limit
+    assert(!plan.contains("rangepartitioning"),
+      s"top-k should avoid a global range-partitioned sort:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject") || plan.contains("Limit"),
+      s"expected a limit-style top-k operator:\n$plan")
+  }
+
+  test("index build plan: tf aggregation has a map-side partial aggregate") {
+    val b = GateQueries.bundle(spark, "/root/testdata/sf0.001")
+    val plan = b.postings.queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final aggregation:\n$plan")
+  }
+
+  test("ANN brute force: corpus side streams, query side broadcasts") {
+    val emb = GateQueries.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = planOf(Similarity.bruteForceTopK(
+      emb.where(col("vec_id") < 3).withColumnRenamed("vec_id", "query_id"),
+      emb, 5))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"queries must broadcast against the streaming corpus:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scoring pipeline") {
+    val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
+    val df = e.bm25Query("spark join", Some(10))
+    df.collect()
+    // codegen'd spans render as "*(n) Operator" in the executed plan
+    val plan = planOf(df)
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"scoring should run inside whole-stage codegen:\n$plan")
+  }
+}
