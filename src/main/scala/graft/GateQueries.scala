@@ -692,6 +692,24 @@ object GateQueries {
               |ORDER BY p.term, p.doc_id""".stripMargin)),
 
     // block-max WAND top-k == the naive BM25 oracle (pruning is exact)
+    // scalable dense docId assignment (range-partition + offsets; no
+    // single-partition row_number) == ANSI row_number() semantics
+    Gate("q32_dense_docids",
+      (s, d) => {
+        val files = documents(s, d).select(
+          col("source").as("repo"),
+          format_string("doc-%05d", col("doc_id")).as("path"),
+          lit("c0").as("commit"), col("lang"), col("text").as("content"))
+        graft.sources.CorpusSource.sourceFilesToDocs(files)
+          .select(col("docId").as("doc_id"), col("title"),
+            col("contentSha").as("content_sha"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT row_number() OVER (ORDER BY source, doc_id) AS doc_id,
+             |  source || '/' || format('doc-{:05d}', doc_id) AS title,
+             |  sha256(text) AS content_sha
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     Gate("q31_wand_bm25_topk",
       // over-fetch (k=30) then re-rank on the rounded score so the
       // 20/21 boundary is decided exactly like the oracle's ORDER BY
