@@ -54,6 +54,32 @@ object CorpusSource {
       .drop("repo", "path")
   }
 
+  /** Point lookups by id, reference `CSVStorage.Get` semantics
+    * (document.go:113-158): result order follows the REQUEST order, and a
+    * missing id yields a zero-value document (empty strings) rather than
+    * a dropped row. Implemented as a broadcast left join of the (small)
+    * id list against the corpus — the corpus side streams, so this scales
+    * to any corpus size; for huge id lists swap broadcast for a shuffle
+    * join (Spark picks automatically once the hint is removed).
+    */
+  def getDocs(docs: DataFrame, ids: Seq[Long]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val req = ids.zipWithIndex.toDF("docId", "__ord")
+    broadcast(req)
+      .join(docs, Seq("docId"), "left")
+      .na.fill("", Seq("title", "body", "url"))
+      .orderBy(col("__ord"))
+      .drop("__ord")
+  }
+
+  /** Append documents to a parquet-backed corpus — the reference's
+    * `DocumentSaver.Save` (document.go:196-202) as a batch sink. The
+    * index is NOT updated incrementally (the reference rebuilds too).
+    */
+  def appendDocs(docs: DataFrame, path: String): Unit =
+    docs.write.mode("append").parquet(path)
+
   /** Dense docId assignment that scales: a single global
     * `row_number() over (order by ...)` funnels all rows through ONE
     * partition, which is a non-starter at 10^12 rows. Instead:

@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.CorpusSource
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage semantics pinned by the reference's document_test.go:61-121:
+  * Apply order, Get request-order preservation, missing id → zero-value
+  * document; plus the scalable dense docId assignment.
+  */
+class CorpusSourceSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private lazy val docs = CorpusSource.readDocsCsv(
+    spark, SparkSessionFixture.resourcePath("example.csv"))
+
+  test("CSV read: ids 1..3 in file order with titles") {
+    val rows = docs.select("docId", "title").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.head._2 == "Cohen's kappa")
+  }
+
+  test("getDocs preserves request order; missing id → zero-value document") {
+    val got = CorpusSource.getDocs(docs, Seq(3L, 99L, 1L)).collect()
+    assert(got.map(_.getAs[Long]("docId")).toSeq == Seq(3L, 99L, 1L))
+    val missing = got(1)
+    assert(missing.getAs[String]("title") == "")
+    assert(missing.getAs[String]("body") == "")
+    assert(missing.getAs[String]("url") == "")
+    assert(got(0).getAs[String]("title") == "Code-division multiple access")
+    assert(got(2).getAs[String]("title") == "Cohen's kappa")
+  }
+
+  test("appendDocs accumulates batches (reference Save is append-only)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-append").toString + "/docs"
+    CorpusSource.appendDocs(docs, dir)
+    CorpusSource.appendDocs(docs.where(col("docId") === 1L), dir)
+    assert(spark.read.parquet(dir).count() == 4)
+  }
+
+  test("withDenseDocIds: dense 1..N in sort order, parallel-safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 500).map(i => (s"r${i % 7}", f"p$i%04d")).toDF("repo", "path")
+    val out = CorpusSource.withDenseDocIds(df, Seq(col("repo"), col("path")),
+      numPartitions = Some(8))
+    val ids = out.orderBy("repo", "path").select("docId").collect().map(_.getLong(0))
+    assert(ids.toSeq == (1L to 500L))
+  }
+}
