@@ -60,6 +60,17 @@ object Bench {
     val benches: Seq[(String, () => Long)] = Seq(
       "bm25_wand_top10" ->
         (() => BlockIndex.bm25TopK(spark, idxDir, GateQueries.ScoredQ, 10).count()),
+      // sustained warm query throughput: 20 distinct BM25 top-10 queries
+      // against the block index; q/s derivable as 20 / seconds
+      "bm25_wand_20_queries" -> (() => {
+        val pool = Seq("spark join", "table window fast", "customer query",
+          "vector stream batch", "group sort merge", "filter scan row",
+          "big small slow", "hash agg column", "line part value", "key data order")
+        var n = 0L
+        for (q <- pool ++ pool.map(_ + " table"))
+          n += BlockIndex.bm25TopK(spark, idxDir, q, 10).count()
+        n
+      }),
       "bm25_naive_top10" ->
         (() => engine.bm25Query(GateQueries.ScoredQ, Some(10)).count()),
       "tfidf_top10" ->

@@ -335,7 +335,11 @@ object GateQueries {
     // Fuzzy / wildcard doc retrieval. The oracle encodes the plain
     // intersection; the engine's reset-on-empty fold (searcher.go:147-151)
     // coincides with it because every per-token candidate set is non-empty
-    // on this corpus (asserted in the specs).
+    // on this corpus — if a reset DID trigger, the engine would return the
+    // later union instead of the intersection and the oracle hash-compare
+    // would fail, so the gate itself polices the assumption. The fold
+    // quirk with genuinely-empty intermediates is pinned by SearcherSpec's
+    // FuzzyQuery/WildcardQuery goldens on the reference corpus.
     Gate("q14_fuzzy_docs",
       (s, d) => engine(s, d).fuzzyQuery(FuzzyQ).select(col("docId").as("doc_id")),
       Some {

@@ -50,9 +50,8 @@ object BlockIndex {
     VarByte.encode(rows.map(r => VarByte.P(r.getLong(0), r.getInt(1), r.getInt(2))))
   }
 
-  private val decodeUdf = udf { bytes: Array[Byte] =>
-    VarByte.decode(bytes).map(p => (p.docId, p.tf, p.dl))
-  }
+  // decode side: a native codegen'd Catalyst expression (see
+  // VarByteDecodeExpr for why not a UDF)
 
   // ------------------------------------------------------------------
   // Build (checkpointed, resumable)
@@ -184,6 +183,17 @@ object BlockIndex {
       Layout(kv("blockSpan").toInt, kv("nShards").toInt))
   }
 
+  /** Driver-local twin of the build's `pmod(xxhash64(term), nShards)` —
+    * same XXH64 with Spark's default seed 42, so query planning computes
+    * shard routing without a Spark job (equality asserted in the spec).
+    */
+  def shardOf(term: String, nShards: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(term),
+      org.apache.spark.sql.types.StringType, 42L)
+    (((h % nShards) + nShards) % nShards).toInt
+  }
+
   /** All block rows (partition column `shard` recovered from the path). */
   def readBlocks(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("basePath", dir).parquet(
@@ -191,9 +201,10 @@ object BlockIndex {
 
   /** Decode a filtered block relation back to (term, docId, tf, dl). */
   def decodePostings(blocks: DataFrame): DataFrame =
-    blocks.select(col("term"), explode(decodeUdf(col("bytes"))).as("p"))
-      .select(col("term"), col("p._1").as("docId"), col("p._2").as("tf"),
-        col("p._3").as("dl"))
+    blocks.select(col("term"),
+        explode(VarByteDecodeExpr.decode(col("bytes"))).as("p"))
+      .select(col("term"), col("p.docId").as("docId"), col("p.tf").as("tf"),
+        col("p.dl").as("dl"))
 
   // ------------------------------------------------------------------
   // BM25 top-k with block-max WAND pruning
@@ -232,10 +243,8 @@ object BlockIndex {
     val qcnt = toks.groupBy(identity).view.mapValues(_.size.toDouble).toMap
     val terms = qcnt.keys.toSeq
 
-    // shard of each term (same xxhash64 the build used), one tiny local job
-    val shards = terms.toDF("term")
-      .select(pmod(xxhash64(col("term")), lit(layout.nShards)).cast("int"))
-      .collect().map(_.getInt(0)).distinct.toSeq
+    // shard of each term — driver-local xxhash64, no Spark job
+    val shards = terms.map(shardOf(_, layout.nShards)).distinct
 
     val termBlocks = spark.read.option("basePath", dir)
       .parquet(shards.map(s => s"$dir/shard=$s"): _*)
@@ -296,6 +305,13 @@ object BlockIndex {
     }
 
     val ranked = blockUb.toSeq.sortBy { case (id, ub) => (-ub, id) }
+    // Small candidate sets: the two-phase pruning cannot save more than it
+    // costs (an extra Spark job + driver collect) — score everything.
+    if (meta.map(_.n.toLong).sum <= 16L * k || ranked.size <= 8) {
+      return scoreBlocks(ranked.map(_._1))
+        .orderBy(col("score").desc, col("docId").asc)
+        .limit(k)
+    }
     // phase 1: enough highest-UB blocks to guarantee ≥ k docs (2× slack)
     var cum = 0L
     val phase1 = ranked.takeWhile { case (id, _) =>

@@ -68,6 +68,28 @@ object VarByte {
     out.toArray
   }
 
+  /** Decode straight to Catalyst rows — called from the generated code of
+    * [[VarByteDecodeExpr]] (no Scala-object round-trip on the hot path).
+    */
+  def decodeToArrayData(bytes: Array[Byte])
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val r = new Reader(bytes)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var prev = 0L
+    var first = true
+    while (r.hasNext) {
+      val gap = r.readLong()
+      val tf = r.readLong().toInt
+      val dl = r.readLong().toInt
+      val docId = if (first) gap else prev + gap
+      rows += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](docId, tf, dl))
+      prev = docId
+      first = false
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(rows.toArray)
+  }
+
   def decode(bytes: Array[Byte]): IndexedSeq[P] = {
     val r = new Reader(bytes)
     val out = ArrayBuffer.empty[P]

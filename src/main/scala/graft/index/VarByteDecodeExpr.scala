@@ -1,0 +1,51 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression decoding a varbyte posting block into
+  * `array<struct<docId:bigint, tf:int, dl:int>>`.
+  *
+  * Why not a Scala UDF: a UDF would deserialize the byte array, build a
+  * `Seq[Tuple3]`, then pay CatalystTypeConverters to turn it back into
+  * InternalRows — per block, on the query hot path. This expression's
+  * generated code calls straight into [[VarByte.decodeToArrayData]],
+  * which materializes `InternalRow`s directly; the operator stays inside
+  * the surrounding whole-stage-codegen span (`defineCodeGen` emits a
+  * plain static call, no fallback to interpreted eval).
+  */
+case class VarByteDecodeExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = VarByteDecodeExpr.PostingsType
+
+  override def nullSafeEval(input: Any): Any =
+    VarByte.decodeToArrayData(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.index.VarByte.decodeToArrayData($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): VarByteDecodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "varbyte_decode"
+}
+
+object VarByteDecodeExpr {
+
+  val PostingsType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("docId", LongType, nullable = false),
+      StructField("tf", IntegerType, nullable = false),
+      StructField("dl", IntegerType, nullable = false))),
+    containsNull = false)
+
+  /** Column wrapper (classic-backend bridge). */
+  def decode(bytes: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      VarByteDecodeExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(bytes)))
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column ↔ Expression converters of the
+  * classic backend — the supported way for libraries to lift a custom
+  * Catalyst [[Expression]] (e.g. graft's varbyte decoder) into the public
+  * Column API without a FunctionRegistry round-trip.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -143,6 +143,19 @@ class BlockIndexSpec extends AnyFunSuite {
     engine.index.unpersist()
   }
 
+  test("driver-local shardOf == Spark's pmod(xxhash64(term), n)") {
+    val terms = Seq("spark", "table", "a", "überprüfen", "id123", "",
+      "zzzznope", "x997")
+    val sp = spark
+    import sp.implicits._
+    val viaSpark = terms.toDF("term")
+      .select(col("term"),
+        pmod(xxhash64(col("term")), lit(8)).cast("int").as("s"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    for (t <- terms)
+      assert(BlockIndex.shardOf(t, 8) == viaSpark(t), s"term '$t'")
+  }
+
   test("WAND on empty/unknown query") {
     assert(BlockIndex.bm25TopK(spark, coldDir, "", 5).count() == 0)
     assert(BlockIndex.bm25TopK(spark, coldDir, "zzzznope", 5).count() == 0)
