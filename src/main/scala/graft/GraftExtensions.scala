@@ -1,0 +1,42 @@
+package graft
+
+import graft.index.VarByteDecodeExpr
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Catalyst extension point: registers the engine's native expressions so
+  * they are usable from SQL text, not only the Scala DSL —
+  *
+  * {{{
+  *   spark.sql("SELECT explode(varbyte_decode(bytes)) FROM blocks")
+  * }}}
+  *
+  * Activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `withExtensions(new GraftExtensions)` on the session builder.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("varbyte_decode"),
+      GraftExtensions.DecodeInfo,
+      GraftExtensions.DecodeBuilder))
+  }
+}
+
+object GraftExtensions {
+  private[graft] val DecodeInfo =
+    new ExpressionInfo(classOf[VarByteDecodeExpr].getName, "varbyte_decode")
+  private[graft] val DecodeBuilder: Seq[Expression] => Expression = { args =>
+    require(args.length == 1, "varbyte_decode takes exactly one argument")
+    VarByteDecodeExpr(args.head)
+  }
+
+  /** Install on an already-running session (the config path applies only
+    * at session construction).
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftColumnBridge.registerFunction(
+      spark, "varbyte_decode", DecodeInfo, DecodeBuilder)
+}

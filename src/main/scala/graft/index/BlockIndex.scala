@@ -206,6 +206,33 @@ object BlockIndex {
       .select(col("term"), col("p.docId").as("docId"), col("p.tf").as("tf"),
         col("p.dl").as("dl"))
 
+  /** Expose the persistent index as an [[IndexBundle]], so EVERY query
+    * mode of [[graft.query.QueryEngine]] (terms, boolean, fuzzy,
+    * wildcard, TF-IDF, BM25) runs against the compressed on-disk artifact
+    * — not just the WAND BM25 fast path. The relations are lazy
+    * DataFrames over the sharded parquet (decode happens per-query on the
+    * blocks the query touches); `persist=true` caches the k-gram index,
+    * which is vocabulary-sized and reused by every fuzzy/wildcard query.
+    */
+  def asBundle(spark: SparkSession, dir: String, k: Int = 3,
+      persist: Boolean = true): IndexBundle = {
+    val (stats, _) = readStats(dir)
+    val blocks = readBlocks(spark, dir)
+    val decoded = decodePostings(blocks)
+    val postings = decoded.select(col("term"), col("docId"), col("tf"))
+    val docLens = decoded.select(col("docId"), col("dl").as("len")).distinct()
+    val termStats = blocks.groupBy(col("term"))
+      .agg(sum(col("n").cast("long")).as("df"), max(col("maxTf")).as("maxTf"))
+    val kgramIndex = {
+      val kg = termStats
+        .select(explode(Analyzer.kgramsCol(col("term"), k)).as("gram"), col("term"))
+        .distinct()
+      if (persist) kg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else kg
+    }
+    IndexBundle(postings, docLens, termStats, kgramIndex, stats, k)
+  }
+
   // ------------------------------------------------------------------
   // BM25 top-k with block-max WAND pruning
   // ------------------------------------------------------------------

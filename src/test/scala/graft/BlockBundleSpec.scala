@@ -1,0 +1,73 @@
+package graft
+
+import graft.index.{BlockIndex, IndexBuilder}
+import graft.query.QueryEngine
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent compressed index must serve EVERY query mode, not just
+  * the WAND BM25 fast path: QueryEngine over `BlockIndex.asBundle` ==
+  * QueryEngine over the in-memory logical index, for all six modes. Plus
+  * the SQL surface of the native decode expression.
+  */
+class BlockBundleSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private lazy val docs = GateQueries.docsAsModel(spark, "/root/testdata/sf0.001")
+
+  private lazy val (logical, blockBacked) = {
+    val dir = java.nio.file.Files.createTempDirectory("blockbundle").toString
+    BlockIndex.build(docs, dir, BlockIndex.Layout(blockSpan = 64, nShards = 8))
+    (new QueryEngine(IndexBuilder.build(docs, persist = false)),
+      new QueryEngine(BlockIndex.asBundle(spark, dir)))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("docId").collect().map(_.getLong(0)).toSeq
+
+  private def scored(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+    df.select("docId", "score").collect()
+      .map(r => (r.getLong(0), math.rint(r.getDouble(1) * 1e9) / 1e9)).toSeq
+
+  test("stats agree (vocab, nDocs, totalLen)") {
+    assert(blockBacked.index.stats == logical.index.stats)
+  }
+
+  test("terms / boolean / union modes agree") {
+    for (q <- Seq("spark table join", "table", "zzznope"))
+      assert(ids(blockBacked.termsQuery(q)) == ids(logical.termsQuery(q)), q)
+    for (q <- Seq("spark && join || window", "vector || stream", "a && b && c"))
+      assert(ids(blockBacked.booleanQuery(q)) == ids(logical.booleanQuery(q)), q)
+  }
+
+  test("fuzzy / wildcard modes agree") {
+    for (q <- Seq("tble window", "spark"))
+      assert(ids(blockBacked.fuzzyQuery(q)) == ids(logical.fuzzyQuery(q)), q)
+    for (q <- Seq("ta*le str*am", "wind?w"))
+      assert(ids(blockBacked.wildcardQuery(q)) == ids(logical.wildcardQuery(q)), q)
+  }
+
+  test("scored modes agree (rank + 1e-9 score)") {
+    for (q <- Seq("spark join fast window", "table customer")) {
+      assert(scored(blockBacked.bm25Query(q, Some(10))) ==
+        scored(logical.bm25Query(q, Some(10))), s"bm25 $q")
+      assert(scored(blockBacked.vectorSpaceQuery(q).limit(10)) ==
+        scored(logical.vectorSpaceQuery(q).limit(10)), s"vsm $q")
+    }
+  }
+
+  test("varbyte_decode is callable from SQL after extension install") {
+    GraftExtensions.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("sqlfn").toString
+    BlockIndex.build(docs, dir, BlockIndex.Layout(blockSpan = 64, nShards = 8))
+    BlockIndex.readBlocks(spark, dir).createOrReplaceTempView("graft_blocks")
+    val viaSql = spark.sql(
+      """SELECT p.docId, p.tf, p.dl
+        |FROM graft_blocks LATERAL VIEW explode(varbyte_decode(bytes)) t AS p
+        |""".stripMargin).count()
+    val viaApi = BlockIndex.decodePostings(
+      BlockIndex.readBlocks(spark, dir)).count()
+    assert(viaSql == viaApi && viaSql > 0)
+  }
+}
