@@ -725,9 +725,88 @@ object GateQueries {
       entries.find(_.name == "q09_bm25_topk").get.oracle)
   )
 
+  /** The block-backed IndexBundle must answer identically to the logical
+    * one — gate one unscored and one scored mode through
+    * [[graft.index.BlockIndex.asBundle]] against the SAME oracles as
+    * their logical twins.
+    */
+  private val bundleCache = scala.collection.mutable.Map.empty[String, QueryEngine]
+  def blockEngine(spark: SparkSession, dir: String): QueryEngine = synchronized {
+    bundleCache.getOrElseUpdate(dir,
+      new QueryEngine(graft.index.BlockIndex.asBundle(spark, blockIndexDir(spark, dir))))
+  }
+
+  val bundleEntries: Seq[Gate] = Seq(
+    Gate("q33_block_terms_query",
+      (s, d) => blockEngine(s, d).termsQuery(TermsQ).select(col("docId").as("doc_id")),
+      entries.find(_.name == "q06_terms_query").get.oracle),
+    Gate("q34_block_bm25_topk",
+      (s, d) => {
+        val scored = blockEngine(s, d).bm25Query(ScoredQ)
+          .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        scored.orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      },
+      entries.find(_.name == "q09_bm25_topk").get.oracle),
+
+    // Composed curation pipeline: the operators are useful TOGETHER —
+    // language filter → quality floor → exact dedup → survivors.
+    Gate("q35_curation_pipeline",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val scoredDocs = docsDf.select(col("doc_id"), col("text"),
+          TextPipeline.langId(col("text")).as("lang_detected"),
+          TextPipeline.qualityScore(col("text")).as("quality"))
+          .where(col("lang_detected") === "en" && col("quality") >= 0.5)
+        Dedup.exactDupGroups(scoredDocs, "doc_id", "text")
+          .where(col("keep"))
+          .select(col("id").as("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
+        val hitCols = TextPipeline.LangMarkers.map { case (lang, words) =>
+          val in = words.map(w => s"'$w'").mkString(", ")
+          s"len(list_filter(toks, t -> t IN ($in))) AS h_$lang"
+        }.mkString(", ")
+        val langs = TextPipeline.LangMarkers.map(_._1)
+        val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+        val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+        s"""WITH base AS (
+           |  SELECT doc_id, text,
+           |    list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+           |      x -> x <> '') AS toks,
+           |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+           |  FROM documents),
+           |feat AS (
+           |  SELECT doc_id, text, $hitCols,
+           |    CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0.0 END AS pr,
+           |    CASE WHEN len(toks) > 0 THEN
+           |      len(list_filter(toks, t -> t IN ($sw)))::DOUBLE / len(toks)::DOUBLE
+           |      ELSE 0.0 END AS sr,
+           |    len(toks)::DOUBLE AS nt
+           |  FROM base),
+           |scored AS (
+           |  SELECT doc_id, text,
+           |    CASE WHEN $best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected,
+           |    round(least(nt / 20.0, 1.0) * (CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+           |        + greatest(0.0, 1.0 - pr * 2.0) * 0.3
+           |        + least(1.0, sr * 4.0) * 0.3, 6) AS quality
+           |  FROM feat),
+           |kept AS (
+           |  SELECT doc_id, text FROM scored
+           |  WHERE lang_detected = 'en' AND quality >= 0.5),
+           |canon AS (
+           |  SELECT sha256(text) AS sha, min(doc_id) AS canonical_id
+           |  FROM kept GROUP BY sha256(text))
+           |SELECT k.doc_id FROM kept k
+           |JOIN canon c ON sha256(k.text) = c.sha AND k.doc_id = c.canonical_id
+           |ORDER BY k.doc_id""".stripMargin
+      }))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (entries ++ blockEntries).map(g => g.name -> g.run).toMap
+    (entries ++ blockEntries ++ bundleEntries).map(g => g.name -> g.run).toMap
 
   def oracleSql: Map[String, String] =
-    (entries ++ blockEntries).flatMap(g => g.oracle.map(g.name -> _)).toMap
+    (entries ++ blockEntries ++ bundleEntries)
+      .flatMap(g => g.oracle.map(g.name -> _)).toMap
 }

@@ -143,6 +143,25 @@ class BlockIndexSpec extends AnyFunSuite {
     engine.index.unpersist()
   }
 
+  test("resume overwrites partially-written shards not in the manifest") {
+    val d = tmpDir("blockidx-partial").toString
+    BlockIndex.build(docs, d, layout, limitShards = Some(2))
+    // simulate a kill mid-write: a shard directory exists with garbage
+    // data but has NO manifest line — resume must rebuild it cleanly
+    val victim = (0 until layout.nShards)
+      .filterNot(BlockIndex.readManifest(d).map(_.shard).contains)(0)
+    val vdir = java.nio.file.Paths.get(d, s"shard=$victim")
+    java.nio.file.Files.createDirectories(vdir)
+    java.nio.file.Files.write(vdir.resolve("part-garbage.parquet"),
+      Array[Byte](1, 2, 3))
+    BlockIndex.build(docs, d, layout)
+    val resumed = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val cold = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, coldDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(resumed == cold)
+  }
+
   test("driver-local shardOf == Spark's pmod(xxhash64(term), n)") {
     val terms = Seq("spark", "table", "a", "überprüfen", "id123", "",
       "zzzznope", "x997")
