@@ -84,9 +84,9 @@ object GateQueries {
   /** Analyzer tokenization in DuckDB — mirrors Analyzer.tokensCol. */
   private val ToksCte =
     """toks AS (
-      |  SELECT doc_id, unnest(list_filter(
-      |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
-      |    x -> x <> '')) AS term
+      |  SELECT doc_id, unnest(list_transform(list_filter(
+      |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+      |    x -> x <> ''), x -> lower(x))) AS term
       |  FROM documents
       |)""".stripMargin
 
@@ -124,9 +124,9 @@ object GateQueries {
     */
   private def shinglesCte(n: Int) =
     s"""tokarr AS (
-       |  SELECT doc_id, list_filter(
-       |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
-       |    x -> x <> '') AS toks
+       |  SELECT doc_id, list_transform(list_filter(
+       |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+       |    x -> x <> ''), x -> lower(x)) AS toks
        |  FROM documents
        |),
        |shingles AS (
@@ -414,7 +414,7 @@ object GateQueries {
       Some(s"""SELECT doc_id,
               |  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS ws_tokens,
               |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))::BIGINT AS bpeish_tokens,
-              |  len(list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'), x -> x <> ''))::BIGINT AS analyzer_tokens
+              |  len(list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x)))::BIGINT AS analyzer_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Gate("q18_quality",
@@ -428,8 +428,8 @@ object GateQueries {
         val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
         s"""WITH base AS (
            |  SELECT doc_id, text,
-           |    list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
-           |      x -> x <> '') AS toks,
+           |    list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+           |      x -> x <> ''), x -> lower(x)) AS toks,
            |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
            |  FROM documents),
            |ratios AS (
@@ -460,8 +460,8 @@ object GateQueries {
         val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
         val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
         s"""WITH base AS (
-           |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
-           |    '[^a-zA-Z0-9]+'), x -> x <> '') AS toks
+           |  SELECT doc_id, list_transform(list_filter(regexp_split_to_array(
+           |    text, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x)) AS toks
            |  FROM documents),
            |hits AS (
            |  SELECT doc_id,
@@ -523,9 +523,9 @@ object GateQueries {
         col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
         .orderBy(col("doc_id")),
       Some("""WITH toksm AS (
-             |  SELECT doc_id, unnest(list_filter(
-             |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
-             |    x -> x <> '')) AS term
+             |  SELECT doc_id, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x))) AS term
              |  FROM documents),
              |votes AS (
              |  SELECT doc_id, j,
@@ -548,9 +548,9 @@ object GateQueries {
           .orderBy(col("doc_id"), col("blk"))
       },
       Some("""WITH toksm AS (
-             |  SELECT doc_id, unnest(list_filter(
-             |    regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
-             |    x -> x <> '')) AS term
+             |  SELECT doc_id, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x))) AS term
              |  FROM documents),
              |votes AS (
              |  SELECT doc_id, j,
@@ -702,7 +702,7 @@ object GateQueries {
       (s, d) => {
         val files = documents(s, d).select(
           col("source").as("repo"),
-          format_string("doc-%05d", col("doc_id")).as("path"),
+          format_string("doc-%09d", col("doc_id")).as("path"),
           lit("c0").as("commit"), col("lang"), col("text").as("content"))
         graft.sources.CorpusSource.sourceFilesToDocs(files)
           .select(col("docId").as("doc_id"), col("title"),
@@ -710,7 +710,7 @@ object GateQueries {
           .orderBy(col("doc_id"))
       },
       Some("""SELECT row_number() OVER (ORDER BY source, doc_id) AS doc_id,
-             |  source || '/' || format('doc-{:05d}', doc_id) AS title,
+             |  source || '/' || format('doc-{:09d}', doc_id) AS title,
              |  sha256(text) AS content_sha
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
@@ -773,8 +773,8 @@ object GateQueries {
         val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
         s"""WITH base AS (
            |  SELECT doc_id, text,
-           |    list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
-           |      x -> x <> '') AS toks,
+           |    list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+           |      x -> x <> ''), x -> lower(x)) AS toks,
            |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
            |  FROM documents),
            |feat AS (

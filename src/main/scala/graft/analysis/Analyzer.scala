@@ -74,11 +74,15 @@ object Analyzer {
     out.toSeq
   }
 
-  /** Go `unicode.IsSpace` (the White_Space property): Java's
-    * `isWhitespace` plus the non-breaking spaces it excludes.
+  /** Go `unicode.IsSpace` = the Unicode White_Space property, enumerated
+    * exactly (Java's `isWhitespace` is NOT it: true for U+001C..1F which
+    * are not White_Space, false for NEL U+0085 which is).
     */
-  @inline private def isSpace(c: Char): Boolean =
-    Character.isWhitespace(c) || c == '\u00a0' || c == '\u2007' || c == '\u202f'
+  @inline private def isSpace(c: Char): Boolean = c match {
+    case '\t' | '\n' | '\u000b' | '\f' | '\r' | ' ' | '\u0085' | '\u00a0' |
+         '\u1680' | '\u2028' | '\u2029' | '\u202f' | '\u205f' | '\u3000' => true
+    case _ => c >= '\u2000' && c <= '\u200a'
+  }
 
   /** Count of maximal non-whitespace runs — `strings.Fields` semantics. */
   def wordCountFast(text: String): Int = {
@@ -108,10 +112,14 @@ object Analyzer {
   def tokensCol(c: Column): Column = tokensUdf(c)
 
   /** regex formulation of [[tokensCol]] — semantics reference; kept for
-    * the scanner-vs-regex equivalence tests.
+    * the scanner-vs-regex equivalence tests. Split FIRST, lowercase the
+    * tokens after, like the reference (helper.go:10-18) — lowercasing the
+    * whole string first would turn characters whose lowercase form is
+    * ASCII (e.g. U+212A KELVIN SIGN → 'k') from separators into token
+    * characters.
     */
   def tokensColRegex(c: Column): Column =
-    filter(split(lower(c), TokenPattern), t => t =!= lit(""))
+    transform(filter(split(c, TokenPattern), t => t =!= lit("")), t => lower(t))
 
   /** tokens keeping `*` / `?` (query-side analyzer, rarely needed as a
     * column but provided for symmetry).

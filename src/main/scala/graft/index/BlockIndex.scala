@@ -37,6 +37,30 @@ object BlockIndex {
 
   val ManifestName = "_manifest.jsonl"
   val StatsName = "_stats.json"
+  val DocLensName = "_doclens"
+
+  /** Block relation schema (shard partition column excluded). */
+  val BlockSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("term", StringType), StructField("blockId", LongType),
+      StructField("minDoc", LongType), StructField("maxDoc", LongType),
+      StructField("n", IntegerType), StructField("maxTf", IntegerType),
+      StructField("minTf", IntegerType), StructField("minDl", IntegerType),
+      StructField("maxDl", IntegerType), StructField("bytes", BinaryType)))
+  }
+
+  private def emptyBlocks(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], BlockSchema)
+
+  /** Shard directories that actually exist — a shard with no terms gets
+    * no directory from partitionBy, and an out-of-vocabulary query term
+    * hashes to a shard that may not exist at all; passing a missing path
+    * to the parquet reader throws instead of reading empty.
+    */
+  private def existingShardPaths(dir: String, shards: Seq[Int]): Seq[String] =
+    shards.map(s => s"$dir/shard=$s")
+      .filter(p => Files.exists(Paths.get(p)))
 
   final case class Layout(blockSpan: Int, nShards: Int)
   final case class ShardEntry(shard: Int, rows: Long, terms: Long, blocks: Long, wallMs: Long)
@@ -133,11 +157,18 @@ object BlockIndex {
           appendManifest(dir, ShardEntry(s, rows, terms, nBlocks, wallMs))
         }
       }
-      // corpus stats last — their presence marks the index complete
+      // doc lengths + corpus stats last — their presence marks the index
+      // complete. The doc-length table is materialized alongside the
+      // blocks so block-backed bundles join a tiny parquet instead of
+      // decoding the whole index for a distinct() (and stats read it
+      // back, saving a second tokenization pass over the corpus).
       if (readManifest(dir).size == layout.nShards) {
-        val Row(nDocs: Long, totalLen: Long) = docs
-          .agg(count(lit(1)),
-            coalesce(sum(Analyzer.wordCountCol(col("body")).cast("long")), lit(0L)))
+        docs.select(col("docId"),
+          Analyzer.wordCountCol(col("body")).cast("int").as("len"))
+          .write.mode("overwrite").parquet(s"$dir/$DocLensName")
+        val Row(nDocs: Long, totalLen: Long) = spark.read
+          .parquet(s"$dir/$DocLensName")
+          .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)))
           .head()
         val vocab = readManifest(dir).map(_.terms).sum // terms are hash-disjoint across shards
         writeStats(dir, CorpusStats(nDocs, vocab, totalLen), layout)
@@ -195,9 +226,11 @@ object BlockIndex {
   }
 
   /** All block rows (partition column `shard` recovered from the path). */
-  def readBlocks(spark: SparkSession, dir: String): DataFrame =
-    spark.read.option("basePath", dir).parquet(
-      (0 until readStats(dir)._2.nShards).map(s => s"$dir/shard=$s"): _*)
+  def readBlocks(spark: SparkSession, dir: String): DataFrame = {
+    val paths = existingShardPaths(dir, 0 until readStats(dir)._2.nShards)
+    if (paths.isEmpty) emptyBlocks(spark)
+    else spark.read.option("basePath", dir).parquet(paths: _*)
+  }
 
   /** Decode a filtered block relation back to (term, docId, tf, dl). */
   def decodePostings(blocks: DataFrame): DataFrame =
@@ -220,7 +253,13 @@ object BlockIndex {
     val blocks = readBlocks(spark, dir)
     val decoded = decodePostings(blocks)
     val postings = decoded.select(col("term"), col("docId"), col("tf"))
-    val docLens = decoded.select(col("docId"), col("dl").as("len")).distinct()
+    // prefer the materialized doc-length parquet (written at build time);
+    // decode-and-distinct over the whole index is only the fallback for
+    // pre-doclens indexes
+    val docLens =
+      if (Files.exists(Paths.get(dir, DocLensName)))
+        spark.read.parquet(s"$dir/$DocLensName").select(col("docId"), col("len"))
+      else decoded.select(col("docId"), col("dl").as("len")).distinct()
     val termStats = blocks.groupBy(col("term"))
       .agg(sum(col("n").cast("long")).as("df"), max(col("maxTf")).as("maxTf"))
     val kgramIndex = {
@@ -273,8 +312,10 @@ object BlockIndex {
     // shard of each term — driver-local xxhash64, no Spark job
     val shards = terms.map(shardOf(_, layout.nShards)).distinct
 
+    val shardPaths = existingShardPaths(dir, shards)
+    if (shardPaths.isEmpty) return emptyOut
     val termBlocks = spark.read.option("basePath", dir)
-      .parquet(shards.map(s => s"$dir/shard=$s"): _*)
+      .parquet(shardPaths: _*)
       .where(col("term").isin(terms: _*))
 
     // ---- driver-side metadata (bytes column never read) ----

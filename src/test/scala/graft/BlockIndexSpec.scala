@@ -179,4 +179,34 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(BlockIndex.bm25TopK(spark, coldDir, "", 5).count() == 0)
     assert(BlockIndex.bm25TopK(spark, coldDir, "zzzznope", 5).count() == 0)
   }
+
+  test("sparse shard layout: tiny vocab leaves shards dirless, queries still work") {
+    val sp = spark
+    import sp.implicits._
+    val tiny = Seq((1L, "", "alpha beta alpha", ""), (2L, "", "beta gamma", ""))
+      .toDF("docId", "title", "body", "url")
+    val d = tmpDir("blockidx-tiny").toString
+    BlockIndex.build(tiny, d, BlockIndex.Layout(blockSpan = 64, nShards = 8))
+    // 3 terms over 8 shards → some shard=S dirs do not exist
+    val dirs = (0 until 8).count(s =>
+      java.nio.file.Files.exists(java.nio.file.Paths.get(d, s"shard=$s")))
+    assert(dirs < 8)
+    assert(BlockIndex.readBlocks(spark, d).count() > 0)
+    assert(BlockIndex.bm25TopK(spark, d, "alpha", 5).count() == 1)
+    assert(BlockIndex.bm25TopK(spark, d, "zzz_oov_term", 5).count() == 0)
+    // the doc-length parquet serves the bundle (no full-index decode)
+    val bundle = BlockIndex.asBundle(spark, d, persist = false)
+    assert(bundle.docLens.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap ==
+      Map(1L -> 3, 2L -> 2))
+  }
+
+  test("empty corpus: build completes, stats zero, queries empty") {
+    val d = tmpDir("blockidx-empty").toString
+    BlockIndex.build(docs.where(org.apache.spark.sql.functions.lit(false)), d,
+      BlockIndex.Layout(blockSpan = 64, nShards = 4))
+    val (stats, _) = BlockIndex.readStats(d)
+    assert(stats.nDocs == 0 && stats.vocabSize == 0 && stats.totalLen == 0)
+    assert(BlockIndex.readBlocks(spark, d).count() == 0)
+    assert(BlockIndex.bm25TopK(spark, d, "anything", 5).count() == 0)
+  }
 }
