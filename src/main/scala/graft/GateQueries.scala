@@ -143,6 +143,45 @@ object GateQueries {
        |  SELECT DISTINCT doc_id, unnest(sl) AS shingle FROM shingles
        |)""".stripMargin
 
+  /** Shared text-feature CTE chain mirroring TextPipeline's punct/
+    * stopword ratios, quality score, and marker-word language ID — used
+    * by q18, q19 and q35 so the formulas live in ONE place. Final CTE:
+    * `docfeat(doc_id, text, pr, sr, lang_detected, quality)`; `quality`
+    * is rounded to 6dp exactly like TextPipeline.qualityScore (so
+    * threshold filters on it are membership-identical to the engine).
+    */
+  private lazy val DocFeatCtes: String = {
+    val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
+    val hitCols = TextPipeline.LangMarkers.map { case (lang, words) =>
+      val in = words.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(toks, t -> t IN ($in))) AS h_$lang"
+    }.mkString(", ")
+    val langs = TextPipeline.LangMarkers.map(_._1)
+    val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+    s"""base AS (
+       |  SELECT doc_id, text,
+       |    list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+       |      x -> x <> ''), x -> lower(x)) AS toks,
+       |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, text, $hitCols,
+       |    CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0.0 END AS pr,
+       |    CASE WHEN len(toks) > 0 THEN
+       |      len(list_filter(toks, t -> t IN ($sw)))::DOUBLE / len(toks)::DOUBLE
+       |      ELSE 0.0 END AS sr,
+       |    len(toks)::DOUBLE AS nt
+       |  FROM base),
+       |docfeat AS (
+       |  SELECT doc_id, text, pr, sr,
+       |    CASE WHEN $best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected,
+       |    round(least(nt / 20.0, 1.0) * (CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
+       |        + greatest(0.0, 1.0 - pr * 2.0) * 0.3
+       |        + least(1.0, sr * 4.0) * 0.3, 6) AS quality
+       |  FROM feat)""".stripMargin
+  }
+
   private def valuesOf(pairs: Seq[(String, Int)]): String =
     pairs.map { case (s, c) => s"('${s.replace("'", "''")}', $c)" }.mkString(", ")
 
@@ -424,54 +463,17 @@ object GateQueries {
         round(TextPipeline.stopwordRatio(col("text")), 6).as("stopword_ratio"),
         TextPipeline.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id")),
-      Some {
-        val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
-        s"""WITH base AS (
-           |  SELECT doc_id, text,
-           |    list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
-           |      x -> x <> ''), x -> lower(x)) AS toks,
-           |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
-           |  FROM documents),
-           |ratios AS (
-           |  SELECT doc_id,
-           |    CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0.0 END AS pr,
-           |    CASE WHEN len(toks) > 0 THEN
-           |      len(list_filter(toks, t -> t IN ($sw)))::DOUBLE / len(toks)::DOUBLE
-           |      ELSE 0.0 END AS sr,
-           |    len(toks)::DOUBLE AS nt
-           |  FROM base)
-           |SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
-           |  round(least(nt / 20.0, 1.0) * (CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
-           |      + greatest(0.0, 1.0 - pr * 2.0) * 0.3
-           |      + least(1.0, sr * 4.0) * 0.3, 6) AS quality
-           |FROM ratios ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH $DocFeatCtes
+              |SELECT doc_id, round(pr, 6) AS punct_ratio,
+              |  round(sr, 6) AS stopword_ratio, quality
+              |FROM docfeat ORDER BY doc_id""".stripMargin)),
 
     Gate("q19_langid",
       (s, d) => documents(s, d).select(
         col("doc_id"), TextPipeline.langId(col("text")).as("lang_detected"))
         .orderBy(col("doc_id")),
-      Some {
-        val hitCols = TextPipeline.LangMarkers.map { case (lang, words) =>
-          val in = words.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(toks, t -> t IN ($in))) AS h_$lang"
-        }.mkString(",\n    ")
-        val langs = TextPipeline.LangMarkers.map(_._1)
-        val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
-        val cases = langs.map(l => s"WHEN h_$l = best THEN '$l'").mkString(" ")
-        s"""WITH base AS (
-           |  SELECT doc_id, list_transform(list_filter(regexp_split_to_array(
-           |    text, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x)) AS toks
-           |  FROM documents),
-           |hits AS (
-           |  SELECT doc_id,
-           |    $hitCols
-           |  FROM base),
-           |scored AS (SELECT *, $best AS best FROM hits)
-           |SELECT doc_id,
-           |  CASE WHEN best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected
-           |FROM scored ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""WITH $DocFeatCtes
+              |SELECT doc_id, lang_detected FROM docfeat ORDER BY doc_id""".stripMargin)),
 
     Gate("q20_fingerprint",
       (s, d) => documents(s, d).select(
@@ -762,46 +764,18 @@ object GateQueries {
           .select(col("id").as("doc_id"))
           .orderBy(col("doc_id"))
       },
-      Some {
-        val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
-        val hitCols = TextPipeline.LangMarkers.map { case (lang, words) =>
-          val in = words.map(w => s"'$w'").mkString(", ")
-          s"len(list_filter(toks, t -> t IN ($in))) AS h_$lang"
-        }.mkString(", ")
-        val langs = TextPipeline.LangMarkers.map(_._1)
-        val best = s"greatest(${langs.map("h_" + _).mkString(", ")})"
-        val cases = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
-        s"""WITH base AS (
-           |  SELECT doc_id, text,
-           |    list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
-           |      x -> x <> ''), x -> lower(x)) AS toks,
-           |    length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE AS n_punct
-           |  FROM documents),
-           |feat AS (
-           |  SELECT doc_id, text, $hitCols,
-           |    CASE WHEN length(text) > 0 THEN n_punct / length(text)::DOUBLE ELSE 0.0 END AS pr,
-           |    CASE WHEN len(toks) > 0 THEN
-           |      len(list_filter(toks, t -> t IN ($sw)))::DOUBLE / len(toks)::DOUBLE
-           |      ELSE 0.0 END AS sr,
-           |    len(toks)::DOUBLE AS nt
-           |  FROM base),
-           |scored AS (
-           |  SELECT doc_id, text,
-           |    CASE WHEN $best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_detected,
-           |    round(least(nt / 20.0, 1.0) * (CASE WHEN nt > 10000 THEN 0.5 ELSE 1.0 END) * 0.4
-           |        + greatest(0.0, 1.0 - pr * 2.0) * 0.3
-           |        + least(1.0, sr * 4.0) * 0.3, 6) AS quality
-           |  FROM feat),
-           |kept AS (
-           |  SELECT doc_id, text FROM scored
-           |  WHERE lang_detected = 'en' AND quality >= 0.5),
-           |canon AS (
-           |  SELECT sha256(text) AS sha, min(doc_id) AS canonical_id
-           |  FROM kept GROUP BY sha256(text))
-           |SELECT k.doc_id FROM kept k
-           |JOIN canon c ON sha256(k.text) = c.sha AND k.doc_id = c.canonical_id
-           |ORDER BY k.doc_id""".stripMargin
-      }))
+      // both sides filter on the 6dp-ROUNDED quality (the engine's
+      // qualityScore rounds internally), so membership is identical
+      Some(s"""WITH $DocFeatCtes,
+              |kept AS (
+              |  SELECT doc_id, text FROM docfeat
+              |  WHERE lang_detected = 'en' AND quality >= 0.5),
+              |canon AS (
+              |  SELECT sha256(text) AS sha, min(doc_id) AS canonical_id
+              |  FROM kept GROUP BY sha256(text))
+              |SELECT k.doc_id FROM kept k
+              |JOIN canon c ON sha256(k.text) = c.sha AND k.doc_id = c.canonical_id
+              |ORDER BY k.doc_id""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries).map(g => g.name -> g.run).toMap

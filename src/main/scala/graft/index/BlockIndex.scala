@@ -132,7 +132,14 @@ object BlockIndex {
     val done = readManifest(dir).map(_.shard).toSet
     val pending0 = (0 until layout.nShards).filterNot(done)
     val pending = limitShards.fold(pending0)(pending0.take)
-    if (pending.isEmpty) return readManifest(dir)
+    if (pending.isEmpty) {
+      // a kill between the last manifest append and the stats/doclens
+      // write leaves a complete manifest but no completion artifacts —
+      // finish that tail here instead of early-returning forever-broken
+      if (!Files.exists(Paths.get(dir, StatsName)))
+        writeCompletionArtifacts(docs, dir, layout)
+      return readManifest(dir)
+    }
 
     val blocks = blocksOf(docs, layout)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -158,23 +165,31 @@ object BlockIndex {
         }
       }
       // doc lengths + corpus stats last — their presence marks the index
-      // complete. The doc-length table is materialized alongside the
-      // blocks so block-backed bundles join a tiny parquet instead of
-      // decoding the whole index for a distinct() (and stats read it
-      // back, saving a second tokenization pass over the corpus).
-      if (readManifest(dir).size == layout.nShards) {
-        docs.select(col("docId"),
-          Analyzer.wordCountCol(col("body")).cast("int").as("len"))
-          .write.mode("overwrite").parquet(s"$dir/$DocLensName")
-        val Row(nDocs: Long, totalLen: Long) = spark.read
-          .parquet(s"$dir/$DocLensName")
-          .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)))
-          .head()
-        val vocab = readManifest(dir).map(_.terms).sum // terms are hash-disjoint across shards
-        writeStats(dir, CorpusStats(nDocs, vocab, totalLen), layout)
-      }
+      // complete
+      if (readManifest(dir).size == layout.nShards)
+        writeCompletionArtifacts(docs, dir, layout)
       readManifest(dir)
     } finally blocks.unpersist()
+  }
+
+  /** The completion artifacts: the materialized doc-length table (so
+    * block-backed bundles join a tiny parquet instead of decoding the
+    * whole index) and the stats file, whose presence marks the index
+    * complete. Stats read the doc-length parquet back, saving a second
+    * tokenization pass over the corpus. Idempotent.
+    */
+  private def writeCompletionArtifacts(
+      docs: DataFrame, dir: String, layout: Layout): Unit = {
+    val spark = docs.sparkSession
+    docs.select(col("docId"),
+      Analyzer.wordCountCol(col("body")).cast("int").as("len"))
+      .write.mode("overwrite").parquet(s"$dir/$DocLensName")
+    val Row(nDocs: Long, totalLen: Long) = spark.read
+      .parquet(s"$dir/$DocLensName")
+      .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)))
+      .head()
+    val vocab = readManifest(dir).map(_.terms).sum // terms are hash-disjoint across shards
+    writeStats(dir, CorpusStats(nDocs, vocab, totalLen), layout)
   }
 
   // ------------------------------------------------------------------

@@ -82,13 +82,17 @@ object ScaleCheck {
         .map(r => (r.getLong(0), r.getDouble(1)))
       val wand = BlockIndex.bm25TopK(spark, idxDir, q, 20).collect()
         .map(r => (r.getLong(0), r.getDouble(1)))
+      // zip would silently truncate if WAND dropped qualifying docs
+      check(s"wand-count('$q')")(wand.length == naive.length)
       check(s"wand-score('$q')")(
         wand.zip(naive).forall { case ((_, a), (_, b)) => math.abs(a - b) < 1e-9 })
+      // the LAST fetched element may tie with the unfetched (k+1)-th
+      // result, so it never belongs to the comparable prefix
       def distinctPrefix(xs: Array[(Long, Double)]): Seq[Long] = {
         val out = Seq.newBuilder[Long]
         var i = 0
-        while (i < xs.length &&
-          (i + 1 >= xs.length || math.abs(xs(i)._2 - xs(i + 1)._2) > 1e-9)) {
+        while (i + 1 < xs.length &&
+          math.abs(xs(i)._2 - xs(i + 1)._2) > 1e-9) {
           out += xs(i)._1; i += 1
         }
         out.result()

@@ -162,6 +162,21 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(resumed == cold)
   }
 
+  test("resume completes stats/doclens if killed after the last manifest append") {
+    val d = tmpDir("blockidx-tail").toString
+    BlockIndex.build(docs, d, layout)
+    // simulate the kill window: manifest complete, completion artifacts gone
+    import java.nio.file.{Files => F, Paths => P}
+    F.delete(P.get(d, BlockIndex.StatsName))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      P.get(d, BlockIndex.DocLensName).toFile)
+    val m = BlockIndex.build(docs, d, layout) // must repair, not early-return
+    assert(m.size == layout.nShards)
+    assert(F.exists(P.get(d, BlockIndex.StatsName)))
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir))
+    assert(BlockIndex.bm25TopK(spark, d, "table", 3).count() == 3)
+  }
+
   test("driver-local shardOf == Spark's pmod(xxhash64(term), n)") {
     val terms = Seq("spark", "table", "a", "überprüfen", "id123", "",
       "zzzznope", "x997")
