@@ -96,7 +96,13 @@ object Bench {
         embeddings, 10).count()),
       "ann_lsh_top10" -> (() => Similarity.lshTopK(
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
-        embeddings, 10, dim = 64, nPlanes = 4).count()))
+        embeddings, 10, dim = 64, nPlanes = 4).count()),
+      "ann_ivf_top10" -> (() => {
+        val centroids = Similarity.ivfCentroids(embeddings, dim = 64, k = 8, iters = 3)
+        Similarity.ivfTopK(
+          embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          embeddings, centroids, k = 10, nprobe = 2).count()
+      }))
 
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:

@@ -642,6 +642,23 @@ object GateQueries {
              |SELECT query_id, vec_id, sim, rank FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // IVF ANN — the k-means coarse quantizer is not reasonably
+    // SQL-expressible, so no oracle: the driver records a rows-only
+    // check; exactness at nprobe=K vs brute force is spec-asserted
+    // (PipelineSpec).
+    Gate("q27b_ivf_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val centroids = Similarity.ivfCentroids(e, dim = 64, k = 8, iters = 3)
+        Similarity.ivfTopK(
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          e, centroids, k = 10, nprobe = 2)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      None),
+
     // ---------------- multimodal plumbing ----------------
 
     Gate("q28_multimodal_meta",

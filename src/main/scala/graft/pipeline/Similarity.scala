@@ -113,6 +113,112 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------------
+  // IVF (inverted-file) ANN — coarse quantizer + probed posting lists
+  // ---------------------------------------------------------------------
+
+  /** Deterministic Lloyd's k-means over the embedding column: centroids
+    * initialize from the K smallest-id vectors (no RNG → byte-stable
+    * across runs/clusters), then `iters` rounds of distributed
+    * assign-and-average. Assignment is by cosine, matching the query
+    * metric. Returns K dense centroid vectors on the driver (K·dim
+    * doubles — trivially broadcastable).
+    */
+  def ivfCentroids(
+      corpus: DataFrame, dim: Int, k: Int, iters: Int = 5,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val c = corpus.select(col(corpusIdCol).cast("long").as("id"), col(vecCol).as("v"))
+    var centroids: Array[Array[Double]] = c.orderBy(col("id")).limit(k).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    for (_ <- 1 to iters) {
+      val assigned = assignClusters(c, centroids)
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = centroids.map(_.clone())
+      sums.foreach { r =>
+        val (cl, pos) = (r.getInt(0), r.getInt(1))
+        next(cl)(pos) = r.getDouble(2) / r.getLong(3)
+      }
+      centroids = next
+    }
+    centroids
+  }
+
+  /** (id, v, cluster) — nearest centroid by cosine; ties resolved by the
+    * lowest cluster index (greatest() scans make that deterministic via
+    * the strict > comparison below).
+    */
+  private def assignClusters(c: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
+    val sims = centroids.zipWithIndex.map { case (ct, i) =>
+      val w = array(ct.map(lit): _*)
+      val d = aggregate(zip_with(transform(col("v"), x => x.cast("double")), w,
+        (x, y) => x * y), lit(0.0), (a, x) => a + x)
+      val n = math.sqrt(ct.map(x => x * x).sum)
+      (if (n > 0) d / (norm(col("v")) * n) else lit(0.0)).as(s"__s$i")
+    }
+    val withSims = c.select(col("id") +: col("v") +: sims.toSeq: _*)
+    val best = (1 until centroids.length).foldLeft(
+      struct(col("__s0").as("s"), lit(0).as("i"))) { (acc, i) =>
+      when(col(s"__s$i") > acc.getField("s"),
+        struct(col(s"__s$i").as("s"), lit(i).as("i"))).otherwise(acc)
+    }
+    withSims.withColumn("cluster", best.getField("i"))
+      .select(col("id"), col("v"), col("cluster"))
+  }
+
+  /** IVF search: corpus pre-assigned to inverted lists by nearest
+    * centroid; each query probes its `nprobe` closest lists only. At
+    * scale the assignment is computed once and the corpus is written
+    * bucketed by `cluster` (the same pattern as the term-sharded text
+    * index), so a probe reads nprobe/K of the data. `nprobe = K` scans
+    * everything and must equal the brute-force ranking exactly (the
+    * spec's correctness anchor); recall degrades gracefully as nprobe
+    * shrinks.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: Array[Array[Double]],
+      k: Int, nprobe: Int,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      corpusIdCol: String = "vec_id"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = assignClusters(
+      corpus.select(col(corpusIdCol).cast("long").as("id"), col(vecCol).as("v")),
+      centroids)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("v", "__cv")
+    // queries are few: pick their nprobe nearest lists on the driver
+    val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv")).collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+    }
+    val probes = qRows.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      centroids.zipWithIndex
+        .map { case (ct, i) => (i, cos(qv, ct)) }
+        .sortBy { case (i, s) => (-s, i) }
+        .take(nprobe)
+        .map { case (i, _) => (r.getLong(0), i) }
+    }.toSeq.toDF("query_id", "cluster")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val scored = assigned
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+      .distinct() // a vector lives in one list, but keep the plan safe
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ minSim),
     * blocked by SRP bucket: only within-bucket pairs are scored. With
     * nPlanes=4 this prunes ~15/16 of the O(n²) pair space while keeping

@@ -123,6 +123,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.take(2) == Seq(1L, 2L))
   }
 
+  test("IVF ANN: nprobe=K equals brute force exactly; small nprobe keeps near hits") {
+    // 30 vectors in 3 well-separated directions + per-vector jitter
+    val dirs = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val cvecs = (0 until 30).map { i =>
+      val d = dirs(i % 3)
+      val jit = 0.01 * ((i * 7) % 5)
+      (i.toLong, d.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 3) jit else 0.0)).toFloat })
+    }.toDF("vec_id", "embedding")
+    val centroids = Similarity.ivfCentroids(cvecs, dim = 4, k = 3, iters = 4)
+    val qs = cvecs.where(col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    val brute = Similarity.bruteForceTopK(qs, cvecs, k = 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    // full probe == brute force, rank for rank
+    val full = Similarity.ivfTopK(qs, cvecs, centroids, k = 5, nprobe = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    assert(full == brute)
+    // single probe: each query's own direction-mates dominate its top-5
+    val single = Similarity.ivfTopK(qs, cvecs, centroids, k = 5, nprobe = 1)
+      .collect()
+    assert(single.length == 15)
+    single.foreach { r =>
+      val (q, v) = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      assert(v % 3 == q % 3, s"query $q probed into a foreign cluster: $v")
+    }
+  }
+
   test("cosine near-dup pairs with SRP blocking") {
     val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, minSim = 0.9, nPlanes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
