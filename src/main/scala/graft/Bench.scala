@@ -56,6 +56,7 @@ object Bench {
 
     val documents = GateQueries.documents(spark, sfDir)
     val embeddings = GateQueries.embeddings(spark, sfDir)
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
 
     val benches: Seq[(String, () => Long)] = Seq(
       "bm25_wand_top10" ->
@@ -97,12 +98,15 @@ object Bench {
       "ann_lsh_top10" -> (() => Similarity.lshTopK(
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
         embeddings, 10, dim = 64, nPlanes = 4).count()),
-      "ann_ivf_top10" -> (() => {
-        val centroids = Similarity.ivfCentroids(embeddings, dim = 64, k = 8, iters = 3)
-        Similarity.ivfTopK(
-          embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
-          embeddings, centroids, k = 10, nprobe = 2).count()
-      }))
+      // IVF: the quantizer + bucketed lists are a BUILD-time artifact
+      // (timed separately); the query path reads only the probed lists
+      "ivf_build" -> (() => {
+        Similarity.ivfBuild(embeddings, ivfDir, dim = 64, k = 8, iters = 3)
+        1L
+      }),
+      "ann_ivf_top10" -> (() => Similarity.ivfTopKIndexed(spark, ivfDir,
+        embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        k = 10, nprobe = 2).count()))
 
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:

@@ -122,10 +122,13 @@ object Analyzer {
     transform(filter(split(c, TokenPattern), t => t =!= lit("")), t => lower(t))
 
   /** tokens keeping `*` / `?` (query-side analyzer, rarely needed as a
-    * column but provided for symmetry).
+    * column but provided for symmetry). Split FIRST, lowercase after —
+    * the same order as [[tokensColRegex]] and the driver-side
+    * [[tokenizeWildcard]] (lowercasing first would let characters whose
+    * lowercase form is ASCII, e.g. U+212A KELVIN SIGN, leak into tokens).
     */
   def wildcardTokensCol(c: Column): Column =
-    filter(split(lower(c), WildcardTokenPattern), t => t =!= lit(""))
+    transform(filter(split(c, WildcardTokenPattern), t => t =!= lit("")), t => lower(t))
 
   /** Whitespace word count — the document-length definition. */
   def wordCountCol(c: Column): Column = wordCountUdf(c)

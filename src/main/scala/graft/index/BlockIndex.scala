@@ -2,7 +2,7 @@ package graft.index
 
 import graft.CorpusStats
 import graft.analysis.Analyzer
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -66,8 +66,9 @@ object BlockIndex {
   final case class ShardEntry(shard: Int, rows: Long, terms: Long, blocks: Long, wallMs: Long)
 
   // ------------------------------------------------------------------
-  // Codecs as UDFs (narrow, per-group; the only non-Column code on the
-  // build path — encoding variable-length bytes needs real byte buffers)
+  // Codecs as UDFs (narrow, per-group — encoding variable-length bytes
+  // needs real byte buffers; the build path also runs Analyzer's scanner
+  // UDFs for tokenize/word-count, see the Analyzer header for why)
   // ------------------------------------------------------------------
 
   private val encodeUdf = udf { rows: Seq[Row] =>
@@ -197,18 +198,36 @@ object BlockIndex {
   // ------------------------------------------------------------------
 
   private def appendManifest(dir: String, e: ShardEntry): Unit = {
-    val line = s"""{"shard":${e.shard},"rows":${e.rows},"terms":${e.terms},"blocks":${e.blocks},"wallMs":${e.wallMs}}\n"""
-    Files.write(Paths.get(dir, ManifestName), line.getBytes(StandardCharsets.UTF_8),
+    val p = Paths.get(dir, ManifestName)
+    // if a previous run died mid-append the file may end with a torn
+    // partial line — start this entry on a fresh line so the torn one
+    // stays isolated (and gets dropped by readManifest's key check)
+    val needsNl = Files.exists(p) && {
+      val bytes = Files.readAllBytes(p)
+      bytes.nonEmpty && bytes.last != '\n'.toByte
+    }
+    val line = (if (needsNl) "\n" else "") +
+      s"""{"shard":${e.shard},"rows":${e.rows},"terms":${e.terms},"blocks":${e.blocks},"wallMs":${e.wallMs}}\n"""
+    Files.write(p, line.getBytes(StandardCharsets.UTF_8),
       java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
   }
 
+  /** Manifest lines are appended non-atomically, so a kill mid-append can
+    * leave a torn trailing line. Tolerate it: a line missing any required
+    * key is DROPPED, which marks its shard as not-done — the resume path
+    * then rebuilds that shard (idempotent overwrite) instead of crashing
+    * every subsequent build() of the directory.
+    */
   def readManifest(dir: String): Seq[ShardEntry] = {
     val p = Paths.get(dir, ManifestName)
     if (!Files.exists(p)) return Seq.empty
     val re = """"(\w+)":(\d+)""".r
-    Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).map { l =>
+    val required = Seq("shard", "rows", "terms", "blocks", "wallMs")
+    Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).flatMap { l =>
       val kv = re.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toLong).toMap
-      ShardEntry(kv("shard").toInt, kv("rows"), kv("terms"), kv("blocks"), kv("wallMs"))
+      if (required.forall(kv.contains))
+        Some(ShardEntry(kv("shard").toInt, kv("rows"), kv("terms"), kv("blocks"), kv("wallMs")))
+      else None
     }
   }
 
@@ -305,14 +324,31 @@ object BlockIndex {
     *      top k); the survivors are scored exactly and the global top-k
     *      returned. Result is EXACT — pruning, not approximation.
     *
-    * Scale: the per-query driver state is |query terms| · df/blockSpan
-    * metadata rows; decode + scoring touch only surviving blocks, and all
-    * blocks of one blockId land in the same aggregation key range.
+    * Scale: the driver never collects per-block metadata proportional to
+    * df. Its state per query is bounded: a per-TERM envelope (≤ |terms|
+    * rows), the top-2k phase-1 blocks, the k θ scores, and at most
+    * `SurvivorCap`+1 surviving block ids. Block upper bounds are computed
+    * DISTRIBUTED (a metadata-only aggregation — the parquet scan never
+    * touches the posting bytes), so a stop-word-grade term with df ≈
+    * 10^11 adds zero driver memory; when more than `SurvivorCap` blocks
+    * survive θ-pruning the code scores all candidate blocks instead
+    * (in that regime pruning saves nothing anyway).
     *
     * IDF uses the reference's N = vocabulary size quirk
     * (reference index_inverted.go:128-135), so ranks match the reference
     * and the naive [[graft.query.QueryEngine.bm25Query]] exactly.
     */
+  /** Surviving-block isin cap: above this, θ-pruning stops paying for the
+    * filter and the query scores every candidate block. Bounds the only
+    * driver collect whose size depends on the score distribution.
+    */
+  val SurvivorCap = 4096
+
+  /** Driver-collected metadata row count of the LAST bm25TopK call —
+    * instrumentation for the boundedness spec, not an API.
+    */
+  @volatile private[graft] var lastDriverMetaRows: Long = 0L
+
   def bm25TopK(
       spark: SparkSession, dir: String, query: String, k: Int,
       k1: Double = 0.9, b: Double = 0.4): DataFrame = {
@@ -333,83 +369,96 @@ object BlockIndex {
       .parquet(shardPaths: _*)
       .where(col("term").isin(terms: _*))
 
-    // ---- driver-side metadata (bytes column never read) ----
-    final case class M(term: String, blockId: Long, n: Int,
-        maxTf: Int, minTf: Int, minDl: Int, maxDl: Int)
-    val meta = termBlocks
-      .select("term", "blockId", "n", "maxTf", "minTf", "minDl", "maxDl").collect()
-      .map(r => M(r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3),
-        r.getInt(4), r.getInt(5), r.getInt(6)))
-    if (meta.isEmpty) return emptyOut
+    // ---- per-term envelope: the only unconditional collect, ≤ |terms|
+    // rows regardless of df (bytes column never read) ----
+    val env = termBlocks.groupBy(col("term"))
+      .agg(sum(col("n").cast("long")).as("df"), count(lit(1)).as("nBlocks"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    lastDriverMetaRows = env.size.toLong
+    if (env.isEmpty) return emptyOut
+    val df = env.view.mapValues(_._1).toMap
+    val totalPostings = df.values.sum
+    val totalTermBlocks = env.values.map(_._2).sum // ≥ distinct blockIds
 
-    val df = meta.groupBy(_.term).view.mapValues(_.map(_.n.toLong).sum).toMap
     def idf(t: String): Double =
       if (stats.vocabSize == 0 || df.getOrElse(t, 0L) == 0L) 0.0
       else math.log10(stats.vocabSize.toDouble / df(t).toDouble)
     val avgdl = stats.avgdl
-    // tf-saturation factor: positive, ↑ in tf, ↓ in dl
-    def sat(tf: Int, dl: Int): Double =
-      (k1 + 1) * tf / (k1 * ((1 - b) + b * dl / avgdl) + tf)
-    /** Max contribution of `t` over docs in this block. The reference's
-      * vocabulary-size IDF (N = #terms) goes NEGATIVE when df > vocab —
-      * common on small-vocab corpora — so the extremal (tf, dl) corner
-      * flips with the sign of idf.
-      */
-    def partialUb(m: M): Double = {
-      val i = qcnt(m.term) * idf(m.term)
-      if (i >= 0) i * sat(m.maxTf, m.minDl) else i * sat(m.minTf, m.maxDl)
-    }
-
-    // Per-block UB over docs: a doc absent from a term contributes 0, so
-    // positive per-term bounds add up; if every term's bound is negative
-    // the best doc still matches ≥1 term (blocks hold only matching docs)
-    // and the max single negative bound dominates.
-    val blockUb: Map[Long, Double] = meta
-      .groupBy(_.blockId).view
-      .mapValues { ms =>
-        val ubs = ms.map(partialUb)
-        val pos = ubs.filter(_ > 0).sum
-        if (ubs.exists(_ >= 0)) pos else ubs.max
-      }
-      .toMap
-    val blockDocs: Map[Long, Int] = meta.groupBy(_.blockId).view
-      .mapValues(_.map(_.n).max).toMap // ≥ distinct docs per block / term
 
     val idfDf = broadcast(terms.map(t => (t, idf(t), qcnt(t))).toDF("term", "idf", "qcnt"))
-    def scoreBlocks(blockIds: Seq[Long]): DataFrame = {
-      val sel = if (blockIds.size == blockUb.size) termBlocks
-        else termBlocks.where(col("blockId").isin(blockIds: _*))
-      decodePostings(sel)
+    def scoreRel(rel: DataFrame): DataFrame =
+      decodePostings(rel)
         .join(idfDf, "term")
         .groupBy(col("docId"))
         .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
           (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)) + col("tf")))
           .as("score"))
-    }
+    def topK(rel: DataFrame): DataFrame =
+      scoreRel(rel).orderBy(col("score").desc, col("docId").asc).limit(k)
 
-    val ranked = blockUb.toSeq.sortBy { case (id, ub) => (-ub, id) }
     // Small candidate sets: the two-phase pruning cannot save more than it
-    // costs (an extra Spark job + driver collect) — score everything.
-    if (meta.map(_.n.toLong).sum <= 16L * k || ranked.size <= 8) {
-      return scoreBlocks(ranked.map(_._1))
-        .orderBy(col("score").desc, col("docId").asc)
-        .limit(k)
-    }
-    // phase 1: enough highest-UB blocks to guarantee ≥ k docs (2× slack)
+    // costs (extra metadata jobs) — score everything.
+    if (totalPostings <= 16L * k || totalTermBlocks <= 8) return topK(termBlocks)
+
+    // ---- distributed per-block upper bounds (metadata-only agg) ----
+    // Max contribution of a term over docs in its block. The reference's
+    // vocabulary-size IDF (N = #terms) goes NEGATIVE when df > vocab —
+    // common on small-vocab corpora — so the extremal (tf, dl) corner
+    // flips with the sign of idf. sat() is positive, ↑ in tf, ↓ in dl.
+    def sat(tf: Column, dl: Column): Column =
+      lit(k1 + 1) * tf / (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)) + tf)
+    val iqDf = broadcast(terms.map(t => (t, qcnt(t) * idf(t))).toDF("term", "iq"))
+    // Per-block UB over docs: a doc absent from a term contributes 0, so
+    // positive per-term bounds add up; if every term's bound is negative
+    // the best doc still matches ≥1 term (blocks hold only matching docs)
+    // and the max single negative bound dominates.
+    val blockUbDf = termBlocks
+      .select("term", "blockId", "n", "maxTf", "minTf", "minDl", "maxDl")
+      .join(iqDf, "term")
+      .withColumn("pub", when(col("iq") >= 0,
+          col("iq") * sat(col("maxTf").cast("double"), col("minDl").cast("double")))
+        .otherwise(
+          col("iq") * sat(col("minTf").cast("double"), col("maxDl").cast("double"))))
+      .groupBy(col("blockId"))
+      .agg(
+        sum(when(col("pub") > 0, col("pub")).otherwise(0.0)).as("pos"),
+        max(col("pub")).as("maxPub"),
+        max(when(col("pub") >= 0, 1).otherwise(0)).as("anyNonNeg"),
+        max(col("n")).as("nDocs"))
+      .withColumn("ub",
+        when(col("anyNonNeg") === 1, col("pos")).otherwise(col("maxPub")))
+
+    // phase 1: enough highest-UB blocks to cover ≥ 2k docs. TakeOrdered
+    // (orderBy+limit) keeps the collect ≤ 2k rows — each block holds ≥ 1
+    // doc, and disjoint blockIds hold disjoint docs.
+    val top = blockUbDf.orderBy(col("ub").desc, col("blockId").asc)
+      .select(col("blockId"), col("ub"), col("nDocs"))
+      .limit(2 * k).collect()
+    lastDriverMetaRows += top.length
     var cum = 0L
-    val phase1 = ranked.takeWhile { case (id, _) =>
-      val take = cum < 2L * k; cum += blockDocs(id); take
-    }.map(_._1)
+    val phase1: Seq[Long] = top.takeWhile { r =>
+      val take = cum < 2L * k; cum += r.getInt(2); take
+    }.map(_.getLong(0)).toSeq
+    val phase1Covers = top.length < 2 * k && phase1.length == top.length
     val theta: Double =
-      if (phase1.size == ranked.size) Double.NegativeInfinity
+      if (phase1Covers) Double.NegativeInfinity
       else {
-        val top = scoreBlocks(phase1)
-          .orderBy(col("score").desc, col("docId").asc).limit(k).collect()
-        if (top.length < k) Double.NegativeInfinity else top.last.getDouble(1)
+        val t = topK(termBlocks.where(col("blockId").isin(phase1: _*))).collect()
+        lastDriverMetaRows += t.length
+        if (t.length < k) Double.NegativeInfinity else t.last.getDouble(1)
       }
-    val keep = ranked.filter { case (id, ub) => ub >= theta || phase1.contains(id) }.map(_._1)
-    scoreBlocks(keep)
-      .orderBy(col("score").desc, col("docId").asc)
-      .limit(k)
+    if (theta == Double.NegativeInfinity) return topK(termBlocks)
+
+    // survivors: every block whose UB reaches θ (a block with ub < θ
+    // cannot contain a top-k doc; a phase-1 top-k doc's own block has
+    // ub ≥ its score ≥ θ, so nothing is lost). Collect at most
+    // SurvivorCap ids for a pushed-down isin filter; beyond the cap the
+    // filter would not pay, so score all candidate blocks.
+    val surv = blockUbDf.where(col("ub") >= theta).select(col("blockId"))
+      .limit(SurvivorCap + 1).collect().map(_.getLong(0))
+    lastDriverMetaRows += surv.length
+    if (surv.length > SurvivorCap) topK(termBlocks)
+    else topK(termBlocks.where(col("blockId").isin(surv.toSeq: _*)))
   }
 }

@@ -71,7 +71,10 @@ object IndexBuilder {
     */
   private[index] def ensureParallelism(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // planned partition count straight off the physical plan — metadata
+    // only, no job, and no Dataset.rdd deserialization step
+    val planned = df.queryExecution.toRdd.getNumPartitions
+    if (planned < target) df.repartition(target) else df
   }
 
   def build(docs0: DataFrame, k: Int = 3, persist: Boolean = true): IndexBundle = {

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -147,9 +147,10 @@ object Similarity {
     centroids
   }
 
-  /** (id, v, cluster) — nearest centroid by cosine; ties resolved by the
-    * lowest cluster index (greatest() scans make that deterministic via
-    * the strict > comparison below).
+  /** (id, v, cluster) — nearest centroid by 6dp-ROUNDED cosine; ties
+    * resolved by the lowest cluster index (the strict > in the fold keeps
+    * the earlier centroid). Rounding makes the assignment reproducible
+    * across engines — the DuckDB oracle recomputes exactly this rule.
     */
   private def assignClusters(c: DataFrame, centroids: Array[Array[Double]]): DataFrame = {
     val sims = centroids.zipWithIndex.map { case (ct, i) =>
@@ -157,7 +158,7 @@ object Similarity {
       val d = aggregate(zip_with(transform(col("v"), x => x.cast("double")), w,
         (x, y) => x * y), lit(0.0), (a, x) => a + x)
       val n = math.sqrt(ct.map(x => x * x).sum)
-      (if (n > 0) d / (norm(col("v")) * n) else lit(0.0)).as(s"__s$i")
+      (if (n > 0) round(d / (norm(col("v")) * n), 6) else lit(0.0)).as(s"__s$i")
     }
     val withSims = c.select(col("id") +: col("v") +: sims.toSeq: _*)
     val best = (1 until centroids.length).foldLeft(
@@ -169,14 +170,103 @@ object Similarity {
       .select(col("id"), col("v"), col("cluster"))
   }
 
-  /** IVF search: corpus pre-assigned to inverted lists by nearest
-    * centroid; each query probes its `nprobe` closest lists only. At
-    * scale the assignment is computed once and the corpus is written
-    * bucketed by `cluster` (the same pattern as the term-sharded text
-    * index), so a probe reads nprobe/K of the data. `nprobe = K` scans
-    * everything and must equal the brute-force ranking exactly (the
-    * spec's correctness anchor); recall degrades gracefully as nprobe
-    * shrinks.
+  /** Corpus → (vec_id, embedding, cluster): the build-time nearest-
+    * centroid assignment. One narrow pass — no shuffle; the write side
+    * buckets by `cluster` ([[ivfBuild]]).
+    */
+  def ivfAssign(
+      corpus: DataFrame, centroids: Array[Array[Double]],
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignClusters(
+      corpus.select(col(corpusIdCol).cast("long").as("id"), col(vecCol).as("v")),
+      centroids)
+      .select(col("id").as("vec_id"), col("v").as("embedding"), col("cluster"))
+
+  /** Build a PERSISTENT IVF index at `dir` — the assignment is a
+    * build-time artifact, not a per-query recomputation:
+    *
+    *   - `centroids/`        (cluster:int, weights:array<double>) — K rows;
+    *   - `lists/cluster=N/`  the corpus bucketed by nearest centroid.
+    *
+    * This is the same artifact pattern as [[graft.index.BlockIndex]]'s
+    * term shards: a query probes only its clusters' directories (layout-
+    * level partition pruning), reading nprobe/K of the corpus instead of
+    * scanning and re-assigning everything per call.
+    *
+    * `iters = 0` skips Lloyd refinement entirely: centroids are the K
+    * smallest-id vectors verbatim (float→double casts, no arithmetic) —
+    * deterministic and exactly reconstructable in ANSI SQL, which is the
+    * oracle-gated configuration.
+    */
+  def ivfBuild(
+      corpus: DataFrame, dir: String, dim: Int, k: Int, iters: Int = 5,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = ivfCentroids(corpus, dim, k, iters, corpusIdCol, vecCol)
+    centroids.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
+      .toDF("cluster", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(corpus, centroids, corpusIdCol, vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
+    centroids
+  }
+
+  def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
+    spark.read.parquet(s"$dir/centroids").orderBy(col("cluster")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def cosLocal(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
+  }
+
+  /** nprobe nearest centroids per query — 6dp-rounded cosine, ties → the
+    * lowest cluster: the same rule as the distributed assignment, so the
+    * oracle can mirror it with a window rank.
+    */
+  private def probePairs(
+      qRows: Array[org.apache.spark.sql.Row], centroids: Array[Array[Double]],
+      nprobe: Int): Seq[(Long, Int)] =
+    qRows.toSeq.flatMap { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+      centroids.zipWithIndex
+        .map { case (ct, i) => (i, round6(cosLocal(qv, ct))) }
+        .sortBy { case (i, s) => (-s, i) }
+        .take(nprobe)
+        .map { case (i, _) => (r.getLong(0), i) }
+    }
+
+  /** Probed-list scoring shared by the in-memory and indexed paths.
+    * `assigned` = (vec_id, __cv, cluster); both the probe relation and the
+    * query vectors broadcast (tiny), the lists side streams. No distinct:
+    * a vector lives in exactly one list, so the join cannot duplicate.
+    */
+  private def scoreProbed(
+      assigned: DataFrame, queries: DataFrame, probes: DataFrame, k: Int,
+      queryIdCol: String, vecCol: String): DataFrame = {
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"))
+    val scored = assigned
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** IVF search against in-memory centroids (assignment computed on the
+    * fly — use [[ivfBuild]] + [[ivfTopKIndexed]] for the persisted path
+    * that reads only the probed lists). `nprobe = K` scans everything and
+    * must equal the brute-force ranking exactly (the spec's correctness
+    * anchor); recall degrades gracefully as nprobe shrinks.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: Array[Array[Double]],
@@ -185,38 +275,37 @@ object Similarity {
       corpusIdCol: String = "vec_id"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val assigned = assignClusters(
-      corpus.select(col(corpusIdCol).cast("long").as("id"), col(vecCol).as("v")),
-      centroids)
-      .withColumnRenamed("id", "vec_id").withColumnRenamed("v", "__cv")
-    // queries are few: pick their nprobe nearest lists on the driver
+    val assigned = ivfAssign(corpus, centroids, corpusIdCol, vecCol)
+      .withColumnRenamed("embedding", "__cv")
     val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(vecCol).as("__qv")).collect()
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na > 0 && nb > 0) d / math.sqrt(na * nb) else 0.0
-    }
-    val probes = qRows.flatMap { r =>
-      val qv = r.getSeq[Float](1).map(_.toDouble).toArray
-      centroids.zipWithIndex
-        .map { case (ct, i) => (i, cos(qv, ct)) }
-        .sortBy { case (i, s) => (-s, i) }
-        .take(nprobe)
-        .map { case (i, _) => (r.getLong(0), i) }
-    }.toSeq.toDF("query_id", "cluster")
-    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
-      col(vecCol).as("__qv"))
-    val scored = assigned
-      .join(broadcast(probes), "cluster")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
-      .distinct() // a vector lives in one list, but keep the plan safe
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    val probes = probePairs(qRows, centroids, nprobe).toDF("query_id", "cluster")
+    scoreProbed(assigned, queries, probes, k, queryIdCol, vecCol)
+  }
+
+  /** IVF search against a persisted [[ivfBuild]] index: reads ONLY the
+    * `lists/cluster=N/` directories the queries probe — nprobe/K of the
+    * corpus — and never recomputes assignment. The per-query driver work
+    * is K centroid dot products (centroids are K·dim doubles).
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int, nprobe: Int,
+      queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val centroids = readIvfCentroids(spark, dir)
+    val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv")).collect()
+    val probes = probePairs(qRows, centroids, nprobe)
+    // partitionBy writes no directory for an empty list
+    val paths = probes.map(_._2).distinct.map(c => s"$dir/lists/cluster=$c")
+      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    if (paths.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("query_id", "vec_id", "sim", "rank")
+    val assigned = spark.read.option("basePath", s"$dir/lists").parquet(paths: _*)
+      .withColumnRenamed("embedding", "__cv")
+    scoreProbed(assigned, queries, probes.toDF("query_id", "cluster"), k,
+      queryIdCol, vecCol)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ minSim),

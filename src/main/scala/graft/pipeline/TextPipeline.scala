@@ -8,11 +8,15 @@ import org.apache.spark.sql.functions._
   * on top of the engine's analyzer ([[graft.analysis.Analyzer]], which pins
   * the reference's tokenization — reference helper.go:10-18).
   *
-  * Everything here is a pure, codegen'd Column expression over one row —
-  * embarrassingly parallel, no shuffle, no UDF — so throughput scales
-  * linearly with executors and the expressions survive whole-stage codegen
-  * at 100 TB. All constants are deterministic (no RNG) so results are
-  * reproducible and oracle-checkable.
+  * Every operator here is a per-row Column expression — embarrassingly
+  * parallel, no shuffle — so throughput scales linearly with executors.
+  * Tokenization and word counting go through Analyzer's hand-rolled
+  * scanner UDFs (java.util.regex throughput is process-capped on this JVM
+  * — see the Analyzer header; semantics stay pinned by the regex reference
+  * forms and AnalyzerSpec), so expressions built on them contain those
+  * UDFs; everything else stays inside whole-stage codegen. All constants
+  * are deterministic (no RNG) so results are reproducible and
+  * oracle-checkable.
   */
 object TextPipeline {
 

@@ -90,7 +90,11 @@ object CorpusSource {
     *
     * The input is cached before the two passes so the (sampled) range
     * boundaries cannot shift between the count pass and the numbering
-    * pass.
+    * pass; once the numbered result is materialized (it is persisted and
+    * counted here, eagerly), the scratch cache is released. The RETURNED
+    * DataFrame is the cached plan — the caller owns it and may
+    * `unpersist()` when done (the usual Spark contract for a cached
+    * result).
     */
   def withDenseDocIds(
       df: DataFrame,
@@ -103,17 +107,22 @@ object CorpusSource {
       .repartitionByRange(nPart, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val counts = parted.groupBy($"__pid").count().collect()
-      .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until nPart).scanLeft(0L) { (acc, pid) =>
-      acc + counts.getOrElse(pid, 0L)
-    }
-    val offsetDf = offsets.init.zipWithIndex
-      .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
-    val w = Window.partitionBy($"__pid").orderBy(sortCols: _*)
-    parted
-      .join(broadcast(offsetDf), "__pid")
-      .withColumn("docId", row_number().over(w).cast("long") + $"__offset")
-      .drop("__pid", "__offset")
+    try {
+      val counts = parted.groupBy($"__pid").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until nPart).scanLeft(0L) { (acc, pid) =>
+        acc + counts.getOrElse(pid, 0L)
+      }
+      val offsetDf = offsets.init.zipWithIndex
+        .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
+      val w = Window.partitionBy($"__pid").orderBy(sortCols: _*)
+      val numbered = parted
+        .join(broadcast(offsetDf), "__pid")
+        .withColumn("docId", row_number().over(w).cast("long") + $"__offset")
+        .drop("__pid", "__offset")
+        .persist()
+      numbered.count() // materialize so parted can be dropped below
+      numbered
+    } finally parted.unpersist()
   }
 }

@@ -143,6 +143,37 @@ class BlockIndexSpec extends AnyFunSuite {
     engine.index.unpersist()
   }
 
+  test("WAND big path: driver metadata bounded for stop-word-grade terms; result == naive") {
+    val sp = spark
+    import sp.implicits._
+    // 2000 docs, every one contains the stop word; span 4 → 500 blocks
+    val n = 2000
+    val sdocs = (1 to n).map(i =>
+      (i.toLong, "", s"stopword unique$i filler${i % 7}", ""))
+      .toDF("docId", "title", "body", "url")
+    val d = tmpDir("blockidx-stopword").toString
+    BlockIndex.build(sdocs, d, BlockIndex.Layout(blockSpan = 4, nShards = 4))
+    val engine = new QueryEngine(IndexBuilder.build(sdocs, persist = false))
+    val k = 3
+    for (q <- Seq("stopword", "stopword filler3", "filler5 unique77")) {
+      val wand = BlockIndex.bm25TopK(spark, d, q, k).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      // df(stopword) = 2000 → 500 (term, block) metadata rows exist; the
+      // driver must stay bounded: per-term envelope + ≤2k phase-1 rows +
+      // k θ scores + ≤SurvivorCap+1 survivor ids
+      assert(BlockIndex.lastDriverMetaRows <=
+        3 + 2 * k + k + BlockIndex.SurvivorCap + 1,
+        s"q='$q' driver collected ${BlockIndex.lastDriverMetaRows} metadata rows")
+      val naive = engine.bm25Query(q, Some(k)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      assert(wand.map(_._1).toSeq == naive.map(_._1).toSeq, s"rank mismatch q='$q'")
+      wand.zip(naive).foreach { case ((_, ws), (_, ns)) =>
+        assert(math.abs(ws - ns) < 1e-9, s"score mismatch q='$q'")
+      }
+    }
+    engine.index.unpersist()
+  }
+
   test("resume overwrites partially-written shards not in the manifest") {
     val d = tmpDir("blockidx-partial").toString
     BlockIndex.build(docs, d, layout, limitShards = Some(2))
@@ -155,6 +186,25 @@ class BlockIndexSpec extends AnyFunSuite {
     java.nio.file.Files.write(vdir.resolve("part-garbage.parquet"),
       Array[Byte](1, 2, 3))
     BlockIndex.build(docs, d, layout)
+    val resumed = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val cold = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, coldDir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(resumed == cold)
+  }
+
+  test("torn trailing manifest line is tolerated: shard rebuilt, build recovers") {
+    val d = tmpDir("blockidx-torn").toString
+    BlockIndex.build(docs, d, layout, limitShards = Some(3))
+    // simulate a kill mid-append: a partial line with no complete key set
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, BlockIndex.ManifestName),
+      "{\"shard\":5,\"rows\":12".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    val parsed = BlockIndex.readManifest(d)
+    assert(parsed.size == 3 && !parsed.exists(_.shard == 5)) // torn line dropped
+    val m = BlockIndex.build(docs, d, layout) // must not throw; rebuilds shard 5
+    assert(m.map(_.shard).sorted == (0 until layout.nShards))
     val resumed = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
     val cold = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, coldDir))

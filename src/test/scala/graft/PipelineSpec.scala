@@ -153,6 +153,37 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF persisted index: indexed query == in-memory query; only probed lists read") {
+    val dirs3 = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val cvecs = (0 until 30).map { i =>
+      val d = dirs3(i % 3)
+      val jit = 0.01 * ((i * 7) % 5)
+      (i.toLong, d.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 3) jit else 0.0)).toFloat })
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-spec").toString
+    val centroids = Similarity.ivfBuild(cvecs, dir, dim = 4, k = 3, iters = 4)
+    // centroids parquet round-trips exactly
+    assert(Similarity.readIvfCentroids(spark, dir).map(_.toSeq).toSeq ==
+      centroids.map(_.toSeq).toSeq)
+    val qs = cvecs.where(col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val mem = key(Similarity.ivfTopK(qs, cvecs, centroids, k = 5, nprobe = 2))
+    val idx = key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 5, nprobe = 2))
+    assert(idx == mem)
+    // layout-level pruning: a single-query nprobe=1 plan reads exactly one
+    // cluster directory of the bucketed lists
+    val one = Similarity.ivfTopKIndexed(spark, dir,
+      cvecs.where(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id"),
+      k = 5, nprobe = 1)
+    val read = one.inputFiles.flatMap(f =>
+      "cluster=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(read.size == 1, s"expected 1 probed cluster dir, read $read")
+  }
+
   test("cosine near-dup pairs with SRP blocking") {
     val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, minSim = 0.9, nPlanes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
