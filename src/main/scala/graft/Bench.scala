@@ -85,7 +85,7 @@ object Bench {
       "dedup_minhash_bands" ->
         (() => Dedup.lshBands(documents, "doc_id", "text", 3, 8, 4).count()),
       "dedup_simhash" ->
-        (() => documents.select(Dedup.simhash32(col("text"))).count()),
+        (() => documents.select(Dedup.simhash64(col("text"))).count()),
       // realistic dedup threshold — the AllPairs prefix filter prunes
       // candidates hard here; the gate's θ=0.03 variant (q21) is the
       // filter's worst case and is exercised by Verify, not timed here

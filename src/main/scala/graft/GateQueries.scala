@@ -197,6 +197,36 @@ object GateQueries {
        |  FROM feat)""".stripMargin
   }
 
+  /** 64-bit simhash fingerprint per document (bit j = high bit of the
+    * j-th hex digit of sha256(token), sign bit via −2^63), covering ALL
+    * documents — token-free docs default every vote to 0 ≥ 0, i.e.
+    * simhash −1. Final CTE: `sh(doc_id, simhash)`. Mirrors
+    * [[graft.pipeline.Dedup.simhash64]].
+    */
+  private val SimhashCtes =
+    """toksm AS (
+      |  SELECT doc_id, unnest(list_transform(list_filter(
+      |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+      |    x -> x <> ''), x -> lower(x))) AS term
+      |  FROM documents),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN substring(sha256(term), j, 1) >= '8' THEN 1 ELSE -1 END)::BIGINT AS v
+      |  FROM toksm CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js
+      |  GROUP BY doc_id, j),
+      |allv AS (
+      |  SELECT d.doc_id, js2.j, coalesce(v.v, 0) AS v
+      |  FROM documents d
+      |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) js2
+      |  LEFT JOIN votes v ON v.doc_id = d.doc_id AND v.j = js2.j),
+      |sh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v >= 0 THEN
+      |          CASE WHEN j = 64 THEN -9223372036854775807 - 1
+      |               ELSE (1::BIGINT << (j - 1)) END
+      |        ELSE 0 END)::BIGINT AS simhash
+      |  FROM allv GROUP BY doc_id)""".stripMargin
+
   private def valuesOf(pairs: Seq[(String, Int)]): String =
     pairs.map { case (s, c) => s"('${s.replace("'", "''")}', $c)" }.mkString(", ")
 
@@ -535,52 +565,33 @@ object GateQueries {
               |FROM mh GROUP BY doc_id, h // 2
               |ORDER BY doc_id, band""".stripMargin)),
 
+    // 64-bit simhash: bit 64 is the BIGINT sign bit (added as MinValue on
+    // both sides); votes are LEFT-JOINED back to documents so token-free
+    // docs (vote 0 per bit → all bits set → simhash −1) appear on both
+    // sides regardless of corpus content.
     Gate("q23_simhash",
       (s, d) => documents(s, d).select(
-        col("doc_id"), Dedup.simhash32(col("text")).as("simhash"))
+        col("doc_id"), Dedup.simhash64(col("text")).as("simhash"))
         .orderBy(col("doc_id")),
-      Some("""WITH toksm AS (
-             |  SELECT doc_id, unnest(list_transform(list_filter(
-             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
-             |    x -> x <> ''), x -> lower(x))) AS term
-             |  FROM documents),
-             |votes AS (
-             |  SELECT doc_id, j,
-             |    sum(CASE WHEN substring(md5(term), j, 1) >= '8' THEN 1 ELSE -1 END)::BIGINT AS v
-             |  FROM toksm CROSS JOIN (SELECT unnest(range(1, 33)) AS j) js
-             |  GROUP BY doc_id, j)
-             |SELECT doc_id,
-             |  sum(CASE WHEN v >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)::BIGINT AS simhash
-             |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $SimhashCtes
+              |SELECT doc_id, simhash FROM sh ORDER BY doc_id""".stripMargin)),
 
     Gate("q24_simhash_blocks",
       (s, d) => {
         val fp = documents(s, d).select(col("doc_id"),
-          Dedup.simhash32(col("text")).as("sh"))
+          Dedup.simhash64(col("text")).as("sh"))
         fp.select(col("doc_id"), explode(array((0 until 4).map { b =>
           struct(lit(b).as("blk"),
-            shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("blk_key"))
+            shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("blk_key"))
         }: _*)).as("e"))
           .select(col("doc_id"), col("e.blk").as("blk"), col("e.blk_key").as("blk_key"))
           .orderBy(col("doc_id"), col("blk"))
       },
-      Some("""WITH toksm AS (
-             |  SELECT doc_id, unnest(list_transform(list_filter(
-             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
-             |    x -> x <> ''), x -> lower(x))) AS term
-             |  FROM documents),
-             |votes AS (
-             |  SELECT doc_id, j,
-             |    sum(CASE WHEN substring(md5(term), j, 1) >= '8' THEN 1 ELSE -1 END)::BIGINT AS v
-             |  FROM toksm CROSS JOIN (SELECT unnest(range(1, 33)) AS j) js
-             |  GROUP BY doc_id, j),
-             |sh AS (
-             |  SELECT doc_id,
-             |    sum(CASE WHEN v >= 0 THEN (1::BIGINT << (j - 1)) ELSE 0 END)::BIGINT AS sh
-             |  FROM votes GROUP BY doc_id)
-             |SELECT doc_id, blk::INT AS blk, ((sh >> (blk * 8)) & 255)::BIGINT AS blk_key
-             |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bs
-             |ORDER BY doc_id, blk""".stripMargin)),
+      Some(s"""WITH $SimhashCtes
+              |SELECT doc_id, blk::INT AS blk,
+              |  ((simhash >> (blk * 16)) & 65535)::BIGINT AS blk_key
+              |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bs
+              |ORDER BY doc_id, blk""".stripMargin)),
 
     // ---------------- similarity search ----------------
 
@@ -713,6 +724,34 @@ object GateQueries {
              |  FROM scored)
              |SELECT query_id, vec_id, sim, rank FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Banded multi-table SRP near-dup pairs: 8 tables × 8 planes from the
+    // same deterministic LCG hyperplane family as q26; candidates =
+    // collide in ≥1 table, exact cosine verifies. Identical blocking on
+    // both sides → identical pair sets (recall vs brute force is the
+    // PipelineSpec's business, not the oracle's).
+    Gate("q36_cosine_neardup",
+      (s, d) => Similarity.cosineNearDupPairs(embeddings(s, d), dim = 64,
+          minSim = 0.4, nTables = 8, planesPerTable = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |b AS (
+             |  SELECT vec_id, v, tbl,
+             |    list_sum([CASE WHEN
+             |      list_sum([v[i] * ((((1103515245 * ((tbl * 8 + p) * 1024 + i - 1) + 12345) % 65536) - 32768)::DOUBLE)
+             |                for i in range(1, len(v) + 1)]) >= 0
+             |      THEN (1::BIGINT << p) ELSE 0 END for p in range(0, 8)])::BIGINT AS bucket
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS tbl) ts),
+             |pairs AS (
+             |  SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b,
+             |    round(list_sum([l.v[i] * r.v[i] for i in range(1, len(l.v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in l.v])) *
+             |       sqrt(list_sum([x * x for x in r.v]))), 6) AS sim
+             |  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+             |    AND l.vec_id < r.vec_id)
+             |SELECT id_a, id_b, sim FROM pairs
+             |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---------------- multimodal plumbing ----------------
 

@@ -13,12 +13,14 @@ import org.apache.spark.sql.functions._
   *   - MinHash+LSH:  signature → band buckets → bucket join; candidate
   *                   count is bounded by bucket sizes, tunable via
   *                   (numHashes, bands)
-  *   - SimHash:      32-bit tf-weighted fingerprint; near-dup pairs via
-  *                   byte-band pigeonhole blocking + popcount verify
+  *   - SimHash:      64-bit tf-weighted fingerprint; near-dup pairs via
+  *                   4×16-bit band pigeonhole blocking + popcount verify
   *
-  * All hash material is md5-derived (deterministic, engine-portable — any
-  * md5 agrees byte-for-byte), so every operator is oracle-checkable and
-  * reproducible across runs/clusters. No RNG, no UDFs, no driver loops.
+  * All hash material is md5/sha256-derived (deterministic, engine-portable
+  * — any implementation agrees byte-for-byte), so every operator is
+  * oracle-checkable and reproducible across runs/clusters. No RNG and no
+  * driver loops; tokenization runs through Analyzer's scanner UDFs (see
+  * the Analyzer header), everything downstream is Column expressions.
   */
 object Dedup {
 
@@ -209,39 +211,55 @@ object Dedup {
   // SimHash
   // ---------------------------------------------------------------------
 
-  /** 32-bit tf-weighted SimHash (Charikar, STOC'02) as a pure Column
-    * expression. Bit j (1-based) of a token's hash = high bit of the j-th
-    * hex digit of md5(token) — i.e. digit ∈ {8..f}. Each token occurrence
-    * votes +1/−1 per bit; bit j of the fingerprint is set iff the vote sum
-    * is ≥ 0. All-integer arithmetic → exact and engine-portable.
+  /** 64-bit tf-weighted SimHash (Charikar STOC'02; the Manku et al.
+    * WWW'07 web-dedup setup) as a pure Column expression. Bit j (1-based)
+    * of a token's hash = high bit of the j-th hex digit of sha256(token)
+    * (64 hex digits → 64 independent bits). Each token occurrence votes
+    * +1/−1 per bit; bit j of the fingerprint is set iff the vote sum is
+    * ≥ 0. A token-free document votes 0 everywhere → all 64 bits set →
+    * fingerprint −1. The fingerprint lives in a signed BIGINT: bit 64 is
+    * the sign bit, added as Long.MinValue — the same arithmetic is
+    * expressible in ANSI SQL, keeping the operator oracle-checkable.
+    *
+    * 64 bits (not 32) so birthday collisions stay negligible at 10^9+
+    * documents.
     */
-  def simhash32(text: Column): Column = {
+  def simhash64(text: Column): Column = {
     val toks = graft.analysis.Analyzer.tokensCol(text)
-    val bits = (1 to 32).map { j =>
+    val bits = (1 to 64).map { j =>
       // hex digits ≥ '8' ('8','9','a'..'f') are exactly those with the
       // high bit set; the ASCII comparison holds in any engine.
       val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(substring(md5(t), j, 1) >= "8", 1).otherwise(-1))
-      when(vote >= 0, lit(1L << (j - 1))).otherwise(lit(0L))
+        (acc, t) => acc + when(substring(sha2(t, 256), j, 1) >= "8", 1).otherwise(-1))
+      val weight = if (j == 64) Long.MinValue else 1L << (j - 1)
+      when(vote >= 0, lit(weight)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).as("simhash")
   }
 
   /** Near-duplicate pairs by SimHash: pigeonhole blocking on the four
-    * 8-bit bytes of the fingerprint (hamming ≤ 3 ⇒ at least one byte is
-    * untouched ⇒ the pair collides in ≥1 of the 4 byte-blocks), then an
+    * 16-bit bands of the fingerprint (hamming ≤ 3 ⇒ at least one band is
+    * untouched ⇒ the pair collides in ≥1 of the 4 band tables), then an
     * exact popcount verify. Output: (id_a, id_b, hamming).
+    *
+    * 16-bit bands give 65,536 key values per table — at corpus scale the
+    * within-bucket pair count grows as (n/65536)² per table instead of
+    * the old 8-bit (n/256)², and the band key-space can be widened
+    * further (more/wider bands with a higher hamming budget) without
+    * touching the fingerprint.
     */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
-    require(maxHamming <= 3, "byte-block pigeonhole covers hamming <= 3")
+    require(maxHamming <= 3, "4-band pigeonhole covers hamming <= 3")
     val fp = docs.select(col(idCol).cast("long").as("id"),
-      simhash32(col(textCol)).as("sh"))
+      simhash64(col(textCol)).as("sh"))
+    // (x >> (16b)) & 0xFFFF: masking makes arithmetic vs logical shift
+    // of the signed fingerprint irrelevant — same 16 bits either way
     val blocks = fp.select(col("id"), col("sh"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("blk"),
-          shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("blk_key"))
+          shiftright(col("sh"), b * 16).bitwiseAND(lit(65535L)).as("blk_key"))
       }: _*)).as("bk"))
       .select(col("id"), col("sh"), col("bk.blk").as("blk"), col("bk.blk_key").as("blk_key"))
     blocks.as("l")

@@ -74,10 +74,18 @@ object Similarity {
   /** Sign-random-projection bucket id from `nPlanes` hyperplanes (bucket
     * space = 2^nPlanes). Charikar SRP: bit h = [dot(v, hp_h) ≥ 0].
     */
-  def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column = {
+  def srpBucket(vec: Column, dim: Int, nPlanes: Int): Column =
+    srpBucketAt(vec, dim, nPlanes, 0)
+
+  /** [[srpBucket]] with a global hyperplane offset — independent band
+    * tables draw disjoint hyperplane ranges from the same deterministic
+    * LCG family ([[hyperplaneWeight]]).
+    */
+  def srpBucketAt(vec: Column, dim: Int, nPlanes: Int, planeOffset: Int): Column = {
     val v = asDouble(vec)
     val bits = (0 until nPlanes).map { h =>
-      val w = array((0 until dim).map(d => lit(hyperplaneWeight(h, d).toDouble)): _*)
+      val w = array((0 until dim).map(d =>
+        lit(hyperplaneWeight(planeOffset + h, d).toDouble)): _*)
       val proj = aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (a, x) => a + x)
       when(proj >= 0, lit(1L << h)).otherwise(lit(0L))
     }
@@ -309,21 +317,40 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ minSim),
-    * blocked by SRP bucket: only within-bucket pairs are scored. With
-    * nPlanes=4 this prunes ~15/16 of the O(n²) pair space while keeping
-    * high recall for near-identical vectors (their projections rarely
-    * straddle a hyperplane).
+    * blocked by banded multi-table SRP — the MinHash-bands pattern
+    * applied to sign random projections. `nTables` independent tables of
+    * `planesPerTable` hyperplanes each (disjoint ranges of the same
+    * deterministic LCG family); a pair is a candidate iff it collides in
+    * ≥ 1 table, and exact cosine then verifies, so reported similarities
+    * carry no approximation — only recall does.
+    *
+    * Scale: per-table key space is 2^planesPerTable, so within-bucket
+    * pair work grows as nTables·(n/2^p)² — tune p UP with corpus size
+    * (p=16 → 65k buckets/table) and t with the recall target: recall for
+    * a pair at angle θ is 1 − (1 − (1−θ/π)^p)^t, ≈1 for near-identical
+    * vectors. A single low-p table (the previous default, 16 buckets ⇒
+    * (n/16)² candidate pairs) is the degenerate t=1 case and does not
+    * survive web scale.
     */
   def cosineNearDupPairs(
-      corpus: DataFrame, dim: Int, minSim: Double, nPlanes: Int = 4,
+      corpus: DataFrame, dim: Int, minSim: Double,
+      nTables: Int = 8, planesPerTable: Int = 8,
       corpusIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(corpusIdCol).cast("long").as("id"),
-      col(vecCol).as("__v"),
-      srpBucket(col(vecCol), dim, nPlanes).as("bucket"))
-    c.as("l").join(c.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+    val c = corpus.select(col(corpusIdCol).cast("long").as("id"), col(vecCol).as("__v"))
+    val tables = (0 until nTables).map { t =>
+      struct(lit(t).as("tbl"),
+        srpBucketAt(col("__v"), dim, planesPerTable, t * planesPerTable).as("bucket"))
+    }
+    val blocked = c
+      .select(col("id"), col("__v"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("__v"),
+        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    blocked.as("l").join(blocked.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         round(cosine(col("l.__v"), col("r.__v")), 6).as("sim"))
+      .distinct() // a pair may collide in several tables
       .where(col("sim") >= minSim)
   }
 }

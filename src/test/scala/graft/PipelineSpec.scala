@@ -54,16 +54,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("simhash: identical text → identical hash; near-dup → small hamming") {
-    val fp = docs.where(col("doc_id") =!= 8L)
-      .select(col("doc_id"), Dedup.simhash32(col("text")).as("sh"))
+  test("simhash64: identical text → identical hash; near-dup → small hamming") {
+    val fp = docs
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fp(1L) == fp(2L))
+    assert(fp(8L) == -1L) // token-free doc: every vote 0 ≥ 0 → all 64 bits
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)))
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash 4x16 banding: every hamming<=3 pair is a candidate (pigeonhole property)") {
+    // adversarial fingerprints: flips straddle band boundaries, touch the
+    // sign bit, and hit 3 distinct bands — banding must still catch all
+    val rnd = new scala.util.Random(7)
+    val base = rnd.nextLong()
+    def flip(x: Long, bits: Int*) = bits.foldLeft(x)((a, b) => a ^ (1L << b))
+    val fps = Seq(
+      0L -> base,
+      1L -> flip(base, 0, 15, 31),   // bands 0,0,1 — band 2,3 untouched
+      2L -> flip(base, 16, 32, 48),  // one flip in each of bands 1,2,3
+      3L -> flip(base, 63),          // sign bit only
+      4L -> flip(base, 62, 63),      // top band, incl. sign
+      5L -> flip(base, 5, 21, 37, 53)) // hamming 4 in 4 bands: NOT guaranteed
+    def bands(x: Long) = (0 until 4).map(b => (b, (x >> (b * 16)) & 0xFFFFL))
+    def candidate(a: Long, b: Long) = bands(a).zip(bands(b)).exists(p => p._1 == p._2)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for ((ia, a) <- fps; (ib, b) <- fps if ia < ib && ham(a, b) <= 3)
+      assert(candidate(a, b), s"hamming<=3 pair ($ia,$ib) missed by banding")
+    // and the one hamming-4 pair spread over all four bands is indeed missed,
+    // documenting the pigeonhole budget is exactly 3
+    assert(!candidate(fps(0)._2, fps(5)._2))
   }
 
   test("langid marker heuristic separates en/de/fr; empty text → und") {
@@ -184,11 +208,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(read.size == 1, s"expected 1 probed cluster dir, read $read")
   }
 
-  test("cosine near-dup pairs with SRP blocking") {
-    val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, minSim = 0.9, nPlanes = 4)
+  test("cosine near-dup pairs with banded SRP blocking") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, minSim = 0.9,
+      nTables = 8, planesPerTable = 8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.contains((1L, 5L)))
+  }
+
+  test("banded SRP near-dup recall vs brute force on planted near-identical clusters") {
+    // 60 vectors in 20 clusters of 3; members of a cluster differ by tiny
+    // deterministic jitter (cosine ≈ 1), distinct clusters are far apart
+    val dim = 16
+    val clustered = (0 until 60).map { i =>
+      val cl = i / 3
+      val v = Array.tabulate(dim) { j =>
+        val base = math.sin((cl * dim + j) * 1.2345) // deterministic direction
+        (base + 0.001 * ((i % 3) * (j % 5 - 2))).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val brute = {
+      val e = clustered
+      Similarity.bruteForceTopK(
+        e.withColumnRenamed("vec_id", "query_id"), e, k = 60)
+        .where(col("sim") >= 0.999 && col("query_id") < col("vec_id"))
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(brute.size >= 20, s"fixture should plant >=20 true near-dup pairs, got ${brute.size}")
+    val banded = Similarity.cosineNearDupPairs(clustered, dim, minSim = 0.999,
+      nTables = 8, planesPerTable = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = banded.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"banded SRP recall $recall < 0.95 (found ${banded.size}/${brute.size})")
+    assert(banded.subsetOf(brute)) // exact verify: no false positives
   }
 
   // ------------------------------------------------------------------
