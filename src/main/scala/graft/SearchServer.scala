@@ -1,0 +1,135 @@
+package graft
+
+import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+import graft.index.IndexBuilder
+import graft.query.QueryEngine
+import graft.sources.CorpusSource
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+/** The reference's HTTP serving surface (reference server.go:55-103) as a
+  * thin driver-side wrapper over [[graft.query.QueryEngine]]:
+  * `GET /?q=&alg=&page=` answers a query with the algorithm registry
+  * (unknown → BM25, reference server.go:39-53), paginates 5 results per
+  * page (server.go:11,23-28) and renders an HTML SERP with prev/next
+  * links. JDK-only (`com.sun.net.httpserver`) — no new dependency; the
+  * per-request Spark work is exactly the CLI's DataFrame plan, the server
+  * itself is stateless beyond the prebuilt index bundle.
+  */
+class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
+
+  final case class Hit(docId: Long, title: String, url: String)
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val p = params(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+        val q = p.getOrElse("q", "")
+        val alg = p.getOrElse("alg", "BM25")
+        val page = p.get("page").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
+        val (hits, total) = search(q, alg, page)
+        val body = html(q, alg, page, hits, total).getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
+        ex.sendResponseHeaders(200, body.length)
+        ex.getResponseBody.write(body)
+      } catch {
+        case e: Throwable =>
+          val msg = s"internal error: ${e.getMessage}".getBytes(StandardCharsets.UTF_8)
+          ex.sendResponseHeaders(500, msg.length)
+          ex.getResponseBody.write(msg)
+      } finally ex.close()
+  })
+
+  /** Bound port (ephemeral when constructed with port = 0). */
+  def boundPort: Int = server.getAddress.getPort
+  def start(): Int = { server.start(); boundPort }
+  def stop(): Unit = server.stop(0)
+
+  /** The query path shared by the handler and the spec: ranked results of
+    * `page` (5/page) materialized in rank order, plus the total count.
+    */
+  def search(query: String, alg: String, page: Int): (Seq[Hit], Long) = {
+    val ranked = engine.byName(alg)(query)
+    val total = ranked.count()
+    val rows = engine.materialize(engine.paginate(ranked, page), docs)
+      .select("docId", "title", "url").collect()
+      .map(r => Hit(r.getAs[Long]("docId"),
+        r.getAs[String]("title"), r.getAs[String]("url")))
+    (rows.toSeq, total)
+  }
+
+  private def params(raw: String): Map[String, String] =
+    raw.split("&").iterator.filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = (kv.split("=", 2) match {
+        case Array(k) => Array(k, "")
+        case a => a
+      }): @unchecked
+      k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
+    }.toMap
+
+  private def esc(s: String): String = s
+    .replace("&", "&amp;").replace("<", "&lt;")
+    .replace(">", "&gt;").replace("\"", "&quot;")
+
+  private def pageUrl(q: String, alg: String, page: Int): String =
+    s"/?q=${java.net.URLEncoder.encode(q, StandardCharsets.UTF_8)}" +
+      s"&alg=${java.net.URLEncoder.encode(alg, StandardCharsets.UTF_8)}&page=$page"
+
+  /** Minimal SERP mirroring the reference template's fields (Query, Page,
+    * Results, Algorithm, NextURL, PrevURL — reference server.go:13-20).
+    */
+  private def html(q: String, alg: String, page: Int,
+      hits: Seq[Hit], total: Long): String = {
+    val items = hits.map(h =>
+      s"""  <li><a href="${esc(h.url)}">${esc(h.title)}</a> <small>#${h.docId}</small></li>""")
+      .mkString("\n")
+    val prev = if (page > 1)
+      s"""<a id="prev" href="${pageUrl(q, alg, page - 1)}">prev</a>""" else ""
+    val next = if (page.toLong * 5 < total)
+      s"""<a id="next" href="${pageUrl(q, alg, page + 1)}">next</a>""" else ""
+    s"""<!doctype html>
+       |<html><head><title>graft search</title></head><body>
+       |<form action="/"><input name="q" value="${esc(q)}"/>
+       |<input type="hidden" name="alg" value="${esc(alg)}"/>
+       |<button>Search</button></form>
+       |<p>query='${esc(q)}' algorithm=${esc(alg)} page=$page results=$total</p>
+       |<ol start="${(page - 1) * 5 + 1}">
+       |$items
+       |</ol>
+       |$prev $next
+       |</body></html>""".stripMargin
+  }
+}
+
+/** `runMain graft.SearchServer <csvPath|parquetDir> [port]` — index the
+  * corpus and serve until killed (the reference's RunServer,
+  * server.go:98-103).
+  */
+object SearchServer {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) {
+      System.err.println("usage: SearchServer <csvPath|parquetDir> [port]")
+      sys.exit(2)
+    }
+    val path = args(0)
+    val port = if (args.length > 1) args(1).toInt else 8080
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-serve")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs =
+      if (path.endsWith(".csv")) CorpusSource.readDocsCsv(spark, path)
+      else CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, path))
+    val engine = new QueryEngine(IndexBuilder.build(docs, k = 3))
+    val srv = new SearchServer(engine, docs, port)
+    println(s"serving on http://127.0.0.1:${srv.start()}/")
+    Thread.currentThread.join()
+  }
+}

@@ -80,6 +80,31 @@ object CorpusSource {
   def appendDocs(docs: DataFrame, path: String): Unit =
     docs.write.mode("append").parquet(path)
 
+  /** JDBC document storage — the reference's `SQLStorage`
+    * (document.go:171-202: `SELECT id,title,body,URL FROM documents` for
+    * Apply, prepared INSERT for Save), expressed as Spark's JDBC source/
+    * sink. At scale reads parallelize with the standard
+    * partitionColumn/lowerBound/upperBound options on `id`; the spec
+    * exercises the path against embedded Apache Derby (whose jars ship
+    * with Spark), and any other JDBC url works identically.
+    */
+  def readDocsJdbc(
+      spark: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+      .select(col("id").cast("long").as("docId"),
+        col("title"), col("body"), col("url"))
+
+  /** Batch append to a JDBC table (created on first write; Spark's
+    * DerbyDialect maps StringType to CLOB).
+    */
+  def saveDocsJdbc(
+      docs: DataFrame, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    docs.select(col("docId").cast("long").as("id"),
+        col("title"), col("body"), col("url"))
+      .write.mode("append").jdbc(url, table, props)
+
   /** Dense docId assignment that scales: a single global
     * `row_number() over (order by ...)` funnels all rows through ONE
     * partition, which is a non-starter at 10^12 rows. Instead:

@@ -40,6 +40,64 @@ class CorpusSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 4)
   }
 
+  test("JDBC storage round-trip against embedded Derby: append + ordered read + Get") {
+    val base = java.nio.file.Files.createTempDirectory("graft-derby")
+    System.setProperty("derby.system.home", base.toString) // keep derby.log out of cwd
+    val url = s"jdbc:derby:$base/db;create=true"
+    val props = new java.util.Properties
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    CorpusSource.saveDocsJdbc(docs, url, "documents", props)
+    // Save is append-only (reference document.go:196-202)
+    val sp = spark
+    import sp.implicits._
+    val extra = Seq((4L, "Extra doc", "zebra quagga body", "http://x"))
+      .toDF("docId", "title", "body", "url")
+    CorpusSource.saveDocsJdbc(extra, url, "documents", props)
+    val back = CorpusSource.readDocsJdbc(spark, url, "documents", props)
+    val rows = back.orderBy("docId").collect()
+    assert(rows.map(_.getAs[Long]("docId")).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows(0).getAs[String]("title") == "Cohen's kappa")
+    assert(rows(3).getAs[String]("body") == "zebra quagga body")
+    // SQLStorage.Get semantics over the JDBC relation: request order kept,
+    // missing id → zero-value document (document.go:187-194)
+    val got = CorpusSource.getDocs(back, Seq(4L, 42L)).collect()
+    assert(got.map(_.getAs[Long]("docId")).toSeq == Seq(4L, 42L))
+    assert(got(0).getAs[String]("title") == "Extra doc")
+    assert(got(1).getAs[String]("title") == "" && got(1).getAs[String]("body") == "")
+  }
+
+  test("append → rebuild → query round-trip: new docs searchable, docIds stay dense") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lifecycle").toString + "/files"
+    val batch1 = Seq(
+      ("repoA", "src/a.scala", "c1", "scala", "object Alpha extends App"),
+      ("repoA", "src/b.scala", "c1", "scala", "class Beta defines methods"),
+      ("repoB", "lib/c.go", "c2", "go", "package gamma common words"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    batch1.write.mode("append").parquet(dir)
+    val docs1 = CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, dir))
+    val idx1 = graft.index.IndexBuilder.build(docs1, persist = false)
+    val e1 = new graft.query.QueryEngine(idx1)
+    assert(e1.termsQuery("zebra").count() == 0)
+    // crawler-style ingest: append then REBUILD to see the new docs
+    // (reference lifecycle — crawler.go:181-205 + searcher.go:272)
+    val batch2 = Seq(
+      ("repoA", "src/z.scala", "c3", "scala", "val zebra = stripes material"))
+      .toDF("repo", "path", "commit", "lang", "content")
+    CorpusSource.appendDocs(batch2, dir)
+    val docs2 = CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, dir))
+    val ids = docs2.select("docId").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == (1L to 4L), "docIds must stay dense after append+renumber")
+    val e2 = new graft.query.QueryEngine(graft.index.IndexBuilder.build(docs2, persist = false))
+    val hits = e2.termsQuery("zebra").collect().map(_.getLong(0))
+    assert(hits.length == 1)
+    // the new doc's id follows (repo, path) order: repoA/src/z.scala sorts
+    // after a.scala and b.scala but before repoB → id 3
+    assert(hits.head == 3L)
+    docs1.unpersist(); docs2.unpersist() // withDenseDocIds hands back cached plans
+  }
+
   test("withDenseDocIds: dense 1..N in sort order, parallel-safe") {
     val spark2 = spark
     import spark2.implicits._

@@ -1,0 +1,74 @@
+package graft
+
+import graft.index.IndexBuilder
+import graft.query.QueryEngine
+import graft.sources.CorpusSource
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** The HTTP SERP surface (reference server.go:55-103): q/page/alg params,
+  * 5-per-page pagination with prev/next, unknown-algorithm fallback to
+  * BM25, and agreement with the CLI query path on the reference corpus.
+  */
+class SearchServerSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private lazy val docs = CorpusSource.readDocsCsv(
+    spark, SparkSessionFixture.resourcePath("example.csv"))
+  private lazy val engine = new QueryEngine(IndexBuilder.build(docs, k = 3))
+
+  private lazy val server: SearchServer = {
+    val s = new SearchServer(engine, docs, port = 0)
+    s.start()
+    s
+  }
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def get(query: String): (Int, String) = {
+    val resp = client.send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${server.boundPort}/$query")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("BM25 golden query over HTTP: rank order #3 then #2") {
+    val (code, body) = get("?q=matrix+communication+channel&alg=BM25")
+    assert(code == 200)
+    assert(body.contains("results=2"))
+    val i3 = body.indexOf("Code-division multiple access")
+    val i2 = body.indexOf("Latent semantic analysis")
+    assert(i3 >= 0 && i2 >= 0 && i3 < i2, "rank order must be #3 then #2")
+  }
+
+  test("unknown algorithm falls back to BM25 (reference server.go:39-53)") {
+    val (_, viaUnknown) = get("?q=matrix+communication+channel&alg=NoSuchAlg")
+    val (_, viaBm25) = get("?q=matrix+communication+channel&alg=BM25")
+    // identical result list (strip the echoed algorithm name before comparing)
+    def results(b: String) = b.substring(b.indexOf("<ol"))
+    assert(results(viaUnknown) == results(viaBm25))
+  }
+
+  test("pagination: page beyond the results is empty and links back") {
+    val (code, body) = get("?q=matrix+communication+channel&alg=BM25&page=2")
+    assert(code == 200)
+    assert(!body.contains("<li>"))
+    assert(body.contains("id=\"prev\""))
+    assert(!body.contains("id=\"next\""))
+  }
+
+  test("empty / missing query returns an empty SERP, no error") {
+    assert(get("?q=&alg=BM25")._1 == 200)
+    val (code, body) = get("")
+    assert(code == 200 && body.contains("results=0"))
+  }
+
+  test("server.search == the CLI query path (byName + paginate + materialize)") {
+    val (hits, total) = server.search("matrix communication channel", "BM25", 1)
+    assert(total == 2)
+    assert(hits.map(_.docId) == Seq(3L, 2L))
+    assert(hits.head.title == "Code-division multiple access")
+  }
+}

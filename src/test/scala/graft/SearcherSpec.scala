@@ -175,6 +175,28 @@ class SearcherSpec extends AnyFunSuite {
     assert(page1.count() == 2)
   }
 
+  test("exact score ties break by ascending docId (deviation from the reference's unstable sort)") {
+    // byte-identical bodies ⇒ identical tf, dl ⇒ bit-identical BM25 and
+    // VSM scores. The reference's sort.Sort is unstable with unspecified
+    // tie order (searcher.go:193-203; its golden queries have no ties);
+    // this engine pins (score desc, docId asc) so results are
+    // deterministic across runs, partitionings and cluster sizes.
+    val sp = spark
+    import sp.implicits._
+    val tied = Seq(
+      (1L, "", "alpha beta gamma", ""),
+      (2L, "", "alpha beta gamma", ""),
+      (3L, "", "alpha beta gamma", ""),
+      (4L, "", "unrelated words entirely", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(tied, persist = false))
+    val bm = e.bm25Query("alpha", topK = Some(2)).collect()
+    assert(bm.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(bm(0).getDouble(1) == bm(1).getDouble(1)) // a genuine tie
+    assert(ids(e.vectorSpaceQuery("alpha beta")).take(3) == Seq(1L, 2L, 3L))
+    e.index.unpersist()
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
