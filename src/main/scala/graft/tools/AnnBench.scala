@@ -1,0 +1,38 @@
+package graft.tools
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Cold + warm micro-timings of the ANN paths (brute / SRP-LSH / IVF
+  * indexed) — separates plan-compilation overhead from steady-state query
+  * cost, which the single-shot figures in graft.Bench conflate.
+  */
+object AnnBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qs = e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id")
+    val ivfDir = java.nio.file.Files.createTempDirectory("graft-annbench-ivf").toString
+    val t0 = System.nanoTime()
+    Similarity.ivfBuild(e, ivfDir, dim = 64, k = 8, iters = 3)
+    println(f"[ann] ivf_build                 ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    def t(name: String)(f: => Long): Unit = {
+      val cold = { val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9 }
+      val warm = (1 to 3).map { _ =>
+        val s = System.nanoTime(); f; (System.nanoTime() - s) / 1e9
+      }.min
+      println(f"[ann] $name%-24s cold $cold%6.2f s   warm-best $warm%6.2f s")
+    }
+    t("brute_top10")(Similarity.bruteForceTopK(qs, e, 10).count())
+    t("lsh_top10")(Similarity.lshTopK(qs, e, 10, dim = 64, nPlanes = 4).count())
+    t("ivf_top10_indexed")(
+      Similarity.ivfTopKIndexed(spark, ivfDir, qs, k = 10, nprobe = 2).count())
+    spark.stop()
+  }
+}
