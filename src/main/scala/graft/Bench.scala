@@ -72,6 +72,14 @@ object Bench {
           n += BlockIndex.bm25TopK(spark, idxDir, q, 10).count()
         n
       }),
+      // the same 20 queries as ONE batched job — the per-job floor paid
+      // once; q/s = 20 / seconds
+      "bm25_wand_20_queries_batched" -> (() => {
+        val pool = Seq("spark join", "table window fast", "customer query",
+          "vector stream batch", "group sort merge", "filter scan row",
+          "big small slow", "hash agg column", "line part value", "key data order")
+        BlockIndex.bm25TopKBatch(spark, idxDir, pool ++ pool.map(_ + " table"), 10).count()
+      }),
       "bm25_naive_top10" ->
         (() => engine.bm25Query(GateQueries.ScoredQ, Some(10)).count()),
       "tfidf_top10" ->

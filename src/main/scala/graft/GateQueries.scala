@@ -753,6 +753,44 @@ object GateQueries {
              |SELECT id_a, id_b, sim FROM pairs
              |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
 
+    // Crawl data-flow (reference crawler.go:181-205) over a DETERMINISTIC
+    // synthetic link DAG derived from the documents table (edges d → d+j,
+    // j=1..4; the first-3 rule drops j=4): BFS min-depth, seen-set,
+    // capacity truncation in (depth, page) order. The oracle is a
+    // recursive CTE computing the same reachability + min-depth + rank
+    // cut. Pages are zero-padded so lexicographic order == numeric.
+    Gate("q37_link_crawl",
+      (s, d) => {
+        val ids = documents(s, d).select(col("doc_id"))
+        val links = ids.select(col("doc_id").as("src_id"),
+            explode(array(lit(1), lit(2), lit(3), lit(4))).as("pos"))
+          .withColumn("dst_id", col("src_id") + col("pos"))
+          .join(ids.select(col("doc_id").as("dst_id")), "dst_id")
+          .select(format_string("doc-%05d", col("src_id")).as("src"),
+            format_string("doc-%05d", col("dst_id")).as("dst"), col("pos"))
+        graft.sources.LinkCrawl.bfs(s, links,
+            Seq("doc-00000", "doc-00001"), capacity = 100)
+          .select(col("page"), col("depth").cast("long").as("depth"))
+          .orderBy(col("depth"), col("page"))
+      },
+      Some("""WITH RECURSIVE links AS (
+             |  SELECT d.doc_id AS src, d.doc_id + j AS dst, j AS pos
+             |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS j) js
+             |  WHERE d.doc_id + j IN (SELECT doc_id FROM documents)),
+             |reach(page, depth) AS (
+             |  SELECT unnest([0, 1]), 0
+             |  UNION
+             |  SELECT l.dst, r.depth + 1
+             |  FROM reach r JOIN links l ON l.src = r.page
+             |  WHERE l.pos <= 3),
+             |best AS (SELECT page, min(depth) AS depth FROM reach GROUP BY page),
+             |ranked AS (
+             |  SELECT format('doc-{:05d}', page) AS page, depth,
+             |    row_number() OVER (ORDER BY depth, format('doc-{:05d}', page)) AS rn
+             |  FROM best)
+             |SELECT page, depth::BIGINT AS depth FROM ranked
+             |WHERE rn <= 100 ORDER BY depth, page""".stripMargin)),
+
     // ---------------- multimodal plumbing ----------------
 
     Gate("q28_multimodal_meta",

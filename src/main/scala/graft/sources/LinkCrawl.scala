@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Offline analogue of the reference's Wikipedia crawler
+  * (reference crawler.go:181-205): BFS frontier expansion over a LINK
+  * TABLE instead of live HTTP — the network fetch is out of scope for a
+  * batch engine (and this sandbox), but the crawl's data-flow semantics
+  * are all here and spec-pinned:
+  *
+  *   - at most `maxLinksPerPage` outlinks per page are followed, in link
+  *     order (the reference takes the first 3 — crawler.go:55-70);
+  *   - a global seen-set: a page is crawled once no matter how many pages
+  *     link to it (crawler.go:123-144's mutex-guarded map);
+  *   - a hard `capacity` on the number of crawled pages (crawler.go:187);
+  *   - breadth-first: all depth-d pages before any depth-(d+1) page.
+  *
+  * Each level is one distributed join + left-anti against the visited
+  * set; the driver holds per-level counts only, so the frontier scales to
+  * web-graph sizes (the visited relation shuffles on `page`, the natural
+  * key). The reference's goroutine/channel arrival order is
+  * nondeterministic; this returns the deterministic (depth asc, page asc)
+  * order, with capacity truncation on the same order.
+  */
+object LinkCrawl {
+
+  /** `links`: (src, dst, pos) — pos = 1-based position of the link within
+    * its page. Returns (page, depth) for every crawled page.
+    */
+  def bfs(
+      spark: SparkSession,
+      links: DataFrame,
+      seeds: Seq[String],
+      capacity: Int,
+      maxLinksPerPage: Int = 3): DataFrame = {
+    import spark.implicits._
+    val followed = links
+      .where(col("pos") <= maxLinksPerPage)
+      .select(col("src"), col("dst"))
+      .persist()
+    try {
+      // localCheckpoint per level TRUNCATES LINEAGE — without it the
+      // visited plan nests one union per level and Catalyst planning
+      // blows up (time and heap) after a few dozen levels; with it every
+      // iteration plans against a materialized leaf. Standard hygiene
+      // for iterative DataFrame algorithms.
+      var visited = seeds.distinct.take(capacity).toDF("page")
+        .withColumn("depth", lit(0))
+        .localCheckpoint()
+      var frontier = visited.select(col("page"))
+      var total = visited.count()
+      var depth = 0
+      var exhausted = false
+      while (total < capacity && !exhausted) {
+        depth += 1
+        val remaining = (capacity - total).toInt
+        val next = followed
+          .join(frontier.withColumnRenamed("page", "src"), "src")
+          .select(col("dst").as("page"))
+          .distinct()
+          .join(visited.select(col("page")), Seq("page"), "left_anti")
+          .orderBy(col("page"))
+          .limit(remaining)
+          .withColumn("depth", lit(depth))
+          .localCheckpoint()
+        val n = next.count()
+        if (n == 0) exhausted = true
+        else {
+          visited = visited.unionByName(next).localCheckpoint()
+          frontier = next.select(col("page"))
+          total += n
+        }
+      }
+      visited.orderBy(col("depth"), col("page"))
+    } finally followed.unpersist()
+  }
+}

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.pipeline.TextPipeline
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming faces of the pipeline — the reference's only
+  * incremental path is the crawler's save-then-rebuild loop (reference
+  * crawler.go:181-205 + searcher.go:272); at 100 TB the ingest side is a
+  * stream, so the engine's streaming-safe operators are exposed here:
+  *
+  *   - `docStream`: file-arrival micro-batches over the corpus directory
+  *     (any writer appending parquet becomes an ingest producer);
+  *   - `dedupExactStream`: cross-batch exact dedup on sha256(content),
+  *     with a watermark-bounded variant whose state does not grow
+  *     forever;
+  *   - `enrich`: the per-row TextPipeline features (token counts,
+  *     quality, language ID) are stateless Column expressions and run on
+  *     streams unchanged — asserted by spec, not just claimed;
+  *   - `eventCountsByWindow`: watermarked sliding-window aggregation
+  *     over an event stream (late data beyond the watermark dropped);
+  *   - `streamingTermStats`: incremental (term → df, Σtf) maintenance via
+  *     `flatMapGroupsWithState` — the streaming counterpart of the batch
+  *     index's termStats relation, state partitioned by term exactly like
+  *     the batch shuffle.
+  */
+object StreamOps {
+
+  /** Micro-batch document source over a parquet corpus directory (the
+    * schema must be supplied — streaming sources do not infer).
+    */
+  def docStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Cross-batch exact dedup: first arrival of each content hash wins.
+    * State = one row per distinct hash — unbounded on purpose (global
+    * dedup); use the watermarked variant when arrival skew is bounded.
+    */
+  def dedupExactStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_sha", TextPipeline.contentSha(col(textCol)))
+      .dropDuplicates("content_sha")
+
+  /** Watermark-bounded dedup: duplicates are only suppressed within the
+    * event-time watermark window, so state is evicted as the watermark
+    * advances — the 100 TB-stream-safe configuration.
+    */
+  def dedupExactStreamWatermarked(
+      docs: DataFrame, idCol: String, textCol: String,
+      tsCol: String, delay: String): DataFrame =
+    docs
+      .withColumn("content_sha", TextPipeline.contentSha(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("content_sha")
+
+  /** Stateless per-row enrichment (token counts / quality / language) —
+    * identical Column expressions to the batch path, so batch ≡ stream
+    * row-for-row.
+    */
+  def enrich(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("*"),
+      TextPipeline.wsTokenCount(col(textCol)).cast("long").as("ws_tokens"),
+      TextPipeline.qualityScore(col(textCol)).as("quality"),
+      TextPipeline.langId(col(textCol)).as("lang_detected"))
+
+  /** Watermarked sliding-window event aggregation: (window, event_type) →
+    * count + Σvalue. Late events beyond `watermarkDelay` are dropped.
+    */
+  def eventCountsByWindow(
+      events: DataFrame, windowDur: String, slideDur: String,
+      watermarkDelay: String): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("w_start"), col("window.end").as("w_end"),
+        col("event_type"), col("n"), col("total_value"))
+
+  final case class TermPosting(term: String, docId: Long, tf: Int)
+  final case class TermState(df: Long, totalTf: Long)
+  final case class TermStatsUpdate(term: String, df: Long, totalTf: Long)
+
+  /** Incremental per-term document-frequency / Σtf maintenance across
+    * micro-batches. Each input row is one new (term, doc) posting; the
+    * emitted row is the term's accumulated totals after the batch. State
+    * is keyed by term — the same partitioning the batch index's tf
+    * shuffle uses, so a streaming refresh co-locates with the shards it
+    * would update.
+    */
+  def streamingTermStats(postings: Dataset[TermPosting]): Dataset[TermStatsUpdate] = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    postings
+      .groupByKey(_.term)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (term: String, rows: Iterator[TermPosting], state: GroupState[TermState]) =>
+          val prev = state.getOption.getOrElse(TermState(0L, 0L))
+          var df = prev.df
+          var tot = prev.totalTf
+          rows.foreach { r => df += 1; tot += r.tf }
+          state.update(TermState(df, tot))
+          Iterator(TermStatsUpdate(term, df, tot))
+      }
+  }
+}

@@ -143,6 +143,22 @@ class BlockIndexSpec extends AnyFunSuite {
     engine.index.unpersist()
   }
 
+  test("batched BM25 (one pass, N queries) == per-query WAND results") {
+    val queries = Seq("spark join fast window", "table", "spark spark join",
+      "nosuchterm spark", "zzz_oov_only", "")
+    val batch = BlockIndex.bm25TopKBatch(spark, coldDir, queries, 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    for (q <- queries) {
+      val single = BlockIndex.bm25TopK(spark, coldDir, q, 5).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val b = batch.filter(_._1 == q).sortBy(_._4)
+      assert(b.map(_._2).toSeq == single.map(_._1).toSeq, s"rank mismatch q='$q'")
+      b.map(_._3).zip(single.map(_._2)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"score mismatch q='$q'")
+      }
+    }
+  }
+
   test("WAND big path: driver metadata bounded for stop-word-grade terms; result == naive") {
     val sp = spark
     import sp.implicits._

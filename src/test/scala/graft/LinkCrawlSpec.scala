@@ -1,0 +1,52 @@
+package graft
+
+import graft.sources.LinkCrawl
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Crawl data-flow semantics pinned against the reference crawler
+  * (crawler.go:181-205): first-3-links rule, seen-set dedup, capacity
+  * cap, breadth-first depths.
+  */
+class LinkCrawlSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private def linksDF(rows: (String, String, Int)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("src", "dst", "pos")
+  }
+
+  // A: links to B,C,D,E (E at pos 4 — beyond the first-3 rule)
+  // B: links back to A (seen) and to F
+  // C: links to F (already found via B at same depth — dedup)
+  private val links = linksDF(
+    ("A", "B", 1), ("A", "C", 2), ("A", "D", 3), ("A", "E", 4),
+    ("B", "A", 1), ("B", "F", 2),
+    ("C", "F", 1),
+    ("F", "G", 1))
+
+  private def crawl(capacity: Int) =
+    LinkCrawl.bfs(spark, links, Seq("A"), capacity)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+
+  test("BFS: first-3-links rule, seen-set, breadth-first depths") {
+    val out = crawl(capacity = 100).toMap
+    assert(out == Map("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 1, "F" -> 2, "G" -> 3))
+    // E is A's 4th link → never followed (reference takes the first 3,
+    // crawler.go:55-70); A not re-crawled despite B→A
+  }
+
+  test("capacity truncates deterministically (depth asc, page asc)") {
+    val out = crawl(capacity = 4)
+    assert(out.toSeq == Seq("A" -> 0, "B" -> 1, "C" -> 1, "D" -> 1))
+    val out2 = crawl(capacity = 2)
+    assert(out2.toSeq == Seq("A" -> 0, "B" -> 1))
+  }
+
+  test("multiple seeds, unknown seed is isolated at depth 0") {
+    val out = LinkCrawl.bfs(spark, links, Seq("F", "ZZZ"), capacity = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("F" -> 0, "ZZZ" -> 0, "G" -> 1))
+  }
+}

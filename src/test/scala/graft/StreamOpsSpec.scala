@@ -1,0 +1,114 @@
+package graft
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{TermPosting, TermStatsUpdate}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+/** Structured Streaming operators: cross-batch dedup, watermarked window
+  * aggregation with late-data drop, stateful term-stats maintenance, and
+  * batch ≡ stream equality for the stateless enrichment path.
+  */
+class StreamOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming exact dedup suppresses duplicates across micro-batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val out = StreamOps.dedupExactStream(
+      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "aaa"), (2L, "bbb"))
+      q.processAllAvailable()
+      in.addData((3L, "aaa"), (4L, "ccc")) // 3 duplicates 1 ACROSS batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids == Set(1L, 2L, 4L))
+    } finally q.stop()
+  }
+
+  test("watermarked window aggregation drops late events beyond the watermark") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val out = StreamOps.eventCountsByWindow(
+      in.toDF.toDF("ts", "event_type", "value"),
+      windowDur = "5 minutes", slideDur = "5 minutes", watermarkDelay = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("update").start()
+    try {
+      in.addData((ts(0), "click", 1.0), (ts(2), "click", 2.0), (ts(14), "view", 5.0))
+      q.processAllAvailable() // watermark advances to 10:14 - 2m = 10:12
+      in.addData((ts(1), "click", 100.0), // late: window [10:00,10:05) < watermark → dropped
+        (ts(16), "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("w_start").cast("string"), col("event_type"), col("n"), col("total_value"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      // the [10:00,10:05) click window was updated ONLY by the first batch
+      val w0 = rows.filter(r => r._1.startsWith("2024-01-01 10:00") && r._2 == "click")
+      assert(w0.map(_._3).max == 2L, s"late event must not update the closed window: $rows")
+      assert(w0.map(_._4).max == 3.0)
+      // the fresh 10:16 event landed in its own window
+      assert(rows.exists(r => r._1.startsWith("2024-01-01 10:15") && r._2 == "view" && r._3 == 1L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState term stats accumulate across batches") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[TermPosting]
+    val out: org.apache.spark.sql.Dataset[TermStatsUpdate] =
+      StreamOps.streamingTermStats(in.toDS())
+    val q = out.writeStream.format("memory").queryName("tstats_out")
+      .outputMode("update").start()
+    try {
+      in.addData(TermPosting("spark", 1L, 3), TermPosting("join", 1L, 1))
+      q.processAllAvailable()
+      in.addData(TermPosting("spark", 2L, 2))
+      q.processAllAvailable()
+      val last = spark.table("tstats_out")
+        .groupBy("term").agg(max(struct(col("df"), col("totalTf"))).as("s"))
+        .select(col("term"), col("s.df"), col("s.totalTf"))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(last("spark") == (2L, 5L)) // df and Σtf accumulated, not reset
+      assert(last("join") == (1L, 1L))
+    } finally q.stop()
+  }
+
+  test("stateless enrichment: stream output row-identical to the batch path") {
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog it is fine"),
+      (2L, "der hund läuft und die katze ist nicht da"),
+      (3L, ""))
+    val in = MemoryStream[(Long, String)]
+    val q = StreamOps.enrich(in.toDF.toDF("doc_id", "text"), "text")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      in.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+      val batch = StreamOps.enrich(docs.toDF("doc_id", "text"), "text").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getString(4))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
