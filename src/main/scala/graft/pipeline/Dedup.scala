@@ -85,42 +85,53 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.8,
       maxShingleDf: Option[Long] = None): DataFrame = {
+    // The shingle index feeds FOUR plan branches (sizes, rarity ranking,
+    // prefix, verify) — cache it for the operator's duration or every
+    // branch re-tokenizes the corpus (measured 4.9 s of the old 7 s at
+    // sf0.1). The (small) pair output is localCheckpoint'ed eagerly so
+    // the scratch cache can be released before returning; at warehouse
+    // scale this materialization step is where the shingle index would
+    // be written as a reusable table.
     val idx = shingleIndex(docs, idCol, textCol, n)
-    val pruned = maxShingleDf.fold(idx) { cap =>
-      val hot = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
-        .where(col("__df") > cap).select(col("shingle"))
-      idx.join(hot, Seq("shingle"), "left_anti")
-    }
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    // prefix per doc: rarest (|d| - ceil(θ|d|) + 1) shingles
-    val sdf = pruned.groupBy(col("shingle")).agg(count(lit(1)).as("__sdf"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id")).orderBy(col("__sdf").asc, col("shingle").asc)
-    val prefix = pruned
-      .join(sdf, "shingle")
-      .join(sizes, "id")
-      .withColumn("__pos", row_number().over(w))
-      .where(col("__pos") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
-      .select(col("id"), col("shingle"), col("sz"))
-    val cands = prefix.as("l")
-      .join(prefix.as("r"), col("l.shingle") === col("r.shingle") &&
-        col("l.id") < col("r.id") &&
-        // size-ratio necessary condition for jaccard ≥ θ
-        least(col("l.sz"), col("r.sz")).cast("double") >=
-          greatest(col("l.sz"), col("r.sz")) * minJaccard)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val ia = idx.select(col("id").as("id_a"), col("shingle"))
-    val ib = idx.select(col("id").as("id_b"), col("shingle"))
-    val inter = cands.join(ia, "id_a").join(ib, Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pruned = maxShingleDf.fold(idx: DataFrame) { cap =>
+        val hot = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+          .where(col("__df") > cap).select(col("shingle"))
+        idx.join(hot, Seq("shingle"), "left_anti")
+      }
+      val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      // prefix per doc: rarest (|d| - ceil(θ|d|) + 1) shingles
+      val sdf = pruned.groupBy(col("shingle")).agg(count(lit(1)).as("__sdf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("__sdf").asc, col("shingle").asc)
+      val prefix = pruned
+        .join(sdf, "shingle")
+        .join(sizes, "id")
+        .withColumn("__pos", row_number().over(w))
+        .where(col("__pos") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+        .select(col("id"), col("shingle"), col("sz"))
+      val cands = prefix.as("l")
+        .join(prefix.as("r"), col("l.shingle") === col("r.shingle") &&
+          col("l.id") < col("r.id") &&
+          // size-ratio necessary condition for jaccard ≥ θ
+          least(col("l.sz"), col("r.sz")).cast("double") >=
+            greatest(col("l.sz"), col("r.sz")) * minJaccard)
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val ia = idx.select(col("id").as("id_a"), col("shingle"))
+      val ib = idx.select(col("id").as("id_b"), col("shingle"))
+      val inter = cands.join(ia, "id_a").join(ib, Seq("id_b", "shingle"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 6).as("jaccard"))
+        .where(col("jaccard") >= minJaccard)
+        .localCheckpoint() // eager: materialize before the cache drops
+    } finally idx.unpersist()
   }
 
   // ---------------------------------------------------------------------

@@ -1,0 +1,52 @@
+package graft.tools
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Phase timings of the n-gram Jaccard AllPairs plan — locates the
+  * bottleneck stage (shingling / prefix window / candidate join /
+  * verify) by materializing each prefix of the plan.
+  */
+object JaccardBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val minJaccard = 0.8
+    def t(name: String)(f: => Long): Unit = {
+      val s = System.nanoTime()
+      val n = f
+      println(f"[jac] $name%-22s ${(System.nanoTime() - s) / 1e9}%6.2f s   rows=$n")
+    }
+    val idx = Dedup.shingleIndex(docs, "doc_id", "text", 3)
+    t("shingle_index")(idx.count())
+    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sdf = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__sdf"))
+    t("shingle_df")(sdf.count())
+    val w = Window.partitionBy(col("id")).orderBy(col("__sdf").asc, col("shingle").asc)
+    val prefix = idx.join(sdf, "shingle").join(sizes, "id")
+      .withColumn("__pos", row_number().over(w))
+      .where(col("__pos") <= col("sz") - ceil(col("sz") * minJaccard) + 1)
+      .select(col("id"), col("shingle"), col("sz"))
+    t("prefix_window")(prefix.count())
+    val cands = prefix.as("l")
+      .join(prefix.as("r"), col("l.shingle") === col("r.shingle") &&
+        col("l.id") < col("r.id") &&
+        least(col("l.sz"), col("r.sz")).cast("double") >=
+          greatest(col("l.sz"), col("r.sz")) * minJaccard)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    t("candidates")(cands.count())
+    t("full_end_to_end")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, minJaccard).count())
+    t("full_again_warm")(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, minJaccard).count())
+    spark.stop()
+  }
+}
