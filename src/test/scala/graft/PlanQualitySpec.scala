@@ -80,6 +80,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"queries must broadcast against the streaming corpus:\n$plan")
   }
 
+  test("batched BM25 plan: term filter pushed, query relation broadcast, no global sort before the window") {
+    val df = BlockIndex.bm25TopKBatch(spark, idxDir,
+      Seq("spark join", "table window"), k = 5)
+    df.collect()
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [In(term"),
+      s"union-of-terms filter must reach the parquet scan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"(query, term, qcnt) relation should broadcast:\n$plan")
+    // ranking is a per-query window (hash partitioning on query), not a
+    // global range-partitioned sort of all scores
+    assert(plan.contains("Window"), s"expected per-query window rank:\n$plan")
+  }
+
+  test("IVF indexed probe: only the probed cluster directories are scanned") {
+    val dir = GateQueries.ivfIndexDir(spark, "/root/testdata/sf0.001")
+    val emb = GateQueries.embeddings(spark, "/root/testdata/sf0.001")
+    val one = Similarity.ivfTopKIndexed(spark, dir,
+      emb.where(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id"),
+      k = 5, nprobe = 2)
+    val clustersRead = one.inputFiles.flatMap(f =>
+      "cluster=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(clustersRead.size <= 2,
+      s"nprobe=2 must touch at most 2 cluster dirs, read $clustersRead")
+  }
+
   test("whole-stage codegen covers the scoring pipeline") {
     val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
     val df = e.bm25Query("spark join", Some(10))
