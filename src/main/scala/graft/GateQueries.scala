@@ -593,6 +593,78 @@ object GateQueries {
               |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bs
               |ORDER BY doc_id, blk""".stripMargin)),
 
+    // Gopher-style repetition stats: duplicate-shingle fraction +
+    // top-token fraction (token-free docs → 0.0 on both sides)
+    Gate("q38_repetition",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextPipeline.dupShingleFrac(col("text"), 3).as("dup_shingle_frac"),
+        TextPipeline.topTokenFrac(col("text")).as("top_token_frac"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shinglesCte(3)},
+              |toksq AS (
+              |  SELECT doc_id, unnest(list_transform(list_filter(
+              |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+              |    x -> x <> ''), x -> lower(x))) AS term
+              |  FROM documents),
+              |tf AS (SELECT doc_id, term, count(*)::DOUBLE AS c
+              |       FROM toksq GROUP BY doc_id, term),
+              |tt AS (SELECT doc_id, round(max(c) / sum(c), 6) AS top_token_frac
+              |       FROM tf GROUP BY doc_id),
+              |ds AS (SELECT doc_id,
+              |         round(1.0 - len(list_distinct(sl))::DOUBLE / len(sl)::DOUBLE, 6)
+              |           AS dup_shingle_frac
+              |       FROM shingles)
+              |SELECT d.doc_id, ds.dup_shingle_frac,
+              |  coalesce(tt.top_token_frac, 0.0) AS top_token_frac
+              |FROM documents d
+              |JOIN ds ON ds.doc_id = d.doc_id
+              |LEFT JOIN tt ON tt.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // PII scrubbing: span replacement parity proven by hashing the
+    // scrubbed text (patterns are Java-regex/RE2-portable)
+    Gate("q39_pii_scrub",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextPipeline.emailCount(col("text")).cast("long").as("n_emails"),
+        TextPipeline.ipCount(col("text")).cast("long").as("n_ips"),
+        sha2(TextPipeline.piiScrub(col("text")), 256).as("scrubbed_sha"))
+        .orderBy(col("doc_id")),
+      // DuckDB '…' literals take backslashes verbatim — the Scala pattern
+      // strings drop in unchanged (Verify's JSON writer escapes them for
+      // the oracle file and the driver's json.load restores them)
+      Some(s"""SELECT doc_id,
+              |  len(regexp_extract_all(text, '${TextPipeline.EmailPattern}'))::BIGINT AS n_emails,
+              |  len(regexp_extract_all(text, '${TextPipeline.Ipv4Pattern}'))::BIGINT AS n_ips,
+              |  sha256(regexp_replace(regexp_replace(text,
+              |    '${TextPipeline.EmailPattern}', '<EMAIL>', 'g'),
+              |    '${TextPipeline.Ipv4Pattern}', '<IP>', 'g')) AS scrubbed_sha
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic content-keyed train/val/test split (byte-identical
+    // docs always share a split — no dup contamination across splits)
+    Gate("q40_hash_split",
+      (s, d) => documents(s, d).select(
+        col("doc_id"),
+        TextPipeline.hashBucket256(col("text")).cast("long").as("bucket"),
+        TextPipeline.splitAssign(
+          TextPipeline.hashBucket256(col("text"))).as("split"))
+        .orderBy(col("doc_id")),
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    (CASE WHEN ascii(substring(md5(text), 1, 1)) >= 97
+             |          THEN ascii(substring(md5(text), 1, 1)) - 87
+             |          ELSE ascii(substring(md5(text), 1, 1)) - 48 END) * 16 +
+             |    (CASE WHEN ascii(substring(md5(text), 2, 1)) >= 97
+             |          THEN ascii(substring(md5(text), 2, 1)) - 87
+             |          ELSE ascii(substring(md5(text), 2, 1)) - 48 END) AS bucket
+             |  FROM documents)
+             |SELECT doc_id, bucket::BIGINT AS bucket,
+             |  CASE WHEN bucket < 230 THEN 'train'
+             |       WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+             |FROM b ORDER BY doc_id""".stripMargin)),
+
     // ---------------- similarity search ----------------
 
     Gate("q25_cosine_topk",

@@ -153,4 +153,88 @@ object TextPipeline {
     * rule: sha256 of content — BASELINE.json input_hint).
     */
   def contentSha(text: Column): Column = sha2(text, 256)
+
+  // ---------------------------------------------------------------------
+  // Repetition (Gopher-style quality rules — Rae et al. 2021)
+  // ---------------------------------------------------------------------
+
+  /** Fraction of n-gram shingle occurrences that are repeats of an
+    * earlier shingle in the same document: 1 − |distinct| / |all|.
+    * Repetitious boilerplate (lorem-loops, scraped nav bars) scores high;
+    * 0 for documents shorter than n tokens.
+    */
+  def dupShingleFrac(text: Column, n: Int = 3): Column = {
+    val all = shingles(text, n)
+    round(lit(1.0) - size(array_distinct(all)).cast("double") /
+      size(all).cast("double"), 6)
+  }
+
+  private val topTokenFracUdf = udf { s: String =>
+    val toks = Analyzer.tokenizeFast(s)
+    if (toks.isEmpty) 0.0
+    else {
+      val m = scala.collection.mutable.HashMap.empty[String, Int]
+      toks.foreach(t => m.update(t, m.getOrElse(t, 0) + 1))
+      m.values.max.toDouble / toks.size
+    }
+  }
+
+  /** Fraction of tokens taken by the single most frequent token (the
+    * Gopher top-1-gram rule). Linear-scan UDF — the pure-Column
+    * alternative (max over per-distinct-token filters) is O(|distinct|·n)
+    * per document, quadratic on long documents.
+    */
+  def topTokenFrac(text: Column): Column = round(topTokenFracUdf(text), 6)
+
+  // ---------------------------------------------------------------------
+  // PII scrubbing (span replacement, deterministic + engine-portable)
+  // ---------------------------------------------------------------------
+
+  /** Conservative, portable patterns (identical semantics in Java regex
+    * and RE2 — no backtracking constructs).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
+  def ipCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Pattern), lit(0)))
+
+  /** Replace emails then IPv4 literals with typed placeholders. Runs as
+    * two codegen'd regexp_replace passes; patterns are anchored to word
+    * boundaries so partial octets do not over-match.
+    */
+  def piiScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      Ipv4Pattern, "<IP>")
+
+  // ---------------------------------------------------------------------
+  // Deterministic content-keyed splits
+  // ---------------------------------------------------------------------
+
+  /** Stable bucket 0..255 from the first md5 byte of the text. Keyed by
+    * CONTENT, not id: byte-identical documents always land in the same
+    * split, so exact duplicates can never straddle train/validation — the
+    * contamination property a training pipeline actually needs. Pure
+    * Column arithmetic, identical in any engine with md5.
+    */
+  def hashBucket256(text: Column): Column = {
+    def hexVal(i: Int): Column = {
+      val a = ascii(substring(md5(text), i, 1))
+      // '0'..'9' → 48..57, 'a'..'f' → 97..102
+      when(a >= 97, a - 87).otherwise(a - 48)
+    }
+    hexVal(1) * 16 + hexVal(2)
+  }
+
+  /** train/val/test assignment from [[hashBucket256]] thresholds
+    * (defaults ≈ 90/5/5).
+    */
+  def splitAssign(bucket: Column, trainUpper: Int = 230, valUpper: Int = 243): Column =
+    when(bucket < trainUpper, "train")
+      .when(bucket < valUpper, "val")
+      .otherwise("test")
 }

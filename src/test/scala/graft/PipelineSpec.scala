@@ -90,6 +90,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(!candidate(fps(0)._2, fps(5)._2))
   }
 
+  test("repetition stats: boilerplate loops score high, varied prose low, empty zero") {
+    val sp = spark
+    import sp.implicits._
+    val rep = Seq(
+      (1L, "buy now " * 50),                  // pure loop: near-total repetition
+      (2L, base),                             // varied prose
+      (3L, ""))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextPipeline.dupShingleFrac(col("text"), 3).as("dup"),
+        TextPipeline.topTokenFrac(col("text")).as("top"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rep(1L)._1 > 0.9 && rep(1L)._2 === 0.5)
+    assert(rep(2L)._1 < 0.2 && rep(2L)._2 < 0.35)
+    assert(rep(3L) == (0.0, 0.0))
+  }
+
+  test("pii scrub replaces emails and IPv4s, leaves everything else intact") {
+    val sp = spark
+    import sp.implicits._
+    val out = Seq((1L, "write bob.smith+x@ex-ample.co.uk from 10.0.255.1 re v1.2.3.4.5 ok"))
+      .toDF("doc_id", "text")
+      .select(TextPipeline.piiScrub(col("text")).as("s"),
+        TextPipeline.emailCount(col("text")).as("ne"),
+        TextPipeline.ipCount(col("text")).as("ni"))
+      .head()
+    // "v1.2.3.4.5": no word boundary inside "v1", so the match starts at
+    // "2.3.4.5" — identical under Java regex and RE2
+    assert(out.getString(0) == "write <EMAIL> from <IP> re v1.<IP> ok")
+    assert(out.getInt(1) == 1 && out.getInt(2) == 2)
+  }
+
+  test("hash split: content-keyed, deterministic, exact dups share a split") {
+    val out = docs.select(col("doc_id"), col("text"),
+      TextPipeline.hashBucket256(col("text")).as("b"),
+      TextPipeline.splitAssign(TextPipeline.hashBucket256(col("text"))).as("split"))
+      .collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getInt(2), r.getString(3))).toMap
+    assert(byId(1L) == byId(2L)) // byte-identical docs 1 and 2 → same split
+    assert(out.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 255))
+    // deterministic across evaluations
+    val again = docs.select(TextPipeline.hashBucket256(col("text"))).collect().map(_.getInt(0))
+    assert(again.toSeq == out.map(_.getInt(2)).toSeq)
+  }
+
   test("langid marker heuristic separates en/de/fr; empty text → und") {
     val out = docs.select(col("doc_id"), TextPipeline.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
