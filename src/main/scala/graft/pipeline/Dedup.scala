@@ -183,17 +183,24 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 8, bands: Int = 4,
       minJaccard: Double = 0.5): DataFrame = {
-    val bandsDf = lshBands(docs, idCol, textCol, n, numHashes, bands)
-    val cands = bandsDf.as("l")
-      .join(bandsDf.as("r"),
-        col("l.band") === col("r.band") &&
-          col("l.band_key") === col("r.band_key") &&
-          col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val idx = shingleIndex(docs, idCol, textCol, n)
-    val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
-    minhashVerify(cands, idx, sizes, minJaccard)
+    // bands feed both sides of the self-join and the shingle index feeds
+    // the verify twice — cache both for the operator's duration (the same
+    // multi-branch recompute the Jaccard plan had); the small pair output
+    // is checkpointed eagerly so the scratch caches can drop.
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val bandsDf = lshBands(docs, idCol, textCol, n, numHashes, bands).persist(lvl)
+    val idx = shingleIndex(docs, idCol, textCol, n).persist(lvl)
+    try {
+      val cands = bandsDf.as("l")
+        .join(bandsDf.as("r"),
+          col("l.band") === col("r.band") &&
+            col("l.band_key") === col("r.band_key") &&
+            col("l.id") < col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      minhashVerify(cands, idx, sizes, minJaccard).localCheckpoint()
+    } finally { bandsDf.unpersist(); idx.unpersist() }
   }
 
   /** Exact-Jaccard verification of a candidate pair relation against the

@@ -1,0 +1,63 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Query-side latency/throughput against a 2M-document block index — the
+  * evidence that the WAND path's bounded-driver planning holds up beyond
+  * gate-scale corpora. Builds (or resumes) the index at `/tmp/graft-idx2m`
+  * from the ScalingBench corpus, then reports cold + warm per-query BM25
+  * latency and batched throughput.
+  */
+object QueryBench2M {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus2m"
+    val idxDir = "/tmp/graft-idx2m"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val needBuild = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(idxDir, BlockIndex.StatsName))
+    if (needBuild) {
+      val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+        .select(col("docId"),
+          concat_ws("/", col("repo"), col("path")).as("title"),
+          col("content").as("body"))
+      val t0 = System.nanoTime()
+      BlockIndex.build(docs, idxDir,
+        BlockIndex.Layout(blockSpan = 4096, nShards = 32))
+      println(f"[q2m] build                    ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+    val (stats, _) = BlockIndex.readStats(idxDir)
+    println(s"[q2m] index nDocs=${stats.nDocs} vocab=${stats.vocabSize}")
+    // the corpus vocabulary is CorpusGen's keyword pool (+ digit-suffixed
+    // tails): head terms here have df ≈ nDocs — the WAND big path with
+    // stop-word-grade metadata volumes, exactly the regime the bounded
+    // driver planning exists for
+    val queries = Seq(
+      "def val return", "class object extends", "static void int",
+      "import package from", "select from where group", "string type struct",
+      "if else while", "match case new", "override private public",
+      "val7 def12 class3")
+    // cold: first query pays plan/codegen warmup
+    val tc = System.nanoTime()
+    BlockIndex.bm25TopK(spark, idxDir, queries.head, 10).count()
+    println(f"[q2m] first_query_cold         ${(System.nanoTime() - tc) / 1e9}%7.2f s")
+    val tw = System.nanoTime()
+    queries.foreach { q =>
+      val t1 = System.nanoTime()
+      BlockIndex.bm25TopK(spark, idxDir, q, 10).count()
+      println(f"[q2m]   '$q%-28s' ${(System.nanoTime() - t1) / 1e9}%6.2f s")
+    }
+    val warm = (System.nanoTime() - tw) / 1e9
+    println(f"[q2m] warm_10_sequential       $warm%7.2f s  (${10 / warm}%.2f q/s)")
+    val tb = System.nanoTime()
+    val n = BlockIndex.bm25TopKBatch(spark, idxDir, queries, 10).count()
+    val bat = (System.nanoTime() - tb) / 1e9
+    println(f"[q2m] batch_10_one_job         $bat%7.2f s  (${10 / bat}%.2f q/s, rows=$n)")
+    spark.stop()
+  }
+}
