@@ -273,6 +273,15 @@ object BlockIndex {
       .select(col("term"), col("p.docId").as("docId"), col("p.tf").as("tf"),
         col("p.dl").as("dl"))
 
+  /** [[decodePostings]] keeping the blockId — the co-location key for
+    * shuffle-light scoring ([[bm25TopK]]'s score plan).
+    */
+  private def decodePostingsWithBlock(blocks: DataFrame): DataFrame =
+    blocks.select(col("blockId"), col("term"),
+        explode(VarByteDecodeExpr.decode(col("bytes"))).as("p"))
+      .select(col("blockId"), col("term"), col("p.docId").as("docId"),
+        col("p.tf").as("tf"), col("p.dl").as("dl"))
+
   /** Expose the persistent index as an [[IndexBundle]], so EVERY query
     * mode of [[graft.query.QueryEngine]] (terms, boolean, fuzzy,
     * wildcard, TF-IDF, BM25) runs against the compressed on-disk artifact
@@ -410,13 +419,24 @@ object BlockIndex {
     val avgdl = stats.avgdl
 
     val idfDf = broadcast(terms.map(t => (t, idf(t), qcnt(t))).toDF("term", "idf", "qcnt"))
+    /** Shuffle-light scoring: the ONE shuffle moves COMPRESSED blocks
+      * keyed by blockId (a stop-word query ships ~df/blockSpan block rows,
+      * not df decoded postings). docId determines blockId, so after that
+      * exchange every term's postings for a doc are co-located:
+      * groupBy(blockId, docId) is satisfied by the blockId hash
+      * partitioning — no second shuffle — and the final top-k is a
+      * per-partition TakeOrdered + driver merge of nPartitions·k rows.
+      */
     def scoreRel(rel: DataFrame): DataFrame =
-      decodePostings(rel)
+      decodePostingsWithBlock(
+        rel.select(col("term"), col("blockId"), col("bytes"))
+          .repartition(col("blockId")))
         .join(idfDf, "term")
-        .groupBy(col("docId"))
+        .groupBy(col("blockId"), col("docId"))
         .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
           (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)) + col("tf")))
           .as("score"))
+        .select(col("docId"), col("score"))
     def topK(rel: DataFrame): DataFrame =
       scoreRel(rel).orderBy(col("score").desc, col("docId").asc).limit(k)
 
@@ -529,13 +549,20 @@ object BlockIndex {
           log(10.0, lit(stats.vocabSize.toDouble) / col("df"))).otherwise(0.0))
     val qDf = broadcast(qTerms.toDF("query", "term", "qcnt"))
     val avgdl = stats.avgdl
-    val scored = decodePostings(termBlocks)
+    // same shuffle-light shape as bm25TopK's scoreRel: one exchange of
+    // compressed blocks by blockId, then a co-located aggregation
+    // (hashpartitioning(blockId) satisfies the (query, blockId, docId)
+    // clustering — no second shuffle before the per-query window)
+    val scored = decodePostingsWithBlock(
+        termBlocks.select(col("term"), col("blockId"), col("bytes"))
+          .repartition(col("blockId")))
       .join(broadcast(termDf.select(col("term"), col("idf"))), "term")
       .join(qDf, "term")
-      .groupBy(col("query"), col("docId"))
+      .groupBy(col("query"), col("blockId"), col("docId"))
       .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
         (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)) + col("tf")))
         .as("score"))
+      .select(col("query"), col("docId"), col("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query"))
       .orderBy(col("score").desc, col("docId").asc)

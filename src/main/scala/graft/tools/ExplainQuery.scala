@@ -1,0 +1,21 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.sql.SparkSession
+
+/** Print the executed plan of a WAND BM25 query — for plan iteration. */
+object ExplainQuery {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft-idx2m"
+    val q = if (args.length > 1) args(1) else "def val return"
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = BlockIndex.bm25TopK(spark, dir, q, 10)
+    df.collect()
+    println("=== EXECUTED PLAN ===")
+    println(df.queryExecution.executedPlan.toString)
+    spark.stop()
+  }
+}
