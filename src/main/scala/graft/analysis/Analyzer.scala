@@ -99,10 +99,46 @@ object Analyzer {
     count
   }
 
+  /** Per-document term frequencies in ONE scan over title then body —
+    * the tf that `tokenStream.groupBy(term, docId).count()` would
+    * compute, but folded into the scanner so the index build explodes
+    * ~|distinct terms per doc| rows instead of |tokens| rows and needs no
+    * tf aggregation at all (the doc is the natural pre-aggregation
+    * boundary). Pair order is insertion order — irrelevant downstream
+    * (postings are an unordered relation; blocks sort explicitly).
+    */
+  def tokenTfFast(title: String, body: String): Seq[(String, Int)] = {
+    val m = new java.util.LinkedHashMap[String, Int]()
+    def scan(text: String): Unit = {
+      if (text == null) return
+      val n = text.length
+      val sb = new java.lang.StringBuilder(16)
+      var i = 0
+      while (i < n) {
+        val c = text.charAt(i)
+        val alnum = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9')
+        if (alnum) sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        else if (sb.length > 0) { add(sb.toString); sb.setLength(0) }
+        i += 1
+      }
+      if (sb.length > 0) add(sb.toString)
+    }
+    def add(t: String): Unit =
+      m.merge(t, 1, (a: Int, b: Int) => a + b)
+    scan(title)
+    scan(body)
+    val out = new scala.collection.mutable.ArrayBuffer[(String, Int)](m.size)
+    m.forEach((k, v) => out += ((k, v)))
+    out.toSeq
+  }
+
   private val tokensUdf =
     org.apache.spark.sql.functions.udf((s: String) => tokenizeFast(s))
   private val wordCountUdf =
     org.apache.spark.sql.functions.udf((s: String) => wordCountFast(s))
+  private val tokenTfUdf =
+    org.apache.spark.sql.functions.udf((t: String, b: String) => tokenTfFast(t, b))
 
   // ---------------------------------------------------------------------
   // Column expressions (index build — executors)
@@ -132,6 +168,9 @@ object Analyzer {
 
   /** Whitespace word count — the document-length definition. */
   def wordCountCol(c: Column): Column = wordCountUdf(c)
+
+  /** array<struct<_1: term, _2: tf>> of a document — [[tokenTfFast]]. */
+  def tokenTfCol(title: Column, body: Column): Column = tokenTfUdf(title, body)
 
   /** regex formulation of [[wordCountCol]] — semantics reference. */
   def wordCountColRegex(c: Column): Column =

@@ -89,9 +89,7 @@ object BlockIndex {
     */
   def blocksOf(docs0: DataFrame, layout: Layout): DataFrame = {
     val docs = IndexBuilder.ensureParallelism(docs0)
-    val postings = IndexBuilder.tokenStream(docs)
-      .groupBy(col("term"), col("docId"))
-      .agg(count(lit(1)).cast("int").as("tf"))
+    val postings = IndexBuilder.postingsStream(docs)
     val docLens = docs.select(col("docId"),
       Analyzer.wordCountCol(col("body")).cast("int").as("dl"))
     postings

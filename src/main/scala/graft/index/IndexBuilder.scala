@@ -60,6 +60,17 @@ object IndexBuilder {
       col("docId"),
       explode(concat(tokensCol(col("title")), tokensCol(col("body")))).as("term"))
 
+  /** (term, docId, tf) with tf folded into the tokenizer scan — the doc is
+    * the natural pre-aggregation boundary, so the build explodes
+    * |distinct terms per doc| rows instead of |tokens| rows and skips the
+    * tf hash aggregation entirely (AnalyzerSpec pins ≡ tokenStream
+    * groupBy-count). Narrow: no shuffle.
+    */
+  def postingsStream(docs: DataFrame): DataFrame =
+    docs.select(col("docId"),
+        explode(tokenTfCol(col("title"), col("body"))).as("p"))
+      .select(col("p._1").as("term"), col("docId"), col("p._2").cast("int").as("tf"))
+
   /** Build the full logical index. One shuffle for the tf aggregation,
     * one (much smaller, term-keyed) for the term stats, one narrow-ish
     * distinct for the k-gram index over the vocabulary (vocab ≪ corpus).
@@ -83,10 +94,7 @@ object IndexBuilder {
     def maybePersist(df: DataFrame): DataFrame =
       if (persist) df.persist(lvl) else df
 
-    val postings = maybePersist(
-      tokenStream(docs)
-        .groupBy(col("term"), col("docId"))
-        .agg(count(lit(1)).cast("int").as("tf")))
+    val postings = maybePersist(postingsStream(docs))
 
     val docLens = maybePersist(
       docs.select(col("docId"), wordCountCol(col("body")).as("len")))

@@ -133,6 +133,21 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenTfFast ≡ groupBy-count over title+body token stream") {
+    val cases = Seq(
+      ("Cohen's kappa", "def calcSum(x_1, y2): return x_1 + y2 # überprüfen"),
+      ("", ""), (null, "a b a"), ("A a A", null),
+      ("dup dup DUP", "dup and more dup"))
+    for ((t, b) <- cases) {
+      val expected = (Analyzer.tokenizeFast(t) ++ Analyzer.tokenizeFast(b))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(Analyzer.tokenTfFast(t, b).toMap == expected, s"case ($t, $b)")
+      // and no term appears twice in the output
+      val terms = Analyzer.tokenTfFast(t, b).map(_._1)
+      assert(terms.distinct == terms)
+    }
+  }
+
   test("lowerBoundKGramOverlap (reference index_kgram.go:94-96)") {
     assert(Analyzer.lowerBoundKGramOverlap(5, 5, 1, 3) == 4)
     // maxED=0: bound = max - 1 + k, passable only by near-exact strings

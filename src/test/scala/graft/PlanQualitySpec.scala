@@ -63,12 +63,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected a limit-style top-k operator:\n$plan")
   }
 
-  test("index build plan: tf aggregation has a map-side partial aggregate") {
+  test("index build plan: tf pre-aggregated inside the scanner — no tf hash aggregate") {
     val b = GateQueries.bundle(spark, "/root/testdata/sf0.001")
     val plan = b.postings.queryExecution.executedPlan.toString
-    // partial + final HashAggregate pair around the exchange
-    assert("HashAggregate".r.findAllIn(plan).size >= 2,
-      s"expected partial+final aggregation:\n$plan")
+    // the per-doc scan emits (term, tf) directly (the document is the
+    // natural pre-aggregation boundary): the postings relation must be a
+    // narrow explode with NO aggregation operator at all
+    assert(!plan.contains("HashAggregate"),
+      s"tf must be folded into the tokenizer scan, not re-aggregated:\n$plan")
+    assert(plan.contains("Generate"), s"expected the tokenTf explode:\n$plan")
   }
 
   test("ANN brute force: corpus side streams, query side broadcasts") {
