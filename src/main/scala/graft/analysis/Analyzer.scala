@@ -139,6 +139,9 @@ object Analyzer {
     org.apache.spark.sql.functions.udf((s: String) => wordCountFast(s))
   private val tokenTfUdf =
     org.apache.spark.sql.functions.udf((t: String, b: String) => tokenTfFast(t, b))
+  private val docTermsUdf =
+    org.apache.spark.sql.functions.udf((t: String, b: String) =>
+      (wordCountFast(b), tokenTfFast(t, b)))
 
   // ---------------------------------------------------------------------
   // Column expressions (index build — executors)
@@ -171,6 +174,12 @@ object Analyzer {
 
   /** array<struct<_1: term, _2: tf>> of a document — [[tokenTfFast]]. */
   def tokenTfCol(title: Column, body: Column): Column = tokenTfUdf(title, body)
+
+  /** struct<_1: dl (body word count), _2: array<(term, tf)>> — the whole
+    * per-document index contribution in one scan, so the physical build
+    * needs NO doc-length join (dl rides along with every exploded term).
+    */
+  def docTermsCol(title: Column, body: Column): Column = docTermsUdf(title, body)
 
   /** regex formulation of [[wordCountCol]] — semantics reference. */
   def wordCountColRegex(c: Column): Column =

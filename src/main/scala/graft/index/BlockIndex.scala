@@ -82,18 +82,22 @@ object BlockIndex {
   // Build (checkpointed, resumable)
   // ------------------------------------------------------------------
 
-  /** The logical → physical block transformation. Two shuffles: the tf
-    * aggregation and the docId-keyed doc-length join; the (term, blockId)
-    * block aggregation reuses the tf shuffle's partitioning where AQE
-    * allows. Returns a DataFrame of PostingBlock rows + shard column.
+  /** The logical → physical block transformation. ONE shuffle: the
+    * (shard, term, blockId) block aggregation. Everything upstream is
+    * narrow — the scanner emits each document's (dl, [(term, tf)…]) in a
+    * single pass, so doc length rides along with every exploded posting
+    * and the docId-keyed doc-length join is gone. Returns PostingBlock
+    * rows + shard column.
     */
   def blocksOf(docs0: DataFrame, layout: Layout): DataFrame = {
     val docs = IndexBuilder.ensureParallelism(docs0)
-    val postings = IndexBuilder.postingsStream(docs)
-    val docLens = docs.select(col("docId"),
-      Analyzer.wordCountCol(col("body")).cast("int").as("dl"))
+    val postings = docs
+      .select(col("docId"), Analyzer.docTermsCol(col("title"), col("body")).as("dt"))
+      .select(col("docId"), col("dt._1").cast("int").as("dl"),
+        explode(col("dt._2")).as("p"))
+      .select(col("docId"), col("p._1").as("term"),
+        col("p._2").cast("int").as("tf"), col("dl"))
     postings
-      .join(docLens, "docId")
       .withColumn("blockId", floor(col("docId") / layout.blockSpan).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(layout.nShards)).cast("int"))
       .groupBy(col("shard"), col("term"), col("blockId"))

@@ -71,9 +71,10 @@ object IndexBuilder {
         explode(tokenTfCol(col("title"), col("body"))).as("p"))
       .select(col("p._1").as("term"), col("docId"), col("p._2").cast("int").as("tf"))
 
-  /** Build the full logical index. One shuffle for the tf aggregation,
-    * one (much smaller, term-keyed) for the term stats, one narrow-ish
-    * distinct for the k-gram index over the vocabulary (vocab ≪ corpus).
+  /** Build the full logical index. The postings relation is NARROW (tf is
+    * folded into the tokenizer scan); the only shuffles are the (small,
+    * term-keyed) term-stats aggregation and the k-gram distinct over the
+    * vocabulary (vocab ≪ corpus).
     */
   /** Raise scan parallelism for under-partitioned sources (small/few
     * files collapse into a handful of input splits and the tokenize stage
