@@ -78,6 +78,8 @@ object Analyzer {
     * exactly (Java's `isWhitespace` is NOT it: true for U+001C..1F which
     * are not White_Space, false for NEL U+0085 which is).
     */
+  @inline private[analysis] def isSpaceChar(c: Char): Boolean = isSpace(c)
+
   @inline private def isSpace(c: Char): Boolean = c match {
     case '\t' | '\n' | '\u000b' | '\f' | '\r' | ' ' | '\u0085' | '\u00a0' |
          '\u1680' | '\u2028' | '\u2029' | '\u202f' | '\u205f' | '\u3000' => true

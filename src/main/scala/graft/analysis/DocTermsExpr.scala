@@ -1,0 +1,163 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The per-document index contribution — `struct<dl:int,
+  * terms:array<struct<term:string, tf:int>>>` — computed directly over
+  * the documents' UTF8String BYTES.
+  *
+  * Why not the scanner UDF ([[Analyzer.docTermsCol]]): the UDF path
+  * decodes each UTF8String to a java.lang.String, builds one String per
+  * token, Scala tuples, and then pays the encoder to convert everything
+  * back to InternalRows — roughly 15 KB of garbage per ~700-byte document,
+  * ~20× write amplification. On this VM the 8→32-core build scaling is
+  * memory-bandwidth-bound (BENCH.md §3), so allocation traffic IS the
+  * scaling ceiling. This expression keeps the document's bytes as the
+  * only per-document copy: tokens are zero-copy UTF8String views into a
+  * single lowercased byte array, and the output is built as InternalRows
+  * directly. `doGenCode` emits a plain static call, so the projection
+  * stays inside whole-stage codegen.
+  *
+  * Semantics are IDENTICAL to the scanner (AnalyzerSpec asserts it):
+  *   - tokens: maximal ASCII-alnum byte runs, lowercased. In UTF-8 every
+  *     byte of a non-ASCII character is ≥ 0x80, so byte-level scanning
+  *     reproduces the reference's ASCII-only analyzer exactly
+  *     (reference helper.go:10-18);
+  *   - tf: per-document occurrence counts, insertion-ordered;
+  *   - dl: Unicode White_Space-separated word count of the BODY only
+  *     (reference document.go:47-49, searcher.go:275), via an inline
+  *     UTF-8 code-point walk (all White_Space code points are < 0x10000).
+  */
+case class DocTermsExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DocTermsExpr.OutType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val t = left.eval(input)
+    val b = right.eval(input)
+    DocTermsExpr.compute(
+      if (t == null) null else t.asInstanceOf[UTF8String],
+      if (b == null) null else b.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    val code =
+      code"""
+        ${l.code}
+        ${r.code}
+        InternalRow ${ev.value} = graft.analysis.DocTermsExpr.compute(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DocTermsExpr =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "doc_terms"
+}
+
+object DocTermsExpr {
+
+  val OutType: StructType = StructType(Seq(
+    StructField("dl", IntegerType, nullable = false),
+    StructField("terms", ArrayType(
+      StructType(Seq(
+        StructField("term", StringType, nullable = false),
+        StructField("tf", IntegerType, nullable = false))),
+      containsNull = false), nullable = false)))
+
+  def column(title: Column, body: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      DocTermsExpr(
+        org.apache.spark.sql.GraftColumnBridge.expression(title),
+        org.apache.spark.sql.GraftColumnBridge.expression(body)))
+
+  /** Static entry point used by both eval and the generated code. */
+  def compute(title: UTF8String, body: UTF8String): InternalRow = {
+    val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+    tokenizeInto(title, counts)
+    tokenizeInto(body, counts)
+    val terms = new Array[AnyRef](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      terms(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](wordCountBytes(body), new GenericArrayData(terms)))
+  }
+
+  /** Scan `s`'s bytes for maximal ASCII-alnum runs; lowercase A–Z in the
+    * (single, owned) byte copy; count occurrences per distinct token as
+    * zero-copy UTF8String views into that copy.
+    */
+  private def tokenizeInto(
+      s: UTF8String, counts: java.util.LinkedHashMap[UTF8String, Array[Int]]): Unit = {
+    if (s == null) return
+    val bytes = s.getBytes // ONE copy per document; we own + mutate it
+    val n = bytes.length
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alnum = i < n && {
+        val c = bytes(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          (c >= 'A' && c <= 'Z' && { bytes(i) = (c + 32).toByte; true })
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        val prev = counts.get(tok)
+        if (prev == null) counts.put(tok, Array(1)) else prev(0) += 1
+        start = -1
+      }
+      i += 1
+    }
+  }
+
+  /** Go `strings.Fields` word count over UTF-8 bytes: maximal runs of
+    * non-White_Space code points. Inline UTF-8 decode; code points above
+    * 0xFFFF are never White_Space so only 1–3-byte sequences need their
+    * value computed.
+    */
+  private def wordCountBytes(s: UTF8String): Int = {
+    if (s == null) return 0
+    val bytes = s.getBytes
+    val n = bytes.length
+    var count = 0
+    var inRun = false
+    var i = 0
+    while (i < n) {
+      val b0 = bytes(i) & 0xff
+      var cp = 0
+      var len = 1
+      if (b0 < 0x80) cp = b0
+      else if ((b0 & 0xe0) == 0xc0 && i + 1 < n) {
+        cp = ((b0 & 0x1f) << 6) | (bytes(i + 1) & 0x3f); len = 2
+      } else if ((b0 & 0xf0) == 0xe0 && i + 2 < n) {
+        cp = ((b0 & 0x0f) << 12) | ((bytes(i + 1) & 0x3f) << 6) | (bytes(i + 2) & 0x3f)
+        len = 3
+      } else if ((b0 & 0xf8) == 0xf0 && i + 3 < n) {
+        cp = 0x10000; len = 4 // supplementary: never whitespace
+      } else cp = 0xFFFD // malformed byte: not whitespace
+      val space = cp < 0x10000 && Analyzer.isSpaceChar(cp.toChar)
+      if (space) inRun = false
+      else if (!inRun) { inRun = true; count += 1 }
+      i += len
+    }
+    count
+  }
+}

@@ -65,18 +65,11 @@ object BlockIndex {
   final case class Layout(blockSpan: Int, nShards: Int)
   final case class ShardEntry(shard: Int, rows: Long, terms: Long, blocks: Long, wallMs: Long)
 
-  // ------------------------------------------------------------------
-  // Codecs as UDFs (narrow, per-group — encoding variable-length bytes
-  // needs real byte buffers; the build path also runs Analyzer's scanner
-  // UDFs for tokenize/word-count, see the Analyzer header for why)
-  // ------------------------------------------------------------------
-
-  private val encodeUdf = udf { rows: Seq[Row] =>
-    VarByte.encode(rows.map(r => VarByte.P(r.getLong(0), r.getInt(1), r.getInt(2))))
-  }
-
-  // decode side: a native codegen'd Catalyst expression (see
-  // VarByteDecodeExpr for why not a UDF)
+  // Codec endpoints are native Catalyst constructs on BOTH sides of the
+  // build/query boundary: encode = VarByteAgg (TypedImperativeAggregate
+  // over primitive buffers), decode = VarByteDecodeExpr (codegen'd
+  // expression). Tokenize/word-count run through DocTermsExpr's
+  // byte-level scan (see its header for the allocation story).
 
   // ------------------------------------------------------------------
   // Build (checkpointed, resumable)
@@ -92,11 +85,10 @@ object BlockIndex {
   def blocksOf(docs0: DataFrame, layout: Layout): DataFrame = {
     val docs = IndexBuilder.ensureParallelism(docs0)
     val postings = docs
-      .select(col("docId"), Analyzer.docTermsCol(col("title"), col("body")).as("dt"))
-      .select(col("docId"), col("dt._1").cast("int").as("dl"),
-        explode(col("dt._2")).as("p"))
-      .select(col("docId"), col("p._1").as("term"),
-        col("p._2").cast("int").as("tf"), col("dl"))
+      .select(col("docId"),
+        graft.analysis.DocTermsExpr.column(col("title"), col("body")).as("dt"))
+      .select(col("docId"), col("dt.dl").as("dl"), explode(col("dt.terms")).as("p"))
+      .select(col("docId"), col("p.term").as("term"), col("p.tf").as("tf"), col("dl"))
     postings
       .withColumn("blockId", floor(col("docId") / layout.blockSpan).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(layout.nShards)).cast("int"))
@@ -109,8 +101,7 @@ object BlockIndex {
         min(col("tf")).as("minTf"),
         min(col("dl")).as("minDl"),
         max(col("dl")).as("maxDl"),
-        encodeUdf(sort_array(collect_list(struct(col("docId"), col("tf"), col("dl")))))
-          .as("bytes"))
+        VarByteAgg.column(col("docId"), col("tf"), col("dl")).as("bytes"))
   }
 
   /** Build the index at `dir`. Resumable: shards already recorded in

@@ -68,8 +68,9 @@ object IndexBuilder {
     */
   def postingsStream(docs: DataFrame): DataFrame =
     docs.select(col("docId"),
-        explode(tokenTfCol(col("title"), col("body"))).as("p"))
-      .select(col("p._1").as("term"), col("docId"), col("p._2").cast("int").as("tf"))
+        explode(graft.analysis.DocTermsExpr.column(col("title"), col("body"))
+          .getField("terms")).as("p"))
+      .select(col("p.term").as("term"), col("docId"), col("p.tf").as("tf"))
 
   /** Build the full logical index. The postings relation is NARROW (tf is
     * folded into the tokenizer scan); the only shuffles are the (small,

@@ -68,6 +68,26 @@ object VarByte {
     out.toArray
   }
 
+  /** Encode from parallel primitive arrays (first `n` entries, MUST be
+    * sorted strictly increasing by docId) — the allocation-free path used
+    * by [[VarByteAgg]]. Byte-identical to [[encode]] on the same triples.
+    */
+  def encodeArrays(docIds: Array[Long], tfs: Array[Int], dls: Array[Int], n: Int): Array[Byte] = {
+    val out = new ArrayBuffer[Byte](n * 4)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      require(i == 0 || docIds(i) > prev,
+        s"postings must be strictly increasing: ${docIds(i)} after $prev")
+      writeLong(out, if (i == 0) docIds(i) else docIds(i) - prev)
+      writeLong(out, tfs(i).toLong)
+      writeLong(out, dls(i).toLong)
+      prev = docIds(i)
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Decode straight to Catalyst rows — called from the generated code of
     * [[VarByteDecodeExpr]] (no Scala-object round-trip on the hot path).
     */

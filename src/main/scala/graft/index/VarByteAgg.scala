@@ -1,0 +1,140 @@
+package graft.index
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import java.nio.ByteBuffer
+
+/** Growable primitive buffer of (docId, tf, dl) triples — the aggregation
+  * state of [[VarByteAgg]]. No boxing, no Rows.
+  */
+final class PostingsBuf(initial: Int = 16) {
+  var n: Int = 0
+  var docIds: Array[Long] = new Array[Long](initial)
+  var tfs: Array[Int] = new Array[Int](initial)
+  var dls: Array[Int] = new Array[Int](initial)
+
+  def add(docId: Long, tf: Int, dl: Int): Unit = {
+    if (n == docIds.length) grow(n * 2)
+    docIds(n) = docId; tfs(n) = tf; dls(n) = dl
+    n += 1
+  }
+
+  def addAll(o: PostingsBuf): Unit = {
+    if (n + o.n > docIds.length) grow(math.max(n + o.n, n * 2))
+    System.arraycopy(o.docIds, 0, docIds, n, o.n)
+    System.arraycopy(o.tfs, 0, tfs, n, o.n)
+    System.arraycopy(o.dls, 0, dls, n, o.n)
+    n += o.n
+  }
+
+  private def grow(to: Int): Unit = {
+    docIds = java.util.Arrays.copyOf(docIds, to)
+    tfs = java.util.Arrays.copyOf(tfs, to)
+    dls = java.util.Arrays.copyOf(dls, to)
+  }
+
+  /** In-place sort of the three parallel arrays by ascending docId
+    * (insertion-style dual-pivot via index permutation would allocate; a
+    * hand-rolled heapsort keeps it allocation-free).
+    */
+  def sortByDocId(): Unit = {
+    def swap(a: Int, b: Int): Unit = {
+      val d = docIds(a); docIds(a) = docIds(b); docIds(b) = d
+      val t = tfs(a); tfs(a) = tfs(b); tfs(b) = t
+      val l = dls(a); dls(a) = dls(b); dls(b) = l
+    }
+    def siftDown(start: Int, end: Int): Unit = {
+      var root = start
+      while (root * 2 + 1 <= end) {
+        val l = root * 2 + 1
+        var largest = if (docIds(l) > docIds(root)) l else root
+        if (l + 1 <= end && docIds(l + 1) > docIds(largest)) largest = l + 1
+        if (largest == root) return
+        swap(root, largest); root = largest
+      }
+    }
+    var start = n / 2 - 1
+    while (start >= 0) { siftDown(start, n - 1); start -= 1 }
+    var end = n - 1
+    while (end > 0) { swap(0, end); end -= 1; siftDown(0, end) }
+  }
+}
+
+/** Delta+varbyte block encoder as a [[TypedImperativeAggregate]]: the
+  * replacement for `encodeUdf(sort_array(collect_list(struct(…))))`,
+  * which buffered every posting as an UnsafeRow copy inside collect_list
+  * and then re-materialized Scala Rows for the UDF — per-posting object
+  * churn on the build's ONE remaining shuffle, i.e. exactly the
+  * allocation traffic the §3 bandwidth ceiling punishes. This aggregate
+  * keeps (docId, tf, dl) in three primitive arrays through
+  * partial/merge/final and emits the compressed bytes directly.
+  */
+case class VarByteAgg(
+    docId: Expression, tf: Expression, dl: Expression,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[PostingsBuf] {
+
+  override def children: Seq[Expression] = Seq(docId, tf, dl)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): PostingsBuf = new PostingsBuf()
+
+  override def update(buf: PostingsBuf, input: InternalRow): PostingsBuf = {
+    buf.add(
+      docId.eval(input).asInstanceOf[Long],
+      tf.eval(input).asInstanceOf[Int],
+      dl.eval(input).asInstanceOf[Int])
+    buf
+  }
+
+  override def merge(b1: PostingsBuf, b2: PostingsBuf): PostingsBuf = {
+    b1.addAll(b2); b1
+  }
+
+  override def eval(buf: PostingsBuf): Any = {
+    buf.sortByDocId()
+    VarByte.encodeArrays(buf.docIds, buf.tfs, buf.dls, buf.n)
+  }
+
+  override def serialize(buf: PostingsBuf): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.n * 16)
+    bb.putInt(buf.n)
+    var i = 0
+    while (i < buf.n) {
+      bb.putLong(buf.docIds(i)); bb.putInt(buf.tfs(i)); bb.putInt(buf.dls(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): PostingsBuf = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val buf = new PostingsBuf(math.max(n, 1))
+    var i = 0
+    while (i < n) { buf.add(bb.getLong(), bb.getInt(), bb.getInt()); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VarByteAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VarByteAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): VarByteAgg =
+    copy(docId = newChildren(0), tf = newChildren(1), dl = newChildren(2))
+
+  override def prettyName: String = "varbyte_agg"
+}
+
+object VarByteAgg {
+  def column(docId: Column, tf: Column, dl: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expression => toExpr}
+    toCol(VarByteAgg(toExpr(docId), toExpr(tf), toExpr(dl)).toAggregateExpression())
+  }
+}

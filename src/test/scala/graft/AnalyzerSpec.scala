@@ -148,6 +148,33 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("DocTermsExpr (byte-level) ≡ scanner UDFs: tokens, tf, dl — incl. unicode + nulls") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      ("Cohen's kappa", "def calcSum(x_1, y2): return x_1 + y2 # FIXME überprüfen"),
+      ("", ""), (null, "a b a"), ("A a A", null), (null, null),
+      ("DUP dup", "dup   x y z w tab\tnl\nend"),
+      ("ascii123", "mixed ümlaut Ü12 kelvinKsign 3d!e-fg."))
+      .toDF("title", "body")
+    val viaExpr = rows.select(
+      graft.analysis.DocTermsExpr.column(col("title"), col("body")).as("dt"))
+      .select(col("dt.dl"), col("dt.terms"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getInt(1)))))
+    val viaUdf = rows.select(Analyzer.docTermsCol(col("title"), col("body")).as("dt"))
+      .select(col("dt._1"), col("dt._2"))
+      .collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getString(0), p.getInt(1)))))
+    viaExpr.zip(viaUdf).zipWithIndex.foreach { case ((e, u), i) =>
+      assert(e._1 == u._1, s"dl mismatch row $i")
+      assert(e._2.toMap == u._2.toMap, s"tf mismatch row $i: ${e._2} vs ${u._2}")
+    }
+  }
+
   test("lowerBoundKGramOverlap (reference index_kgram.go:94-96)") {
     assert(Analyzer.lowerBoundKGramOverlap(5, 5, 1, 3) == 4)
     // maxED=0: bound = max - 1 + k, passable only by near-exact strings
