@@ -46,6 +46,24 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(VarByte.decode(VarByte.encode(Seq(big))) == IndexedSeq(big))
   }
 
+  test("PostingsBuf sort + encodeArrays == encode of sorted postings (seeded sweep)") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { c =>
+      val ps = randomPostings(rnd)
+      val shuffled = rnd.shuffle(ps)
+      val buf = new graft.index.PostingsBuf()
+      shuffled.foreach(p => buf.add(p.docId, p.tf, p.dl))
+      buf.sortByDocId()
+      val viaAgg = VarByte.encodeArrays(buf.docIds, buf.tfs, buf.dls, buf.n)
+      val viaSeq = VarByte.encode(ps)
+      assert(java.util.Arrays.equals(viaAgg, viaSeq), s"case $c (n=${ps.size})")
+    }
+    // empty buffer
+    val empty = new graft.index.PostingsBuf()
+    empty.sortByDocId()
+    assert(VarByte.encodeArrays(empty.docIds, empty.tfs, empty.dls, 0).isEmpty)
+  }
+
   test("varbyte rejects non-increasing docIds") {
     intercept[IllegalArgumentException] {
       VarByte.encode(Seq(VarByte.P(5, 1, 1), VarByte.P(5, 1, 1)))
