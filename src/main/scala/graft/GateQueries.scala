@@ -59,6 +59,20 @@ object GateQueries {
   def bundle(spark: SparkSession, dir: String): IndexBundle = synchronized {
     bundles.getOrElseUpdate(dir, IndexBuilder.build(docsAsModel(spark, dir)))
   }
+
+  /** The engine over an ARBITRARY table with text columns — here TPC-H
+    * `part` (title = p_name, body = p_type): the "index any table"
+    * demonstration, cached per directory like [[bundle]].
+    */
+  def partDocs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/part.parquet").select(
+      col("p_partkey").cast("long").as("docId"),
+      col("p_name").as("title"), col("p_type").as("body"), lit("").as("url"))
+  private val partBundles = scala.collection.mutable.Map.empty[String, IndexBundle]
+  def partEngine(spark: SparkSession, dir: String): QueryEngine = synchronized {
+    new QueryEngine(partBundles.getOrElseUpdate(dir,
+      IndexBuilder.build(partDocs(spark, dir))))
+  }
   def engine(spark: SparkSession, dir: String): QueryEngine =
     new QueryEngine(bundle(spark, dir))
 
@@ -592,6 +606,49 @@ object GateQueries {
               |  ((simhash >> (blk * 16)) & 65535)::BIGINT AS blk_key
               |FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS blk) bs
               |ORDER BY doc_id, blk""".stripMargin)),
+
+    // The engine over an arbitrary relational table: index TPC-H part
+    // (title = p_name, body = p_type), BM25-rank a product query, and
+    // join the hits back to their relational attributes — full-text
+    // search composing with the star schema.
+    Gate("q41_part_search",
+      (s, d) => {
+        val part = s.read.parquet(s"$d/part.parquet")
+        partEngine(s, d).bm25Query("small blue bolt")
+          .select(col("docId").as("p_partkey"), round(col("score"), 6).as("score"))
+          .join(part.select(col("p_partkey").cast("long"), col("p_name"),
+            col("p_retailprice")), "p_partkey")
+          .orderBy(col("score").desc, col("p_partkey").asc)
+          .limit(20)
+          .select(col("p_partkey").as("doc_id"), col("score"),
+            col("p_name"), col("p_retailprice"))
+      },
+      Some("""WITH ptoks AS (
+             |  SELECT p_partkey AS doc_id, unnest(list_concat(
+             |    list_transform(list_filter(regexp_split_to_array(p_name, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x)),
+             |    list_transform(list_filter(regexp_split_to_array(p_type, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x))
+             |  )) AS term FROM part),
+             |pp AS (SELECT term, doc_id, count(*)::BIGINT AS tf FROM ptoks GROUP BY term, doc_id),
+             |pdl AS (SELECT p_partkey AS doc_id,
+             |  len(list_filter(regexp_split_to_array(p_type, '\s+'), x -> x <> ''))::BIGINT AS len
+             |  FROM part),
+             |pts AS (SELECT term, count(*)::BIGINT AS df FROM pp GROUP BY term),
+             |vocab AS (SELECT count(*)::DOUBLE AS n FROM pts),
+             |avg_dl AS (SELECT sum(len)::DOUBLE / (SELECT count(*)::DOUBLE FROM part) AS v FROM pdl),
+             |q(term, qcnt) AS (VALUES ('small', 1), ('blue', 1), ('bolt', 1)),
+             |scored AS (
+             |  SELECT p.doc_id,
+             |    round(sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+             |      (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)), 6) AS score
+             |  FROM pp p
+             |  JOIN q ON p.term = q.term
+             |  JOIN pts t ON p.term = t.term
+             |  JOIN pdl d ON p.doc_id = d.doc_id
+             |  CROSS JOIN vocab CROSS JOIN avg_dl
+             |  GROUP BY p.doc_id)
+             |SELECT s.doc_id, s.score, pa.p_name, pa.p_retailprice
+             |FROM scored s JOIN part pa ON s.doc_id = pa.p_partkey
+             |ORDER BY s.score DESC, s.doc_id ASC LIMIT 20""".stripMargin)),
 
     // Gopher-style repetition stats: duplicate-shingle fraction +
     // top-token fraction (token-free docs → 0.0 on both sides)
