@@ -37,6 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class DocTermsExpr(left: Expression, right: Expression) extends BinaryExpression {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"doc_terms expects (string, string), got (${left.dataType}, ${right.dataType})")
   override def dataType: DataType = DocTermsExpr.OutType
   override def nullable: Boolean = false
 

@@ -78,6 +78,15 @@ case class VarByteAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[PostingsBuf] {
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    if (docId.dataType == LongType && tf.dataType == IntegerType &&
+        dl.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"varbyte_agg expects (bigint, int, int), got " +
+        s"(${docId.dataType}, ${tf.dataType}, ${dl.dataType})")
+  }
   override def children: Seq[Expression] = Seq(docId, tf, dl)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
