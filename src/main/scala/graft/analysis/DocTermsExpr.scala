@@ -60,8 +60,9 @@ case class DocTermsExpr(left: Expression, right: Expression) extends BinaryExpre
       code"""
         ${l.code}
         ${r.code}
-        InternalRow ${ev.value} = graft.analysis.DocTermsExpr.compute(
-          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+        org.apache.spark.sql.catalyst.InternalRow ${ev.value} =
+          graft.analysis.DocTermsExpr.compute(
+            ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
       """
     ev.copy(code = code, isNull = FalseLiteral)
   }

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Asserts the custom expressions really run inside compiled codegen —
+  * Spark silently falls back to interpreted eval when generated code
+  * fails to compile, which would mask a doGenCode bug while still
+  * producing correct results.
+  */
+object CodegenCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      // fail loudly instead of falling back to interpreted eval
+      .config("spark.sql.codegen.fallback", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val docs = Seq((1L, "Title Here", "body text body"), (2L, null: String, "x y"))
+      .toDF("docId", "title", "body")
+    val dt = docs.select(col("docId"),
+      graft.analysis.DocTermsExpr.column(col("title"), col("body")).as("dt"))
+      .select(col("docId"), col("dt.dl"), explode(col("dt.terms")).as("p"))
+    val n = dt.count()
+    val plan = dt.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"DocTermsExpr projection not in a whole-stage-codegen span:\n$plan")
+    // decode side
+    val bytes = graft.index.VarByte.encode(Seq(graft.index.VarByte.P(3, 2, 10)))
+    val dec = Seq(Tuple1(bytes)).toDF("bytes")
+      .select(explode(graft.index.VarByteDecodeExpr.decode(col("bytes"))))
+    assert(dec.count() == 1)
+    println(s"""{"codegen":"ok","rows":$n}""")
+    spark.stop()
+  }
+}
