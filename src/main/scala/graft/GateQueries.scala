@@ -710,12 +710,12 @@ object GateQueries {
         .orderBy(col("doc_id")),
       Some("""WITH b AS (
              |  SELECT doc_id,
-             |    (CASE WHEN ascii(substring(md5(text), 1, 1)) >= 97
-             |          THEN ascii(substring(md5(text), 1, 1)) - 87
-             |          ELSE ascii(substring(md5(text), 1, 1)) - 48 END) * 16 +
-             |    (CASE WHEN ascii(substring(md5(text), 2, 1)) >= 97
-             |          THEN ascii(substring(md5(text), 2, 1)) - 87
-             |          ELSE ascii(substring(md5(text), 2, 1)) - 48 END) AS bucket
+             |    (CASE WHEN ascii(substring(md5(coalesce(text, '')), 1, 1)) >= 97
+             |          THEN ascii(substring(md5(coalesce(text, '')), 1, 1)) - 87
+             |          ELSE ascii(substring(md5(coalesce(text, '')), 1, 1)) - 48 END) * 16 +
+             |    (CASE WHEN ascii(substring(md5(coalesce(text, '')), 2, 1)) >= 97
+             |          THEN ascii(substring(md5(coalesce(text, '')), 2, 1)) - 87
+             |          ELSE ascii(substring(md5(coalesce(text, '')), 2, 1)) - 48 END) AS bucket
              |  FROM documents)
              |SELECT doc_id, bucket::BIGINT AS bucket,
              |  CASE WHEN bucket < 230 THEN 'train'

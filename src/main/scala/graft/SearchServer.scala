@@ -37,9 +37,14 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
         ex.getResponseBody.write(body)
       } catch {
         case e: Throwable =>
-          val msg = s"internal error: ${e.getMessage}".getBytes(StandardCharsets.UTF_8)
-          ex.sendResponseHeaders(500, msg.length)
-          ex.getResponseBody.write(msg)
+          // the 200 headers may already be out (e.g. client disconnected
+          // mid-body) — a second sendResponseHeaders throws and would
+          // mask the original failure
+          try {
+            val msg = s"internal error: ${e.getMessage}".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(500, msg.length)
+            ex.getResponseBody.write(msg)
+          } catch { case _: Throwable => () }
       } finally ex.close()
   })
 
@@ -70,9 +75,10 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
       k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
     }.toMap
 
-  private def esc(s: String): String = s
-    .replace("&", "&amp;").replace("<", "&lt;")
-    .replace(">", "&gt;").replace("\"", "&quot;")
+  private def esc(s: String): String =
+    if (s == null) "" // nullable title/url columns (JDBC) render empty
+    else s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
 
   private def pageUrl(q: String, alg: String, page: Int): String =
     s"/?q=${java.net.URLEncoder.encode(q, StandardCharsets.UTF_8)}" +

@@ -93,8 +93,9 @@ object DocTermsExpr {
   /** Static entry point used by both eval and the generated code. */
   def compute(title: UTF8String, body: UTF8String): InternalRow = {
     val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
-    tokenizeInto(title, counts)
-    tokenizeInto(body, counts)
+    val bodyBytes = ownedBytes(body)
+    tokenizeInto(ownedBytes(title), counts)
+    tokenizeInto(bodyBytes, counts)
     val terms = new Array[AnyRef](counts.size)
     var i = 0
     val it = counts.entrySet().iterator()
@@ -103,17 +104,31 @@ object DocTermsExpr {
       terms(i) = new GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
       i += 1
     }
-    new GenericInternalRow(Array[Any](wordCountBytes(body), new GenericArrayData(terms)))
+    // word count reads the SAME owned body array tokenizeInto lowercased —
+    // A–Z→a–z never changes whitespace classification, so sharing is safe
+    // and the body is copied exactly once per document
+    new GenericInternalRow(
+      Array[Any](wordCountBytes(bodyBytes), new GenericArrayData(terms)))
   }
 
-  /** Scan `s`'s bytes for maximal ASCII-alnum runs; lowercase A–Z in the
-    * (single, owned) byte copy; count occurrences per distinct token as
-    * zero-copy UTF8String views into that copy.
+  /** A byte array this code OWNS. `UTF8String.getBytes` returns the
+    * BACKING array (no copy) when the string is exactly backed — e.g.
+    * literals or interpreted rows — and mutating that would corrupt the
+    * source string for every other expression in the plan. `copy()`
+    * allocates a fresh exactly-backed string, whose `getBytes` then
+    * returns its private array without a second copy: exactly one copy,
+    * always owned.
+    */
+  private def ownedBytes(s: UTF8String): Array[Byte] =
+    if (s == null) null else s.copy().getBytes
+
+  /** Scan the owned bytes for maximal ASCII-alnum runs; lowercase A–Z in
+    * place; count occurrences per distinct token as zero-copy UTF8String
+    * views into that array.
     */
   private def tokenizeInto(
-      s: UTF8String, counts: java.util.LinkedHashMap[UTF8String, Array[Int]]): Unit = {
-    if (s == null) return
-    val bytes = s.getBytes // ONE copy per document; we own + mutate it
+      bytes: Array[Byte], counts: java.util.LinkedHashMap[UTF8String, Array[Int]]): Unit = {
+    if (bytes == null) return
     val n = bytes.length
     var i = 0
     var start = -1
@@ -137,11 +152,11 @@ object DocTermsExpr {
   /** Go `strings.Fields` word count over UTF-8 bytes: maximal runs of
     * non-White_Space code points. Inline UTF-8 decode; code points above
     * 0xFFFF are never White_Space so only 1–3-byte sequences need their
-    * value computed.
+    * value computed. (The array may be the tokenizer's lowercased copy —
+    * case changes never affect whitespace classification.)
     */
-  private def wordCountBytes(s: UTF8String): Int = {
-    if (s == null) return 0
-    val bytes = s.getBytes
+  private def wordCountBytes(bytes: Array[Byte]): Int = {
+    if (bytes == null) return 0
     val n = bytes.length
     var count = 0
     var inRun = false

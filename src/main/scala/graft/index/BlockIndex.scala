@@ -218,7 +218,10 @@ object BlockIndex {
     val required = Seq("shard", "rows", "terms", "blocks", "wallMs")
     Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).flatMap { l =>
       val kv = re.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toLong).toMap
-      if (required.forall(kv.contains))
+      // the closing brace guards against a tear INSIDE the last value's
+      // digits (all keys present but wallMs truncated) — only a complete
+      // line counts
+      if (l.trim.endsWith("}") && required.forall(kv.contains))
         Some(ShardEntry(kv("shard").toInt, kv("rows"), kv("terms"), kv("blocks"), kv("wallMs")))
       else None
     }
@@ -360,9 +363,25 @@ object BlockIndex {
     */
   private val envCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, String), (Long, Long)]
+  private val envCacheMtime = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val EnvCacheCap = 1000000
 
   private def statsMtime(dir: String): Long =
     Files.getLastModifiedTime(Paths.get(dir, StatsName)).toMillis
+
+  /** Current stats mtime for `dir`, evicting the dir's stale entries when
+    * a rebuild changed it (they can never hit again), and clearing
+    * everything at a hard size cap — the cache cannot grow without bound
+    * in a long-lived query driver.
+    */
+  private def envCacheEpoch(dir: String): Long = {
+    val mtime = statsMtime(dir)
+    val prev = envCacheMtime.put(dir, mtime)
+    if (prev.exists(_ != mtime))
+      envCache.keys.filter(k => k._1 == dir && k._2 != mtime).foreach(envCache.remove)
+    if (envCache.size > EnvCacheCap) envCache.clear()
+    mtime
+  }
 
   def bm25TopK(
       spark: SparkSession, dir: String, query: String, k: Int,
@@ -387,7 +406,7 @@ object BlockIndex {
     // ---- per-term envelope: the only unconditional collect, ≤ |terms|
     // rows regardless of df (bytes column never read). Memoized per
     // (dir, term): the job runs only for terms not seen before ----
-    val mtime = statsMtime(dir)
+    val mtime = envCacheEpoch(dir)
     val uncached = terms.filterNot(t => envCache.contains((dir, mtime, t)))
     if (uncached.nonEmpty) {
       val fresh = termBlocks.where(col("term").isin(uncached: _*))

@@ -222,8 +222,11 @@ object TextPipeline {
     * Column arithmetic, identical in any engine with md5.
     */
   def hashBucket256(text: Column): Column = {
+    // null content hashes like empty content — md5(NULL) would return
+    // NULL and silently route every null-text doc into the "test" split
+    val t = coalesce(text, lit(""))
     def hexVal(i: Int): Column = {
-      val a = ascii(substring(md5(text), i, 1))
+      val a = ascii(substring(md5(t), i, 1))
       // '0'..'9' → 48..57, 'a'..'f' → 97..102
       when(a >= 97, a - 87).otherwise(a - 48)
     }

@@ -141,13 +141,17 @@ object CorpusSource {
       val offsetDf = offsets.init.zipWithIndex
         .map { case (off, pid) => (pid, off) }.toDF("__pid", "__offset")
       val w = Window.partitionBy($"__pid").orderBy(sortCols: _*)
-      val numbered = parted
+      // localCheckpoint (eager) rather than persist: it TRUNCATES lineage,
+      // so once `parted` is dropped a lost cached partition can never be
+      // silently recomputed through a re-sampled repartitionByRange with
+      // different boundaries (which would renumber inconsistently) — the
+      // job fails loudly instead. At warehouse scale the numbered result
+      // is written to a table at this point anyway.
+      parted
         .join(broadcast(offsetDf), "__pid")
         .withColumn("docId", row_number().over(w).cast("long") + $"__offset")
         .drop("__pid", "__offset")
-        .persist()
-      numbered.count() // materialize so parted can be dropped below
-      numbered
+        .localCheckpoint()
     } finally parted.unpersist()
   }
 }

@@ -45,7 +45,10 @@ object LinkCrawl {
       // blows up (time and heap) after a few dozen levels; with it every
       // iteration plans against a materialized leaf. Standard hygiene
       // for iterative DataFrame algorithms.
-      var visited = seeds.distinct.take(capacity).toDF("page")
+      // seed truncation follows the same deterministic (page asc) rule as
+      // every other capacity cut (and the q37 oracle's rank cut) — never
+      // caller-supplied order
+      var visited = seeds.distinct.sorted.take(capacity).toDF("page")
         .withColumn("depth", lit(0))
         .localCheckpoint()
       var frontier = visited.select(col("page"))

@@ -38,7 +38,7 @@ object StreamOps {
     * State = one row per distinct hash — unbounded on purpose (global
     * dedup); use the watermarked variant when arrival skew is bounded.
     */
-  def dedupExactStream(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  def dedupExactStream(docs: DataFrame, textCol: String): DataFrame =
     docs
       .withColumn("content_sha", TextPipeline.contentSha(col(textCol)))
       .dropDuplicates("content_sha")
@@ -48,7 +48,7 @@ object StreamOps {
     * advances — the 100 TB-stream-safe configuration.
     */
   def dedupExactStreamWatermarked(
-      docs: DataFrame, idCol: String, textCol: String,
+      docs: DataFrame, textCol: String,
       tsCol: String, delay: String): DataFrame =
     docs
       .withColumn("content_sha", TextPipeline.contentSha(col(textCol)))

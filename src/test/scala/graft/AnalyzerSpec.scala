@@ -175,6 +175,24 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("DocTermsExpr never mutates its input strings (exactly-backed literals)") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a LITERAL column is an exactly-backed UTF8String — if the byte scan
+    // lowercased the backing array in place, the comparison against the
+    // same literal (and the projected value) would silently corrupt
+    val out = Seq(1, 2).toDF("id")
+      .select(col("id"), lit("Fixed TITLE").as("t"), lit("Shared BODY Words").as("b"))
+      .select(col("t"), col("b"),
+        graft.analysis.DocTermsExpr.column(col("t"), col("b")).as("dt"))
+      .where(col("t") === lit("Fixed TITLE"))
+      .collect()
+    assert(out.length == 2, "literal must still equal itself after the scan")
+    assert(out.forall(_.getString(0) == "Fixed TITLE"))
+    assert(out.forall(_.getString(1) == "Shared BODY Words"))
+  }
+
   test("lowerBoundKGramOverlap (reference index_kgram.go:94-96)") {
     assert(Analyzer.lowerBoundKGramOverlap(5, 5, 1, 3) == 4)
     // maxED=0: bound = max - 1 + k, passable only by near-exact strings

@@ -237,6 +237,13 @@ class BlockIndexSpec extends AnyFunSuite {
       java.nio.file.StandardOpenOption.APPEND)
     val parsed = BlockIndex.readManifest(d)
     assert(parsed.size == 3 && !parsed.exists(_.shard == 5)) // torn line dropped
+    // a tear INSIDE the final value's digits keeps all keys but must
+    // still be dropped (no closing brace → incomplete line)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(d, BlockIndex.ManifestName),
+      "\n{\"shard\":6,\"rows\":9,\"terms\":9,\"blocks\":9,\"wallMs\":12".getBytes("UTF-8"),
+      java.nio.file.StandardOpenOption.APPEND)
+    assert(!BlockIndex.readManifest(d).exists(_.shard == 6))
     val m = BlockIndex.build(docs, d, layout) // must not throw; rebuilds shard 5
     assert(m.map(_.shard).sorted == (0 until layout.nShards))
     val resumed = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))

@@ -44,6 +44,12 @@ class LinkCrawlSpec extends AnyFunSuite {
     assert(out2.toSeq == Seq("A" -> 0, "B" -> 1))
   }
 
+  test("seed truncation is (page asc), independent of caller order") {
+    val out = LinkCrawl.bfs(spark, links, Seq("F", "B", "A"), capacity = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(out == Set("A", "B"), s"expected lexicographic seed cut, got $out")
+  }
+
   test("multiple seeds, unknown seed is isolated at depth 0") {
     val out = LinkCrawl.bfs(spark, links, Seq("F", "ZZZ"), capacity = 10)
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap

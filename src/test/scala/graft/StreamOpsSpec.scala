@@ -23,8 +23,7 @@ class StreamOpsSpec extends AnyFunSuite {
     import sp.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val in = MemoryStream[(Long, String)]
-    val out = StreamOps.dedupExactStream(
-      in.toDF.toDF("doc_id", "text"), "doc_id", "text")
+    val out = StreamOps.dedupExactStream(in.toDF.toDF("doc_id", "text"), "text")
     val q = out.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     try {
