@@ -1055,10 +1055,60 @@ object GateQueries {
               |JOIN canon c ON sha256(k.text) = c.sha AND k.doc_id = c.canonical_id
               |ORDER BY k.doc_id""".stripMargin)))
 
+  /** Composed curation pipeline v2: the round-2 operators working
+    * TOGETHER — language filter → quality floor → repetition ceiling →
+    * exact-dedup survivors → content-keyed split assignment.
+    */
+  val pipelineEntries: Seq[Gate] = Seq(
+    Gate("q42_curation_v2",
+      (s, d) => {
+        val feat = documents(s, d).select(col("doc_id"), col("text"),
+          TextPipeline.langId(col("text")).as("lang"),
+          TextPipeline.qualityScore(col("text")).as("q"),
+          TextPipeline.dupShingleFrac(col("text"), 3).as("dup"))
+          .where(col("lang") === "en" && col("q") >= 0.5 && col("dup") <= 0.2)
+        val surv = Dedup.exactDupGroups(feat, "doc_id", "text")
+          .where(col("keep")).select(col("id").as("doc_id"))
+        feat.join(surv, "doc_id")
+          .select(col("doc_id"),
+            TextPipeline.hashBucket256(col("text")).cast("long").as("bucket"),
+            TextPipeline.splitAssign(
+              TextPipeline.hashBucket256(col("text"))).as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $DocFeatCtes, ${shinglesCte(3)},
+              |ds AS (SELECT doc_id,
+              |  round(1.0 - len(list_distinct(sl))::DOUBLE / len(sl)::DOUBLE, 6) AS dup
+              |  FROM shingles),
+              |kept AS (
+              |  SELECT f.doc_id, f.text FROM docfeat f
+              |  JOIN ds ON ds.doc_id = f.doc_id
+              |  WHERE f.lang_detected = 'en' AND f.quality >= 0.5 AND ds.dup <= 0.2),
+              |canon AS (
+              |  SELECT sha256(text) AS sha, min(doc_id) AS cid
+              |  FROM kept GROUP BY sha256(text)),
+              |surv AS (
+              |  SELECT k.doc_id, k.text FROM kept k
+              |  JOIN canon c ON sha256(k.text) = c.sha AND k.doc_id = c.cid),
+              |b AS (
+              |  SELECT doc_id,
+              |    (CASE WHEN ascii(substring(md5(coalesce(text, '')), 1, 1)) >= 97
+              |          THEN ascii(substring(md5(coalesce(text, '')), 1, 1)) - 87
+              |          ELSE ascii(substring(md5(coalesce(text, '')), 1, 1)) - 48 END) * 16 +
+              |    (CASE WHEN ascii(substring(md5(coalesce(text, '')), 2, 1)) >= 97
+              |          THEN ascii(substring(md5(coalesce(text, '')), 2, 1)) - 87
+              |          ELSE ascii(substring(md5(coalesce(text, '')), 2, 1)) - 48 END) AS bucket
+              |  FROM surv)
+              |SELECT doc_id, bucket::BIGINT AS bucket,
+              |  CASE WHEN bucket < 230 THEN 'train'
+              |       WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
+              |FROM b ORDER BY doc_id""".stripMargin)))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (entries ++ blockEntries ++ bundleEntries).map(g => g.name -> g.run).toMap
+    (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)
+      .map(g => g.name -> g.run).toMap
 
   def oracleSql: Map[String, String] =
-    (entries ++ blockEntries ++ bundleEntries)
+    (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)
       .flatMap(g => g.oracle.map(g.name -> _)).toMap
 }
