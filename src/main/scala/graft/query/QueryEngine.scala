@@ -249,6 +249,42 @@ final class QueryEngine(
     }
   }
 
+  /** Batched BM25: N queries scored in ONE pass over the logical index —
+    * the in-memory twin of
+    * [[graft.index.BlockIndex.bm25TopKBatch]] (same amortization of the
+    * per-job floor, spec-asserted rank/score-identical to per-query
+    * [[bm25Query]]). Output: (query, docId, score, rank), rank 1..k per
+    * query ordered (score desc, docId asc); queries with no matching
+    * terms yield no rows.
+    */
+  def bm25QueryBatch(queries: Seq[String], k: Int): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val qTerms: Seq[(String, String, Double)] = for {
+      q <- queries.distinct
+      (t, n) <- Analyzer.tokenize(q).groupBy(identity).view.mapValues(_.size).toSeq
+    } yield (q, t, n.toDouble)
+    if (qTerms.isEmpty)
+      return Seq.empty[(String, Long, Double, Int)].toDF("query", "docId", "score", "rank")
+    val idf = index.idfCol(col("df"))
+    val tf = col("tf").cast("double")
+    val dl = col("len").cast("double")
+    val partial = idf * (k1 + 1) * tf /
+      (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(index.stats.avgdl)) + tf)
+    val scored = postings
+      .join(broadcast(qTerms.toDF("query", "term", "qcnt")), "term")
+      .join(index.termStats, "term")
+      .join(index.docLens, "docId")
+      .groupBy(col("query"), col("docId"))
+      .agg(sum(col("qcnt") * partial).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("score").desc, col("docId").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy(col("query"), col("rank"))
+  }
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
     * back to BM25.
     */

@@ -175,6 +175,22 @@ class SearcherSpec extends AnyFunSuite {
     assert(page1.count() == 2)
   }
 
+  test("bm25QueryBatch == per-query bm25Query (rank + score) across the golden queries") {
+    val queries = Seq("matrix communication channel", "statistic that",
+      "nosuchterm matrix", "zz_nothing", "")
+    val batch = engine.bm25QueryBatch(queries, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    for (q <- queries) {
+      val single = engine.bm25Query(q, Some(3)).collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+      val bq = batch.filter(_._1 == q).sortBy(_._4)
+      assert(bq.map(_._2).toSeq == single.map(_._1).toSeq, s"rank mismatch q='$q'")
+      bq.map(_._3).zip(single.map(_._2)).foreach { case (x, y) =>
+        assert(math.abs(x - y) < 1e-9, s"score mismatch q='$q'")
+      }
+    }
+  }
+
   test("exact score ties break by ascending docId (deviation from the reference's unstable sort)") {
     // byte-identical bodies ⇒ identical tf, dl ⇒ bit-identical BM25 and
     // VSM scores. The reference's sort.Sort is unstable with unspecified
