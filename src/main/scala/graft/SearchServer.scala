@@ -57,13 +57,19 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
     * `page` (5/page) materialized in rank order, plus the total count.
     */
   def search(query: String, alg: String, page: Int): (Seq[Hit], Long) = {
+    // persist the ranked result so the scoring plan runs ONCE per
+    // request: count() materializes the cache, paginate+materialize read
+    // back the cached partitions instead of re-executing the query
     val ranked = engine.byName(alg)(query)
-    val total = ranked.count()
-    val rows = engine.materialize(engine.paginate(ranked, page), docs)
-      .select("docId", "title", "url").collect()
-      .map(r => Hit(r.getAs[Long]("docId"),
-        r.getAs[String]("title"), r.getAs[String]("url")))
-    (rows.toSeq, total)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = ranked.count()
+      val rows = engine.materialize(engine.paginate(ranked, page), docs)
+        .select("docId", "title", "url").collect()
+        .map(r => Hit(r.getAs[Long]("docId"),
+          r.getAs[String]("title"), r.getAs[String]("url")))
+      (rows.toSeq, total)
+    } finally ranked.unpersist()
   }
 
   private def params(raw: String): Map[String, String] =

@@ -119,14 +119,14 @@ object DocTermsExpr {
     * returns its private array without a second copy: exactly one copy,
     * always owned.
     */
-  private def ownedBytes(s: UTF8String): Array[Byte] =
+  private[analysis] def ownedBytes(s: UTF8String): Array[Byte] =
     if (s == null) null else s.copy().getBytes
 
   /** Scan the owned bytes for maximal ASCII-alnum runs; lowercase A–Z in
     * place; count occurrences per distinct token as zero-copy UTF8String
     * views into that array.
     */
-  private def tokenizeInto(
+  private[analysis] def tokenizeInto(
       bytes: Array[Byte], counts: java.util.LinkedHashMap[UTF8String, Array[Int]]): Unit = {
     if (bytes == null) return
     val n = bytes.length

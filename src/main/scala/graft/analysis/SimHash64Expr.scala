@@ -1,0 +1,108 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** 64-bit tf-weighted SimHash of a text column in ONE pass — the native
+  * twin of [[graft.pipeline.Dedup.simhash64Cols]] (equality spec-asserted,
+  * including null/empty text).
+  *
+  * Why native: the Column formulation evaluates 64 higher-order-function
+  * `aggregate` lambdas, and Catalyst does not common-subexpression-
+  * eliminate across lambda bodies — at best each of the 64 votes re-walks
+  * the token array, at worst (the round-2 shape) each re-computes
+  * sha256 per token, ~64× redundant hashing on every document. Here each
+  * DISTINCT token is hashed exactly once (tf-weighted votes come from the
+  * token count map), the 64 bit votes accumulate in a primitive int
+  * array, and `doGenCode` emits a plain static call so the projection
+  * stays inside whole-stage codegen.
+  *
+  * Semantics (identical to the Column twin and the q23/q24 DuckDB
+  * oracle): bit j (1-based) of a token's hash = high bit of the j-th hex
+  * digit of sha256(token); each token occurrence votes +1/−1 per bit; bit
+  * j of the fingerprint is set iff the vote sum is ≥ 0. Null or token-free
+  * text votes 0 everywhere → all 64 bits set → fingerprint −1 (the
+  * oracle's LEFT JOIN + coalesce(vote, 0) path). Bit 64 is the BIGINT
+  * sign bit (`1L << 63` IS Long.MinValue, so a uniform shift covers it).
+  */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects string, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val t = child.eval(input)
+    SimHash64Expr.compute(if (t == null) null else t.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        long ${ev.value} = graft.analysis.SimHash64Expr.compute(
+          ${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
+object SimHash64Expr {
+
+  def column(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SimHash64Expr(org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
+  private val digester = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  /** Static entry point used by both eval and the generated code. */
+  def compute(text: UTF8String): Long = {
+    val votes = new Array[Int](64)
+    if (text != null) {
+      val counts = new java.util.LinkedHashMap[UTF8String, Array[Int]]()
+      DocTermsExpr.tokenizeInto(DocTermsExpr.ownedBytes(text), counts)
+      val md = digester.get()
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val tf = e.getValue()(0)
+        md.reset()
+        val digest = md.digest(e.getKey.getBytes)
+        // hex digit 2i+1 is byte i's high nibble (≥8 ⇔ bit 0x80), digit
+        // 2i+2 its low nibble (≥8 ⇔ bit 0x08) — votes index is digit−1
+        var i = 0
+        while (i < 32) {
+          val b = digest(i)
+          if ((b & 0x80) != 0) votes(2 * i) += tf else votes(2 * i) -= tf
+          if ((b & 0x08) != 0) votes(2 * i + 1) += tf else votes(2 * i + 1) -= tf
+          i += 1
+        }
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) >= 0) fp |= 1L << j
+      j += 1
+    }
+    fp
+  }
+}

@@ -120,9 +120,20 @@ object BlockIndex {
       dir: String,
       layout: Layout = Layout(blockSpan = 4096, nShards = 16),
       limitShards: Option[Int] = None,
-      shardGroupSize: Int = 8): Seq[ShardEntry] = {
+      shardGroupSize: Int = 8,
+      overwrite: Boolean = false): Seq[ShardEntry] = {
     val spark = docs.sparkSession
     Files.createDirectories(Paths.get(dir))
+    if (overwrite) {
+      // full rebuild in place: drop the completion artifacts FIRST (so a
+      // kill mid-rebuild reads as incomplete, never as the old index),
+      // then the manifest — shard parquet dirs are replaced by the
+      // dynamic-partition overwrite below
+      Files.deleteIfExists(Paths.get(dir, StatsName))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        Paths.get(dir, DocLensName).toFile)
+      Files.deleteIfExists(Paths.get(dir, ManifestName))
+    }
     val done = readManifest(dir).map(_.shard).toSet
     val pending0 = (0 until layout.nShards).filterNot(done)
     val pending = limitShards.fold(pending0)(pending0.take)
@@ -228,8 +239,13 @@ object BlockIndex {
   }
 
   private def writeStats(dir: String, stats: CorpusStats, layout: Layout): Unit = {
+    // nonce: identifies THIS build for the envelope cache. nanoTime is
+    // strictly monotonic within a JVM and collision-free across JVMs for
+    // practical purposes — unlike file mtime, whose millisecond (or
+    // coarser) granularity can leave two back-to-back rebuilds
+    // indistinguishable and serve stale cached envelopes.
     val json =
-      s"""{"nDocs":${stats.nDocs},"vocabSize":${stats.vocabSize},"totalLen":${stats.totalLen},"blockSpan":${layout.blockSpan},"nShards":${layout.nShards}}"""
+      s"""{"nDocs":${stats.nDocs},"vocabSize":${stats.vocabSize},"totalLen":${stats.totalLen},"blockSpan":${layout.blockSpan},"nShards":${layout.nShards},"nonce":${System.nanoTime()}}"""
     val tmp = Paths.get(dir, StatsName + ".tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, Paths.get(dir, StatsName), StandardCopyOption.ATOMIC_MOVE,
@@ -366,8 +382,16 @@ object BlockIndex {
   private val envCacheMtime = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val EnvCacheCap = 1000000
 
-  private def statsMtime(dir: String): Long =
-    Files.getLastModifiedTime(Paths.get(dir, StatsName)).toMillis
+  /** Epoch identifying the index build in `dir`: the build nonce written
+    * by [[writeStats]], falling back to the stats file's mtime for
+    * pre-nonce index dirs. The stats file is a handful of bytes, so
+    * reading it per query costs the same syscall the mtime stat did.
+    */
+  private def statsMtime(dir: String): Long = {
+    val s = new String(Files.readAllBytes(Paths.get(dir, StatsName)), StandardCharsets.UTF_8)
+    """"nonce":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+      .getOrElse(Files.getLastModifiedTime(Paths.get(dir, StatsName)).toMillis)
+  }
 
   /** Current stats mtime for `dir`, evicting the dir's stale entries when
     * a rebuild changed it (they can never hit again), and clearing
@@ -506,11 +530,18 @@ object BlockIndex {
     if (theta == Double.NegativeInfinity) return topK(termBlocks)
 
     // survivors: every block whose UB reaches θ (a block with ub < θ
-    // cannot contain a top-k doc; a phase-1 top-k doc's own block has
-    // ub ≥ its score ≥ θ, so nothing is lost). Collect at most
-    // SurvivorCap ids for a pushed-down isin filter; beyond the cap the
-    // filter would not pay, so score all candidate blocks.
-    val surv = blockUbDf.where(col("ub") >= theta).select(col("blockId"))
+    // cannot contain a top-k doc), PLUS the phase-1 blocks explicitly.
+    // Mathematically a phase-1 top-k doc's own block has ub ≥ its score
+    // ≥ θ, but ub and θ come from differently-associated floating-point
+    // expressions — for a block whose best doc IS the kth-ranked doc, ub
+    // can land 1 ULP below θ and the ≥ test alone would prune a true
+    // top-k doc. Forcing phase-1 retention keeps the EXACT contract
+    // independent of FP association. Collect at most SurvivorCap ids for
+    // a pushed-down isin filter; beyond the cap the filter would not
+    // pay, so score all candidate blocks.
+    val surv = blockUbDf
+      .where(col("ub") >= theta || col("blockId").isin(phase1: _*))
+      .select(col("blockId"))
       .limit(SurvivorCap + 1).collect().map(_.getLong(0))
     lastDriverMetaRows += surv.length
     if (surv.length > SurvivorCap) topK(termBlocks)

@@ -230,25 +230,42 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** 64-bit tf-weighted SimHash (Charikar STOC'02; the Manku et al.
-    * WWW'07 web-dedup setup) as a pure Column expression. Bit j (1-based)
-    * of a token's hash = high bit of the j-th hex digit of sha256(token)
-    * (64 hex digits → 64 independent bits). Each token occurrence votes
-    * +1/−1 per bit; bit j of the fingerprint is set iff the vote sum is
-    * ≥ 0. A token-free document votes 0 everywhere → all 64 bits set →
+    * WWW'07 web-dedup setup). Bit j (1-based) of a token's hash = high
+    * bit of the j-th hex digit of sha256(token) (64 hex digits → 64
+    * independent bits). Each token occurrence votes +1/−1 per bit; bit j
+    * of the fingerprint is set iff the vote sum is ≥ 0. A null or
+    * token-free document votes 0 everywhere → all 64 bits set →
     * fingerprint −1. The fingerprint lives in a signed BIGINT: bit 64 is
     * the sign bit, added as Long.MinValue — the same arithmetic is
     * expressible in ANSI SQL, keeping the operator oracle-checkable.
     *
     * 64 bits (not 32) so birthday collisions stay negligible at 10^9+
-    * documents.
+    * documents. Evaluation is the one-pass native
+    * [[graft.analysis.SimHash64Expr]]: each distinct token hashed exactly
+    * once, 64 primitive int vote accumulators, inside whole-stage codegen
+    * — the round-2 Column formulation re-computed sha256 per token in
+    * every one of the 64 vote lambdas (Catalyst does not CSE across
+    * higher-order-function lambdas), ~64× redundant hashing per document.
     */
-  def simhash64(text: Column): Column = {
-    val toks = graft.analysis.Analyzer.tokensCol(text)
+  def simhash64(text: Column): Column =
+    graft.analysis.SimHash64Expr.column(text).as("simhash")
+
+  /** Pure-Column formulation of [[simhash64]] — the semantics reference
+    * (DedupSpec asserts native ≡ Column, including null/empty text).
+    * sha256 is computed ONCE per token into a digest array; the 64 vote
+    * lambdas walk precomputed digests. Null text is coalesced to '' so
+    * null and token-free documents both fingerprint to −1, matching the
+    * native expr and the q23/q24 oracle's LEFT JOIN + coalesce(vote, 0).
+    */
+  def simhash64Cols(text: Column): Column = {
+    val digests = transform(
+      graft.analysis.Analyzer.tokensCol(coalesce(text, lit(""))),
+      t => sha2(t, 256))
     val bits = (1 to 64).map { j =>
       // hex digits ≥ '8' ('8','9','a'..'f') are exactly those with the
       // high bit set; the ASCII comparison holds in any engine.
-      val vote = aggregate(toks, lit(0),
-        (acc, t) => acc + when(substring(sha2(t, 256), j, 1) >= "8", 1).otherwise(-1))
+      val vote = aggregate(digests, lit(0),
+        (acc, d) => acc + when(substring(d, j, 1) >= "8", 1).otherwise(-1))
       val weight = if (j == 64) Long.MinValue else 1L << (j - 1)
       when(vote >= 0, lit(weight)).otherwise(lit(0L))
     }

@@ -305,9 +305,16 @@ object Similarity {
     val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
       col(vecCol).as("__qv")).collect()
     val probes = probePairs(qRows, centroids, nprobe)
-    // partitionBy writes no directory for an empty list
+    // partitionBy writes no directory for an empty list. Existence goes
+    // through the Hadoop FileSystem of the dir's scheme so hdfs://‌/s3a://
+    // index layouts probe correctly (java.nio would silently see nothing
+    // non-local and return an empty result).
+    val hconf = spark.sparkContext.hadoopConfiguration
     val paths = probes.map(_._2).distinct.map(c => s"$dir/lists/cluster=$c")
-      .filter(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(hconf).exists(hp)
+      }
     if (paths.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)].toDF("query_id", "vec_id", "sim", "rank")
     val assigned = spark.read.option("basePath", s"$dir/lists").parquet(paths: _*)
@@ -341,16 +348,25 @@ object Similarity {
       struct(lit(t).as("tbl"),
         srpBucketAt(col("__v"), dim, planesPerTable, t * planesPerTable).as("bucket"))
     }
-    val blocked = c
-      .select(col("id"), col("__v"), explode(array(tables: _*)).as("tb"))
-      .select(col("id"), col("__v"),
-        col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
-    blocked.as("l").join(blocked.as("r"),
+    // candidates-then-verify (the minhashVerify shape): the blocking
+    // self-join carries ONLY (id, tbl, bucket) — never the vectors, which
+    // would otherwise ride the shuffle nTables× per document — and the
+    // per-table collision duplicates are distinct'd away BEFORE cosine,
+    // so each surviving pair's vectors cross the wire exactly once, in
+    // the verify join.
+    val keyed = c
+      .select(col("id"), explode(array(tables: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val candidates = keyed.as("l").join(keyed.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        round(cosine(col("l.__v"), col("r.__v")), 6).as("sim"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct() // a pair may collide in several tables
+    candidates
+      .join(c.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(c.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("sim"))
       .where(col("sim") >= minSim)
   }
 }

@@ -299,11 +299,28 @@ final class QueryEngine(
 
   /** Rank-preserving materialization of result documents — the reference's
     * `Searcher.Query` + `storage.Get(ids)` (searcher.go:26-29). `ranked`
-    * must carry docId (+ optional score).
+    * must carry docId (+ optional score) and be RESULT-PAGE sized (top-k
+    * or a paginate output — every call site), so collecting it is bounded.
+    *
+    * The rank is pinned by collecting the ordered result ONCE and
+    * rebuilding it as a broadcast local relation with an explicit rank
+    * column — `collect` of an ordered plan preserves order by contract,
+    * unlike the previous `monotonically_increasing_id()`-after-orderBy
+    * capture, whose id assignment depends on physical partitioning and is
+    * fragile under AQE coalescing/re-planning. The docs join then probes
+    * the corpus with a broadcast hash join on the ≤page ids.
     */
   def materialize(ranked: DataFrame, docs: DataFrame): DataFrame = {
-    val withRank = ranked.withColumn("__rank", monotonically_increasing_id())
-    withRank.join(docs, "docId").orderBy(col("__rank")).drop("__rank")
+    val sp = ranked.sparkSession
+    val rows = ranked.collect()
+    val withRank = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      withRank.add(org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i))
+    }
+    val schema = ranked.schema
+      .add("__rank", org.apache.spark.sql.types.IntegerType, nullable = false)
+    val pinned = sp.createDataFrame(withRank, schema)
+    broadcast(pinned).join(docs, "docId").orderBy(col("__rank")).drop("__rank")
   }
 
   /** SERP pagination: 5 results per page (reference server.go:11,23-28). */

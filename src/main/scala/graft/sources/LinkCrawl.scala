@@ -58,6 +58,13 @@ object LinkCrawl {
       while (total < capacity && !exhausted) {
         depth += 1
         val remaining = (capacity - total).toInt
+        // the per-level capacity cut is a global orderBy+limit
+        // (TakeOrdered): up to `remaining` rows funnel through the
+        // driver each level. That is deliberate — the deterministic
+        // lexicographic cut is the operator's contract, and capacity
+        // mirrors the reference crawler's (hundreds of pages,
+        // crawler.go:181-205). A capacity big enough for this to matter
+        // is no longer a capped crawl — drop the cap rather than this cut.
         val next = followed
           .join(frontier.withColumnRenamed("page", "src"), "src")
           .select(col("dst").as("page"))

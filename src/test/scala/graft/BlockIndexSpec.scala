@@ -140,6 +140,22 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir))
   }
 
+  test("back-to-back rebuild in one dir: envelope cache serves the NEW index") {
+    // two builds can land within one mtime granule — the envelope cache
+    // must key on the build nonce, not the stats file's mtime, or stale
+    // (df, nBlocks) silently corrupt idf/ranks after a rebuild
+    val d = tmpDir("blockidx-nonce").toString
+    val half = docs.where(col("docId") < 250)
+    BlockIndex.build(half, d, layout)
+    val before = BlockIndex.bm25TopK(spark, d, "table", 10).collect()
+    BlockIndex.build(docs, d, layout, overwrite = true)
+    val after = BlockIndex.bm25TopK(spark, d, "table", 10).collect()
+    val cold = BlockIndex.bm25TopK(spark, coldDir, "table", 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(after.map(r => (r.getLong(0), r.getDouble(1))).toSeq == cold)
+    assert(before.nonEmpty && cold.nonEmpty)
+  }
+
   test("block-max WAND top-k == naive BM25 (rank + score)") {
     val engine = new QueryEngine(IndexBuilder.build(docs, persist = false))
     val queries = Seq(

@@ -67,6 +67,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash64: native expr ≡ Column formulation, incl. null and empty text") {
+    val withNull = docs.union(Seq((9L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val both = withNull.select(
+      col("doc_id"),
+      Dedup.simhash64(col("text")).as("native"),
+      Dedup.simhash64Cols(col("text")).as("cols"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(both.nonEmpty)
+    for ((id, n, c) <- both) assert(n == c, s"doc $id: native $n != cols $c")
+    // null text and empty text both fingerprint −1 (no votes → all bits)
+    val byId = both.map(t => t._1 -> t._2).toMap
+    assert(byId(8L) == -1L && byId(9L) == -1L)
+  }
+
   test("simhash 4x16 banding: every hamming<=3 pair is a candidate (pigeonhole property)") {
     // adversarial fingerprints: flips straddle band boundaries, touch the
     // sign bit, and hit 3 distinct bands — banding must still catch all
