@@ -116,11 +116,20 @@ object Bench {
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
         k = 10, nprobe = 2).count()))
 
+    // Query-path entries run once UNTIMED first: they model steady-state
+    // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-
+    // cache warmth is the realistic regime — and cold first-runs swing
+    // ±20% on this VM, which round 2 showed misattributes regressions.
+    // Build entries stay cold/single-run: a batch build IS a cold job.
+    val warmupSkip = Set("ivf_build")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:
       benches.map { case (name, f) =>
-        val sec = try time(f()) ._2 catch { case e: Throwable =>
+        val sec = try {
+          if (!warmupSkip(name)) f()
+          time(f())._2
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
         }
         name -> sec
@@ -133,7 +142,7 @@ object Bench {
       s"${Runtime.getRuntime.maxMemory() / (1L << 30)}g-heap/" +
       s"jdk${System.getProperty("java.version")}/spark${spark.version}"
     println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec":${f"$docsPerSec%.1f"},"n_docs":$nDocs,"cpus":$cpus,"hardware":"$hw"}""")
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","index_docs_per_sec":${f"$docsPerSec%.1f"},"n_docs":$nDocs,"cpus":$cpus,"timing":"builds cold; query entries timed after one untimed warmup run","hardware":"$hw"}""")
     spark.stop()
   }
 }

@@ -1002,8 +1002,40 @@ object GateQueries {
         .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20),
+      entries.find(_.name == "q09_bm25_topk").get.oracle),
+
+    // Incremental refresh: the index is built in two halves — a base
+    // build plus a refresh() that commits the rest as a second immutable
+    // segment — and must answer EXACTLY like a cold build of the whole
+    // corpus, i.e. like the q09 oracle over all documents.
+    Gate("q43_refresh_bm25_topk",
+      (s, d) => graft.index.BlockIndex
+        .bm25TopK(s, segIndexDir(s, d), ScoredQ, 30)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
       entries.find(_.name == "q09_bm25_topk").get.oracle)
   )
+
+  /** Segmented block index: half the corpus cold-built, the other half
+    * committed via [[graft.index.BlockIndex.refresh]] — one per corpus
+    * directory.
+    */
+  private val segDirs = scala.collection.mutable.Map.empty[String, String]
+  def segIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    segDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-blockidx-seg").toString
+      val docs = docsAsModel(spark, dir)
+      val layout = graft.index.BlockIndex.Layout(blockSpan = 256, nShards = 8)
+      val Array(split) = docs.agg(
+        org.apache.spark.sql.functions.max(col("docId")) / 2).head().toSeq.toArray
+      val mid = split.asInstanceOf[Double].toLong
+      graft.index.BlockIndex.build(docs.where(col("docId") <= mid), d, layout)
+      graft.index.BlockIndex.refresh(docs.where(col("docId") > mid), d)
+      d
+    })
+  }
 
   /** The block-backed IndexBundle must answer identically to the logical
     * one — gate one unscored and one scored mode through

@@ -38,6 +38,7 @@ object BlockIndex {
   val ManifestName = "_manifest.jsonl"
   val StatsName = "_stats.json"
   val DocLensName = "_doclens"
+  val SegmentsName = "_segments.json"
 
   /** Block relation schema (shard partition column excluded). */
   val BlockSchema: org.apache.spark.sql.types.StructType = {
@@ -61,6 +62,20 @@ object BlockIndex {
   private def existingShardPaths(dir: String, shards: Seq[Int]): Seq[String] =
     shards.map(s => s"$dir/shard=$s")
       .filter(p => Files.exists(Paths.get(p)))
+
+  /** The block relation for `shards` across every live segment of `dir` —
+    * a union of per-segment reads (each with its own basePath so the
+    * `shard` partition column is recovered), or None when no segment has
+    * any of the shards. Parquet filter/column pushdown applies per union
+    * leaf, so a `term isin` filter above this still prunes row groups.
+    */
+  private def shardBlocksRelation(
+      spark: SparkSession, dir: String, shards: Seq[Int]): Option[DataFrame] =
+    segDirs(dir).flatMap { d =>
+      val paths = existingShardPaths(d, shards)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", d).parquet(paths: _*))
+    }.reduceOption(_ unionByName _)
 
   final case class Layout(blockSpan: Int, nShards: Int)
   final case class ShardEntry(shard: Int, rows: Long, terms: Long, blocks: Long, wallMs: Long)
@@ -89,6 +104,14 @@ object BlockIndex {
         graft.analysis.DocTermsExpr.column(col("title"), col("body")).as("dt"))
       .select(col("docId"), col("dt.dl").as("dl"), explode(col("dt.terms")).as("p"))
       .select(col("docId"), col("p.term").as("term"), col("p.tf").as("tf"), col("dl"))
+    blocksFromPostings(postings, layout)
+  }
+
+  /** The block aggregation over an explicit postings relation
+    * (docId, term, tf, dl) — shared by [[blocksOf]] (postings from the
+    * tokenizer scan) and [[compact]] (postings decoded from live blocks).
+    */
+  def blocksFromPostings(postings: DataFrame, layout: Layout): DataFrame = {
     postings
       .withColumn("blockId", floor(col("docId") / layout.blockSpan).cast("long"))
       .withColumn("shard", pmod(xxhash64(col("term")), lit(layout.nShards)).cast("int"))
@@ -121,8 +144,32 @@ object BlockIndex {
       layout: Layout = Layout(blockSpan = 4096, nShards = 16),
       limitShards: Option[Int] = None,
       shardGroupSize: Int = 8,
-      overwrite: Boolean = false): Seq[ShardEntry] = {
-    val spark = docs.sparkSession
+      overwrite: Boolean = false): Seq[ShardEntry] =
+    buildPhysical(
+      () => blocksOf(docs, layout),
+      () => docs.select(col("docId"),
+        Analyzer.wordCountCol(col("body")).cast("int").as("len")),
+      dir, layout, limitShards, shardGroupSize, overwrite)
+
+  /** [[build]] from an explicit postings relation — the compaction path
+    * (no titles/bodies to re-tokenize; doc lengths come from the live
+    * segments' materialized tables).
+    */
+  private def buildFromPostings(postings: DataFrame, docLens: DataFrame,
+      dir: String, layout: Layout): Seq[ShardEntry] =
+    buildPhysical(
+      () => blocksFromPostings(postings, layout),
+      () => docLens.select(col("docId"), col("len").cast("int").as("len")),
+      dir, layout, limitShards = None, shardGroupSize = 8, overwrite = false)
+
+  private def buildPhysical(
+      blocksThunk: () => DataFrame,
+      docLensThunk: () => DataFrame,
+      dir: String,
+      layout: Layout,
+      limitShards: Option[Int],
+      shardGroupSize: Int,
+      overwrite: Boolean): Seq[ShardEntry] = {
     Files.createDirectories(Paths.get(dir))
     if (overwrite) {
       // full rebuild in place: drop the completion artifacts FIRST (so a
@@ -142,11 +189,11 @@ object BlockIndex {
       // write leaves a complete manifest but no completion artifacts —
       // finish that tail here instead of early-returning forever-broken
       if (!Files.exists(Paths.get(dir, StatsName)))
-        writeCompletionArtifacts(docs, dir, layout)
+        writeCompletionArtifacts(docLensThunk(), dir, layout)
       return readManifest(dir)
     }
 
-    val blocks = blocksOf(docs, layout)
+    val blocks = blocksThunk()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one metrics pass for ALL pending shards (vs one agg job per shard)
@@ -172,7 +219,7 @@ object BlockIndex {
       // doc lengths + corpus stats last — their presence marks the index
       // complete
       if (readManifest(dir).size == layout.nShards)
-        writeCompletionArtifacts(docs, dir, layout)
+        writeCompletionArtifacts(docLensThunk(), dir, layout)
       readManifest(dir)
     } finally blocks.unpersist()
   }
@@ -181,14 +228,12 @@ object BlockIndex {
     * block-backed bundles join a tiny parquet instead of decoding the
     * whole index) and the stats file, whose presence marks the index
     * complete. Stats read the doc-length parquet back, saving a second
-    * tokenization pass over the corpus. Idempotent.
+    * pass over the corpus. Idempotent.
     */
   private def writeCompletionArtifacts(
-      docs: DataFrame, dir: String, layout: Layout): Unit = {
-    val spark = docs.sparkSession
-    docs.select(col("docId"),
-      Analyzer.wordCountCol(col("body")).cast("int").as("len"))
-      .write.mode("overwrite").parquet(s"$dir/$DocLensName")
+      docLens: DataFrame, dir: String, layout: Layout): Unit = {
+    val spark = docLens.sparkSession
+    docLens.write.mode("overwrite").parquet(s"$dir/$DocLensName")
     val Row(nDocs: Long, totalLen: Long) = spark.read
       .parquet(s"$dir/$DocLensName")
       .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)))
@@ -253,12 +298,204 @@ object BlockIndex {
   }
 
   def readStats(dir: String): (CorpusStats, Layout) = {
+    if (isSegmented(dir)) { val m = readSegments(dir); return (m.stats, m.layout) }
+    readStatsPlain(dir)
+  }
+
+  /** The single-segment `_stats.json` of `dir`, bypassing the segmented
+    * view — for the base segment `"."` of a segmented root, whose
+    * combined stats would otherwise be returned (and double-counted by a
+    * second refresh's commit).
+    */
+  private def readStatsPlain(dir: String): (CorpusStats, Layout) = {
     val s = new String(Files.readAllBytes(Paths.get(dir, StatsName)), StandardCharsets.UTF_8)
     val re = """"(\w+)":(\d+)""".r
     val kv = re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toMap
     (CorpusStats(kv("nDocs"), kv("vocabSize"), kv("totalLen")),
       Layout(kv("blockSpan").toInt, kv("nShards").toInt))
   }
+
+  // ------------------------------------------------------------------
+  // Segments: incremental refresh without rebuilding (the Lucene/LSM
+  // segment model, Spark-shaped)
+  // ------------------------------------------------------------------
+
+  /** Committed state of a segmented index root: the ordered segment
+    * directory names (`"."` = the root itself, for in-place conversion of
+    * a plain index), the COMBINED corpus stats (vocabSize is the exact
+    * distinct-term count across segments — computed at commit, because
+    * the reference's `N = vocabulary size` IDF quirk makes a per-segment
+    * sum wrong for terms present in several segments), the uniform
+    * layout, and the highest docId — the floor for the next refresh's
+    * docIds, which MUST be disjoint from (greater than) every committed
+    * segment's, so that segments partition the corpus by docId range.
+    */
+  final case class SegmentsMeta(
+      segs: Seq[String], stats: CorpusStats, layout: Layout, maxDocId: Long)
+
+  def isSegmented(dir: String): Boolean = Files.exists(Paths.get(dir, SegmentsName))
+
+  /** Absolute segment directories of `dir` (just `dir` for a plain,
+    * non-segmented index).
+    */
+  private def segDirs(dir: String): Seq[String] =
+    if (!isSegmented(dir)) Seq(dir)
+    else readSegments(dir).segs.map(s => if (s == ".") dir else s"$dir/$s")
+
+  def readSegments(dir: String): SegmentsMeta = {
+    val s = new String(
+      Files.readAllBytes(Paths.get(dir, SegmentsName)), StandardCharsets.UTF_8)
+    val kv = """"(\w+)":(-?\d+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val segs = """"segs":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse("").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    SegmentsMeta(segs,
+      CorpusStats(kv("nDocs"), kv("vocabSize"), kv("totalLen")),
+      Layout(kv("blockSpan").toInt, kv("nShards").toInt), kv("maxDocId"))
+  }
+
+  private def writeSegments(dir: String, m: SegmentsMeta): Unit = {
+    val segsJson = m.segs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json =
+      s"""{"nDocs":${m.stats.nDocs},"vocabSize":${m.stats.vocabSize},"totalLen":${m.stats.totalLen},"blockSpan":${m.layout.blockSpan},"nShards":${m.layout.nShards},"maxDocId":${m.maxDocId},"nonce":${System.nanoTime()},"segs":$segsJson}"""
+    val tmp = Paths.get(dir, SegmentsName + ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(dir, SegmentsName), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Current metadata of `dir` whether segmented or plain; for a plain
+    * index the (cheap, metadata-only) max over the blocks' `maxDoc`
+    * column supplies maxDocId.
+    */
+  private def segMeta(spark: SparkSession, dir: String): SegmentsMeta =
+    if (isSegmented(dir)) readSegments(dir)
+    else {
+      val (stats, layout) = readStats(dir)
+      val blocks = readBlocks(spark, dir)
+      val maxDoc =
+        if (blocks.isEmpty) -1L
+        else blocks.agg(max(col("maxDoc"))).head().getLong(0)
+      SegmentsMeta(Seq("."), stats, layout, maxDoc)
+    }
+
+  /** Incrementally add `newDocs` to the index at `dir` WITHOUT touching
+    * committed data: the delta is built as a brand-new immutable segment
+    * (reusing [[build]], so the refresh itself checkpoints per shard and
+    * resumes after a kill), then committed by atomically replacing
+    * `_segments.json`. Readers see the old index until the commit instant
+    * and the full index after it; a kill anywhere before the commit
+    * leaves the old index intact and the half-built segment invisible —
+    * re-running the same refresh resumes its remaining shards.
+    *
+    * Requirements: `newDocs.docId` must all exceed the committed
+    * `maxDocId` (the dense-id append contract of
+    * [[graft.sources.CorpusSource.withDenseDocIds]]) — checked with one
+    * tiny aggregation — so segments partition the corpus along the global
+    * docId grid. Because blockId = docId / blockSpan, at most one
+    * (term, blockId) BLOCK straddles a segment boundary per term; all
+    * query paths treat (term, blockId) as non-unique and their block
+    * upper bounds remain sound (a doc's postings live in exactly one
+    * segment).
+    *
+    * At 100 TB scale this is the difference between re-tokenizing the
+    * whole corpus and tokenizing only the day's arrivals; query cost
+    * grows only by the straddling tail blocks until [[compact]] folds
+    * segments back into one.
+    */
+  def refresh(newDocs: DataFrame, dir: String): SegmentsMeta = {
+    val spark = newDocs.sparkSession
+    val meta = segMeta(spark, dir)
+    val bounds = newDocs.agg(
+      min(col("docId")), max(col("docId")), count(lit(1))).head()
+    if (bounds.getLong(2) == 0L) { // empty delta: commit = current state
+      if (!isSegmented(dir)) writeSegments(dir, meta)
+      return readSegments(dir)
+    }
+    val (minNew, maxNew) = (bounds.getLong(0), bounds.getLong(1))
+    require(minNew > meta.maxDocId,
+      s"refresh docIds must exceed committed maxDocId=${meta.maxDocId}, got min=$minNew")
+    // the segment is named by its docId RANGE: re-running the same
+    // refresh resumes the same directory's remaining shards (the resume
+    // contract, like build's, assumes the same delta content), while a
+    // different delta — e.g. after an abandoned attempt — gets a fresh
+    // directory instead of resuming half-built foreign shards
+    val gen = s"seg-$minNew-$maxNew"
+    build(newDocs, s"$dir/$gen", meta.layout)
+    commitSegments(spark, dir, meta.segs :+ gen, meta.layout, maxNew)
+  }
+
+  /** Commit a segment list: combined counts from per-segment stats, exact
+    * cross-segment distinct vocabulary (one column-pruned aggregation
+    * over the `term` column — parquet reads only that column's pages),
+    * then the atomic `_segments.json` replace.
+    */
+  private def commitSegments(spark: SparkSession, dir: String,
+      segs: Seq[String], layout: Layout, maxDocId: Long): SegmentsMeta = {
+    val dirs = segs.map(s => if (s == ".") dir else s"$dir/$s")
+    val perSeg = dirs.map(readStatsPlain) // NEVER the segmented view of "."
+    val vocab = dirs
+      .map(d => existingShardPaths(d, 0 until layout.nShards))
+      .filter(_.nonEmpty)
+      .map(paths => spark.read.parquet(paths: _*).select(col("term")))
+      .reduceOption(_ union _)
+      .fold(0L)(_.distinct().count())
+    val combined = CorpusStats(
+      perSeg.map(_._1.nDocs).sum, vocab, perSeg.map(_._1.totalLen).sum)
+    val m = SegmentsMeta(segs, combined, layout, maxDocId)
+    writeSegments(dir, m)
+    m
+  }
+
+  /** Fold all committed segments back into ONE (the new segment is built
+    * from the DECODED postings of every live block — no re-tokenization),
+    * then commit the singleton segment list and delete the old segment
+    * data. Block contents after compaction are byte-identical to a cold
+    * build over the union corpus (spec-asserted): both paths feed
+    * docId-sorted postings of the same (term, blockId) groups through
+    * [[VarByteAgg]].
+    */
+  def compact(dir: String): SegmentsMeta = {
+    require(isSegmented(dir), s"$dir is not a segmented index")
+    val meta = readSegments(dir)
+    if (meta.segs.size == 1 && meta.segs.head != ".") return meta
+    val spark = org.apache.spark.sql.SparkSession.active
+    // named by corpus identity (append-only ⇒ (maxDocId, nDocs) pins the
+    // doc set): a killed compaction resumes its own directory; a later
+    // compaction after further refreshes gets a fresh one
+    val gen = s"seg-compact-${meta.maxDocId}-${meta.stats.nDocs}"
+    val postings = decodePostings(readBlocks(spark, dir))
+    val docLens = readDocLens(spark, dir)
+    buildFromPostings(postings, docLens, s"$dir/$gen", meta.layout)
+    val committed = commitSegments(spark, dir, Seq(gen), meta.layout, meta.maxDocId)
+    // old segment data is now unreferenced; reclaim it. "." means the
+    // root held the base segment — remove only its index artifacts, never
+    // the root (which now owns _segments.json and the new segment).
+    meta.segs.foreach {
+      case "." =>
+        (0 until meta.layout.nShards).map(s => Paths.get(dir, s"shard=$s"))
+          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
+        Files.deleteIfExists(Paths.get(dir, ManifestName))
+        Files.deleteIfExists(Paths.get(dir, StatsName))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          Paths.get(dir, DocLensName).toFile)
+      case s =>
+        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(dir, s).toFile)
+    }
+    committed
+  }
+
+  /** The materialized doc-length relation across all segments. */
+  private def readDocLens(spark: SparkSession, dir: String): DataFrame =
+    segDirs(dir).map(d => s"$d/$DocLensName")
+      .filter(p => Files.exists(Paths.get(p)))
+      .map(p => spark.read.parquet(p).select(col("docId"), col("len")))
+      .reduceOption(_ union _)
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(Long, Long)].toDF("docId", "len")
+      }
 
   /** Driver-local twin of the build's `pmod(xxhash64(term), nShards)` —
     * same XXH64 with Spark's default seed 42, so query planning computes
@@ -272,11 +509,9 @@ object BlockIndex {
   }
 
   /** All block rows (partition column `shard` recovered from the path). */
-  def readBlocks(spark: SparkSession, dir: String): DataFrame = {
-    val paths = existingShardPaths(dir, 0 until readStats(dir)._2.nShards)
-    if (paths.isEmpty) emptyBlocks(spark)
-    else spark.read.option("basePath", dir).parquet(paths: _*)
-  }
+  def readBlocks(spark: SparkSession, dir: String): DataFrame =
+    shardBlocksRelation(spark, dir, 0 until readStats(dir)._2.nShards)
+      .getOrElse(emptyBlocks(spark))
 
   /** Decode a filtered block relation back to (term, docId, tf, dl). */
   def decodePostings(blocks: DataFrame): DataFrame =
@@ -311,9 +546,12 @@ object BlockIndex {
     // prefer the materialized doc-length parquet (written at build time);
     // decode-and-distinct over the whole index is only the fallback for
     // pre-doclens indexes
+    val docLensPaths = segDirs(dir).map(d => s"$d/$DocLensName")
+      .filter(p => Files.exists(Paths.get(p)))
     val docLens =
-      if (Files.exists(Paths.get(dir, DocLensName)))
-        spark.read.parquet(s"$dir/$DocLensName").select(col("docId"), col("len"))
+      if (docLensPaths.nonEmpty)
+        docLensPaths.map(p => spark.read.parquet(p).select(col("docId"), col("len")))
+          .reduce(_ unionByName _)
       else decoded.select(col("docId"), col("dl").as("len")).distinct()
     val termStats = blocks.groupBy(col("term"))
       .agg(sum(col("n").cast("long")).as("df"), max(col("maxTf")).as("maxTf"))
@@ -382,15 +620,19 @@ object BlockIndex {
   private val envCacheMtime = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val EnvCacheCap = 1000000
 
-  /** Epoch identifying the index build in `dir`: the build nonce written
-    * by [[writeStats]], falling back to the stats file's mtime for
-    * pre-nonce index dirs. The stats file is a handful of bytes, so
-    * reading it per query costs the same syscall the mtime stat did.
+  /** Epoch identifying the index state in `dir`: the nonce of
+    * `_segments.json` for a segmented root (rewritten at every refresh /
+    * compaction commit), else the build nonce written by [[writeStats]],
+    * falling back to the file's mtime for pre-nonce index dirs. The file
+    * is a handful of bytes, so reading it per query costs the same
+    * syscall the mtime stat did.
     */
   private def statsMtime(dir: String): Long = {
-    val s = new String(Files.readAllBytes(Paths.get(dir, StatsName)), StandardCharsets.UTF_8)
+    val p = if (isSegmented(dir)) Paths.get(dir, SegmentsName)
+            else Paths.get(dir, StatsName)
+    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
     """"nonce":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-      .getOrElse(Files.getLastModifiedTime(Paths.get(dir, StatsName)).toMillis)
+      .getOrElse(Files.getLastModifiedTime(p).toMillis)
   }
 
   /** Current stats mtime for `dir`, evicting the dir's stale entries when
@@ -421,11 +663,9 @@ object BlockIndex {
     // shard of each term — driver-local xxhash64, no Spark job
     val shards = terms.map(shardOf(_, layout.nShards)).distinct
 
-    val shardPaths = existingShardPaths(dir, shards)
-    if (shardPaths.isEmpty) return emptyOut
-    val termBlocks = spark.read.option("basePath", dir)
-      .parquet(shardPaths: _*)
-      .where(col("term").isin(terms: _*))
+    val termBlocks0 = shardBlocksRelation(spark, dir, shards)
+    if (termBlocks0.isEmpty) return emptyOut
+    val termBlocks = termBlocks0.get.where(col("term").isin(terms: _*))
 
     // ---- per-term envelope: the only unconditional collect, ≤ |terms|
     // rows regardless of df (bytes column never read). Memoized per
@@ -576,12 +816,10 @@ object BlockIndex {
     } yield (q, t, n.toDouble)
     if (qTerms.isEmpty) return emptyOut
     val terms = qTerms.map(_._2).distinct
-    val shardPaths =
-      existingShardPaths(dir, terms.map(shardOf(_, layout.nShards)).distinct)
-    if (shardPaths.isEmpty) return emptyOut
-    val termBlocks = spark.read.option("basePath", dir)
-      .parquet(shardPaths: _*)
-      .where(col("term").isin(terms: _*))
+    val termBlocks0 = shardBlocksRelation(
+      spark, dir, terms.map(shardOf(_, layout.nShards)).distinct)
+    if (termBlocks0.isEmpty) return emptyOut
+    val termBlocks = termBlocks0.get.where(col("term").isin(terms: _*))
     // df per term computed in-plan (no driver envelope needed: the batch
     // amortizes one aggregation across all queries); idf via the
     // vocabulary-size quirk (reference index_inverted.go:128-135)

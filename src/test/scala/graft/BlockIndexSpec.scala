@@ -156,6 +156,92 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(before.nonEmpty && cold.nonEmpty)
   }
 
+  // ------------------------------------------------------------------
+  // Segments: incremental refresh + compaction
+  // ------------------------------------------------------------------
+
+  private def blockSet(dir: String) =
+    BlockIndex.decodePostings(BlockIndex.readBlocks(spark, dir))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+
+  private def topk(dir: String, q: String, k: Int = 10) =
+    BlockIndex.bm25TopK(spark, dir, q, k)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+  test("refresh == cold build: stats, postings, and BM25 top-k identical") {
+    val d = tmpDir("blockidx-seg").toString
+    BlockIndex.build(docs.where(col("docId") < 300), d, layout)
+    val before = topk(d, "table")
+    BlockIndex.refresh(docs.where(col("docId") >= 300), d)
+    assert(BlockIndex.isSegmented(d))
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir)) // exact vocab
+    assert(blockSet(d) == blockSet(coldDir))
+    for (q <- Seq("table", "spark join fast window", "customer query stream"))
+      assert(topk(d, q) == topk(coldDir, q), s"query '$q'")
+    assert(before != topk(d, "table") || before == topk(coldDir, "table"))
+  }
+
+  test("refresh kill/resume: a half-built segment completes, commit is atomic") {
+    val d = tmpDir("blockidx-seg-resume").toString
+    BlockIndex.build(docs.where(col("docId") < 300), d, layout)
+    val delta = docs.where(col("docId") >= 300)
+    // simulate a kill: the delta segment exists with only 3 of 8 shards
+    BlockIndex.build(delta, s"$d/seg-300-499", layout, limitShards = Some(3))
+    assert(!BlockIndex.isSegmented(d)) // not committed: readers see the base
+    assert(topk(d, "table") == {
+      val base = tmpDir("blockidx-seg-base").toString
+      BlockIndex.build(docs.where(col("docId") < 300), base, layout)
+      topk(base, "table")
+    })
+    BlockIndex.refresh(delta, d) // resumes the remaining shards, commits
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir))
+    assert(blockSet(d) == blockSet(coldDir))
+  }
+
+  test("refresh rejects overlapping docIds") {
+    val d = tmpDir("blockidx-seg-overlap").toString
+    BlockIndex.build(docs.where(col("docId") < 300), d, layout)
+    intercept[IllegalArgumentException] {
+      BlockIndex.refresh(docs.where(col("docId") >= 250), d)
+    }
+  }
+
+  test("two refreshes then compact: block bytes byte-identical to cold build") {
+    val d = tmpDir("blockidx-seg-compact").toString
+    BlockIndex.build(docs.where(col("docId") < 200), d, layout)
+    BlockIndex.refresh(docs.where(col("docId") >= 200 && col("docId") < 350), d)
+    BlockIndex.refresh(docs.where(col("docId") >= 350), d)
+    assert(BlockIndex.readSegments(d).segs.size == 3)
+    // multi-segment queries already correct pre-compaction
+    assert(topk(d, "spark join fast window") == topk(coldDir, "spark join fast window"))
+    val meta = BlockIndex.compact(d)
+    assert(meta.segs.size == 1)
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir))
+    def bytesSet(dir: String) = BlockIndex.readBlocks(spark, dir)
+      .select("term", "blockId", "bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(bytesSet(d) == bytesSet(coldDir))
+    // old segment dirs reclaimed; root artifacts of the base gone
+    assert(!Files.exists(java.nio.file.Paths.get(d, "shard=0")))
+    assert(!Files.exists(java.nio.file.Paths.get(d, BlockIndex.StatsName)))
+    assert(topk(d, "table") == topk(coldDir, "table"))
+  }
+
+  test("segmented index serves every query mode via asBundle") {
+    val d = tmpDir("blockidx-seg-bundle").toString
+    BlockIndex.build(docs.where(col("docId") < 300), d, layout)
+    BlockIndex.refresh(docs.where(col("docId") >= 300), d)
+    val seg = new QueryEngine(BlockIndex.asBundle(spark, d, persist = false))
+    val cold = new QueryEngine(BlockIndex.asBundle(spark, coldDir, persist = false))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("docId").collect().map(_.getLong(0)).toSeq
+    assert(ids(seg.termsQuery("spark table")) == ids(cold.termsQuery("spark table")))
+    assert(ids(seg.fuzzyQuery("sprk")) == ids(cold.fuzzyQuery("sprk")))
+    assert(ids(seg.wildcardQuery("tab*")) == ids(cold.wildcardQuery("tab*")))
+    assert(ids(seg.vectorSpaceQuery("spark join")) == ids(cold.vectorSpaceQuery("spark join")))
+  }
+
   test("block-max WAND top-k == naive BM25 (rank + score)") {
     val engine = new QueryEngine(IndexBuilder.build(docs, persist = false))
     val queries = Seq(
