@@ -797,6 +797,63 @@ object GateQueries {
              |SELECT query_id, vec_id, sim, rank FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
+    // Multi-probe SRP-LSH: each query probes its home bucket plus the
+    // nProbes−1 nearest hyperplane flips (ranked by round(|proj|, 6),
+    // ties → lower plane index — the float-parity recipe). The oracle
+    // reconstructs probe selection with a window over per-plane
+    // projections.
+    Gate("q44_lsh_multiprobe",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.lshTopKMultiProbe(
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          e, k = 10, dim = 64, nPlanes = 4, nProbes = 3)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |pj AS (
+             |  SELECT vec_id, h,
+             |    list_sum([v[i] * ((((1103515245 * (h * 1024 + i - 1) + 12345) % 65536) - 32768)::DOUBLE)
+             |              for i in range(1, len(v) + 1)]) AS proj
+             |  FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS h) hs),
+             |b AS (
+             |  SELECT vec_id,
+             |    sum(CASE WHEN proj >= 0 THEN (1::BIGINT << h) ELSE 0 END)::BIGINT AS bucket
+             |  FROM pj GROUP BY vec_id),
+             |qp AS (
+             |  SELECT pj.vec_id AS query_id, b.bucket, pj.h,
+             |    round(abs(pj.proj), 6) AS ap,
+             |    xor(b.bucket, (1::BIGINT << pj.h)) AS fb
+             |  FROM pj JOIN b ON pj.vec_id = b.vec_id WHERE pj.vec_id < 5),
+             |pr AS (
+             |  SELECT query_id, fb,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY ap ASC, h ASC) AS rn
+             |  FROM qp),
+             |probes AS (
+             |  SELECT DISTINCT query_id, bucket FROM (
+             |    SELECT query_id, bucket FROM qp
+             |    UNION ALL
+             |    SELECT query_id, fb AS bucket FROM pr WHERE rn <= 2) u),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |scored AS (
+             |  SELECT p.query_id, b2.vec_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) *
+             |       sqrt(list_sum([x * x for x in v]))), 6) AS sim
+             |  FROM probes p
+             |  JOIN b b2 ON b2.bucket = p.bucket
+             |  JOIN e ON e.vec_id = b2.vec_id
+             |  JOIN q ON q.query_id = p.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+             |  FROM scored)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
     // IVF ANN against the PERSISTED index (centroids + cluster-bucketed
     // lists written at build time; the query reads only the probed
     // lists). Gate config: iters=0 centroids = the 8 smallest-id vectors

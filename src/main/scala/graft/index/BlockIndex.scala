@@ -803,7 +803,7 @@ object BlockIndex {
     */
   def bm25TopKBatch(
       spark: SparkSession, dir: String, queries: Seq[String], k: Int,
-      k1: Double = 0.9, b: Double = 0.4): DataFrame = {
+      k1: Double = 0.9, b: Double = 0.4, prune: Boolean = true): DataFrame = {
     import spark.implicits._
     val (stats, layout) = readStats(dir)
     val emptyOut = Seq.empty[(String, Long, Double, Int)]
@@ -830,25 +830,111 @@ object BlockIndex {
           log(10.0, lit(stats.vocabSize.toDouble) / col("df"))).otherwise(0.0))
     val qDf = broadcast(qTerms.toDF("query", "term", "qcnt"))
     val avgdl = stats.avgdl
+
     // same shuffle-light shape as bm25TopK's scoreRel: one exchange of
     // compressed blocks by blockId, then a co-located aggregation
     // (hashpartitioning(blockId) satisfies the (query, blockId, docId)
-    // clustering — no second shuffle before the per-query window)
-    val scored = decodePostingsWithBlock(
-        termBlocks.select(col("term"), col("blockId"), col("bytes"))
-          .repartition(col("blockId")))
-      .join(broadcast(termDf.select(col("term"), col("idf"))), "term")
-      .join(qDf, "term")
-      .groupBy(col("query"), col("blockId"), col("docId"))
-      .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
-        (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)) + col("tf")))
-        .as("score"))
-      .select(col("query"), col("docId"), col("score"))
+    // clustering — no second shuffle before the per-query window).
+    // `restrict` limits decode + scoring to the given (query, blockId)
+    // pairs: the blockId In-filter is pushed down to the parquet scan so
+    // pruned blocks' bytes are never read, and the broadcast pair join
+    // drops decoded rows of blocks another query needs but this one
+    // pruned.
+    def scored(restrict: Option[Seq[(String, Long)]]): DataFrame = {
+      val blocksRel = restrict match {
+        // the In-filter only pays (and only stays plan-sized) while the
+        // distinct block list is small; past the cap keep the pair join
+        // (which still prunes decode→aggregate work) and scan all blocks
+        case Some(pairs) if pairs.map(_._2).distinct.size <= SurvivorCap =>
+          termBlocks.where(col("blockId").isin(pairs.map(_._2).distinct: _*))
+        case _ => termBlocks
+      }
+      val base = decodePostingsWithBlock(
+          blocksRel.select(col("term"), col("blockId"), col("bytes"))
+            .repartition(col("blockId")))
+        .join(broadcast(termDf.select(col("term"), col("idf"))), "term")
+        .join(qDf, "term")
+      val restricted = restrict match {
+        case Some(pairs) =>
+          base.join(broadcast(pairs.toDF("query", "blockId")), Seq("query", "blockId"))
+        case None => base
+      }
+      restricted
+        .groupBy(col("query"), col("blockId"), col("docId"))
+        .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
+          (lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)) + col("tf")))
+          .as("score"))
+        .select(col("query"), col("docId"), col("score"))
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query"))
       .orderBy(col("score").desc, col("docId").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .orderBy(col("query"), col("rank"))
+    def ranked(rel: DataFrame): DataFrame =
+      rel.withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+        .orderBy(col("query"), col("rank"))
+
+    if (!prune) return ranked(scored(None))
+
+    // ---- batched block-max WAND: the single-query θ pruning, shared
+    // across the whole batch in THREE bounded driver steps ----
+    // per-(query, block) upper bound from block metadata only (bytes
+    // never read): same envelope algebra as bm25TopK's blockUbDf
+    val iqRel = termBlocks
+      .select("term", "blockId", "n", "maxTf", "minTf", "minDl", "maxDl")
+      .join(broadcast(termDf.select(col("term"), col("idf"))), "term")
+      .join(qDf, "term")
+      .withColumn("iq", col("qcnt") * col("idf"))
+    def sat(tf: Column, dl: Column): Column =
+      (lit(k1) + 1) * tf / (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(avgdl)) + tf)
+    val qBlockUb = iqRel
+      .withColumn("pub", when(col("iq") >= 0,
+          col("iq") * sat(col("maxTf").cast("double"), col("minDl").cast("double")))
+        .otherwise(
+          col("iq") * sat(col("minTf").cast("double"), col("maxDl").cast("double"))))
+      .groupBy(col("query"), col("blockId"))
+      .agg(
+        sum(when(col("pub") > 0, col("pub")).otherwise(0.0)).as("pos"),
+        max(col("pub")).as("maxPub"),
+        max(when(col("pub") >= 0, 1).otherwise(0)).as("anyNonNeg"),
+        max(col("n")).as("nDocs"))
+      .withColumn("ub",
+        when(col("anyNonNeg") === 1, col("pos")).otherwise(col("maxPub")))
+    // phase 1 per query: highest-UB blocks covering ≥ 2k docs (running
+    // doc count via a per-query window — no driver loop)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query"))
+      .orderBy(col("ub").desc, col("blockId").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val marked = qBlockUb.withColumn("cum",
+      coalesce(sum(col("nDocs")).over(wCum), lit(0L)))
+    // driver step 1: the phase-1 pairs (≤ ~2k rows per query)
+    val p1 = marked.where(col("cum") < 2L * k)
+      .select(col("query"), col("blockId"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    lastDriverMetaRows = p1.length.toLong
+    // driver step 2: θ per query = its kth phase-1 score (absent when a
+    // query has < k phase-1 docs → no pruning for that query)
+    val thetas: Map[String, Double] = ranked(scored(Some(p1)))
+      .where(col("rank") === k)
+      .select(col("query"), col("score"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    lastDriverMetaRows += thetas.size
+    if (thetas.isEmpty) return ranked(scored(None))
+    // driver step 3: survivors = phase-1 pairs ∪ (ub ≥ θ_q); phase-1 is
+    // force-retained so FP association of ub vs θ can never prune a true
+    // top-k doc (same argument as bm25TopK). The collect is capped at
+    // SurvivorCap PAIRS PER QUERY; past that pruning can't pay — score
+    // everything rather than hold unbounded driver state.
+    val pairCap = SurvivorCap.toLong * queries.distinct.size
+    val thetaDf = broadcast(thetas.toSeq.toDF("query", "theta"))
+    val surv = marked.join(thetaDf, Seq("query"), "left")
+      .where(col("cum") < 2L * k || col("theta").isNull || col("ub") >= col("theta"))
+      .select(col("query"), col("blockId"))
+      .limit(pairCap.toInt + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    lastDriverMetaRows += surv.length
+    if (surv.length > pairCap) ranked(scored(None))
+    else ranked(scored(Some(surv)))
   }
 }

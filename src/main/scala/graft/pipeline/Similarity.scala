@@ -121,6 +121,70 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** The query-side probe sequence for multi-probe SRP (Lv et al.,
+    * VLDB'07 applied to sign projections): the home bucket first, then
+    * the buckets reached by flipping the `nProbes - 1` hyperplanes whose
+    * projections lie CLOSEST to zero — the planes most likely to have
+    * put a true neighbor on the other side. Probe order ranks by
+    * (round(|proj|, 6), planeIndex), both engine-portable (the 6dp
+    * rounding is the float-parity recipe the oracles use throughout).
+    * Probe buckets are distinct by construction (each flips a different
+    * bit), so the probe explode never duplicates a candidate.
+    *
+    * Projections are recomputed per referencing expression here — fine
+    * on the QUERY side, which is small and broadcast; the corpus side
+    * stays single-bucket.
+    */
+  def srpProbeBuckets(
+      vec: Column, dim: Int, nPlanes: Int, nProbes: Int,
+      planeOffset: Int = 0): Column = {
+    require(nProbes >= 1 && nProbes <= nPlanes + 1,
+      s"nProbes must be in [1, nPlanes + 1], got $nProbes")
+    val v = asDouble(vec)
+    def proj(h: Int): Column = {
+      val w = array((0 until dim).map(d =>
+        lit(hyperplaneWeight(planeOffset + h, d).toDouble)): _*)
+      aggregate(zip_with(v, w, (x, y) => x * y), lit(0.0), (a, x) => a + x)
+    }
+    val base = (0 until nPlanes)
+      .map(h => when(proj(h) >= 0, lit(1L << h)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    if (nProbes == 1) return array(base)
+    val flips = array((0 until nPlanes).map { h =>
+      struct(round(abs(proj(h)), 6).as("ap"), lit(h).as("h"),
+        base.bitwiseXOR(lit(1L << h)).as("fb"))
+    }: _*)
+    // array_sort on structs is lexicographic: (ap asc, h asc)
+    val ordered = transform(array_sort(flips), s => s.getField("fb"))
+    concat(array(base), slice(ordered, 1, nProbes - 1))
+  }
+
+  /** [[lshTopK]] with multi-probe: each query also probes the buckets of
+    * its `nProbes - 1` nearest hyperplane flips, trading nProbes× probe
+    * work for single-table recall — the scale-friendly alternative to
+    * more tables (which multiply the CORPUS-side index, not the query
+    * side). nProbes = 1 degenerates to [[lshTopK]] exactly.
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+      nPlanes: Int = 4, nProbes: Int = 3,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      corpusIdCol: String = "vec_id"): DataFrame = {
+    val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+      col(vecCol).as("__cv"),
+      srpBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv"),
+      explode(srpProbeBuckets(col(vecCol), dim, nPlanes, nProbes)).as("bucket"))
+    val scored = c.join(broadcast(q), "bucket")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   // ---------------------------------------------------------------------
   // IVF (inverted-file) ANN — coarse quantizer + probed posting lists
   // ---------------------------------------------------------------------

@@ -268,6 +268,13 @@ class BlockIndexSpec extends AnyFunSuite {
       "nosuchterm spark", "zzz_oov_only", "")
     val batch = BlockIndex.bm25TopKBatch(spark, coldDir, queries, 5).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // the θ-pruned (default) and unpruned batch paths agree exactly on
+    // (query, docId, rank); scores agree to FP association
+    val unpruned = BlockIndex
+      .bm25TopKBatch(spark, coldDir, queries, 5, prune = false).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(batch.map(t => (t._1, t._2, t._4)).toSet ==
+      unpruned.map(t => (t._1, t._2, t._4)).toSet)
     for (q <- queries) {
       val single = BlockIndex.bm25TopK(spark, coldDir, q, 5).collect()
         .map(r => (r.getLong(0), r.getDouble(1)))

@@ -206,6 +206,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(res.take(2) == Seq(1L, 2L))
   }
 
+  test("multi-probe LSH: nProbes=1 == lshTopK; more probes never lose recall") {
+    val sp = spark
+    import sp.implicits._
+    // deterministic spread-out corpus so buckets are populated
+    val cvecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(8)(j =>
+        (math.sin(i * 31 + j * 7) + 0.1 * ((i + j) % 5)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val qs = cvecs.where(col("vec_id") < 8).withColumnRenamed("vec_id", "query_id")
+    def resultSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val single = resultSet(Similarity.lshTopK(qs, cvecs, k = 5, dim = 8, nPlanes = 8))
+    val mp1 = resultSet(
+      Similarity.lshTopKMultiProbe(qs, cvecs, k = 5, dim = 8, nPlanes = 8, nProbes = 1))
+    assert(mp1 == single)
+    val brute = resultSet(Similarity.bruteForceTopK(qs, cvecs, k = 5))
+    def recall(s: Set[(Long, Long)]) = (s intersect brute).size.toDouble / brute.size
+    val recalls = (1 to 7).map(p => recall(resultSet(
+      Similarity.lshTopKMultiProbe(qs, cvecs, k = 5, dim = 8, nPlanes = 8, nProbes = p))))
+    // monotone non-decreasing recall in nProbes, and full probing helps
+    recalls.sliding(2).foreach { case Seq(a, b) => assert(b >= a, recalls.toString) }
+    assert(recalls.last > recalls.head, s"multi-probe gained nothing: $recalls")
+  }
+
   test("IVF ANN: nprobe=K equals brute force exactly; small nprobe keeps near hits") {
     // 30 vectors in 3 well-separated directions + per-vector jitter
     val dirs = Seq(
