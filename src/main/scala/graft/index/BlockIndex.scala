@@ -404,9 +404,20 @@ object BlockIndex {
     * grows only by the straddling tail blocks until [[compact]] folds
     * segments back into one.
     */
-  def refresh(newDocs: DataFrame, dir: String): SegmentsMeta = {
+  def refresh(newDocs: DataFrame, dir: String,
+      genName: Option[String] = None): SegmentsMeta = {
     val spark = newDocs.sparkSession
     val meta = segMeta(spark, dir)
+    // a caller-keyed generation (e.g. a streaming micro-batch id) makes
+    // REPLAY detectable before any work: if its segment is already
+    // committed this refresh is a redelivery and must be a no-op — the
+    // exactly-once hook foreachBatch sinks rely on. Checked before the
+    // delta is even counted, because a replayed batch would otherwise be
+    // re-numbered past the committed maxDocId and silently double-commit.
+    genName.map(g => s"seg-$g").foreach { gen =>
+      if (isSegmented(dir) && readSegments(dir).segs.contains(gen))
+        return readSegments(dir)
+    }
     val bounds = newDocs.agg(
       min(col("docId")), max(col("docId")), count(lit(1))).head()
     if (bounds.getLong(2) == 0L) { // empty delta: commit = current state
@@ -414,14 +425,16 @@ object BlockIndex {
       return readSegments(dir)
     }
     val (minNew, maxNew) = (bounds.getLong(0), bounds.getLong(1))
-    require(minNew > meta.maxDocId,
-      s"refresh docIds must exceed committed maxDocId=${meta.maxDocId}, got min=$minNew")
-    // the segment is named by its docId RANGE: re-running the same
+    // default segment name = the docId RANGE: re-running the same
     // refresh resumes the same directory's remaining shards (the resume
     // contract, like build's, assumes the same delta content), while a
     // different delta — e.g. after an abandoned attempt — gets a fresh
     // directory instead of resuming half-built foreign shards
-    val gen = s"seg-$minNew-$maxNew"
+    val gen = genName.map(g => s"seg-$g").getOrElse(s"seg-$minNew-$maxNew")
+    if (isSegmented(dir) && readSegments(dir).segs.contains(gen))
+      return readSegments(dir)
+    require(minNew > meta.maxDocId,
+      s"refresh docIds must exceed committed maxDocId=${meta.maxDocId}, got min=$minNew")
     build(newDocs, s"$dir/$gen", meta.layout)
     commitSegments(spark, dir, meta.segs :+ gen, meta.layout, maxNew)
   }
@@ -485,6 +498,12 @@ object BlockIndex {
     }
     committed
   }
+
+  /** Highest committed docId of the index at `dir` (−1 for an empty
+    * index) — the floor for externally-assigned refresh ids.
+    */
+  def committedMaxDocId(spark: SparkSession, dir: String): Long =
+    segMeta(spark, dir).maxDocId
 
   /** The materialized doc-length relation across all segments. */
   private def readDocLens(spark: SparkSession, dir: String): DataFrame =
@@ -803,9 +822,15 @@ object BlockIndex {
     */
   def bm25TopKBatch(
       spark: SparkSession, dir: String, queries: Seq[String], k: Int,
-      k1: Double = 0.9, b: Double = 0.4, prune: Boolean = true): DataFrame = {
+      k1: Double = 0.9, b: Double = 0.4,
+      prune: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     val (stats, layout) = readStats(dir)
+    // auto mode: θ pruning costs three extra (metadata-sized) jobs and
+    // only pays when there are enough grid blocks for upper bounds to
+    // exclude — on a small index (sf-scale tests, ≤ ~256 blocks) the
+    // single-job full scan wins, at 2M+ docs pruning does (BENCH.md)
+    val doPrune = prune.getOrElse(stats.nDocs / layout.blockSpan > 256)
     val emptyOut = Seq.empty[(String, Long, Double, Int)]
       .toDF("query", "docId", "score", "rank")
     // (query, term, qcnt) — duplicate tokens double-count (reference
@@ -874,7 +899,7 @@ object BlockIndex {
         .where(col("rank") <= k)
         .orderBy(col("query"), col("rank"))
 
-    if (!prune) return ranked(scored(None))
+    if (!doPrune) return ranked(scored(None))
 
     // ---- batched block-max WAND: the single-query θ pruning, shared
     // across the whole batch in THREE bounded driver steps ----

@@ -124,7 +124,8 @@ object CorpusSource {
   def withDenseDocIds(
       df: DataFrame,
       sortCols: Seq[Column],
-      numPartitions: Option[Int] = None): DataFrame = {
+      numPartitions: Option[Int] = None,
+      firstId: Long = 1L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val nPart = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
@@ -149,7 +150,8 @@ object CorpusSource {
       // is written to a table at this point anyway.
       parted
         .join(broadcast(offsetDf), "__pid")
-        .withColumn("docId", row_number().over(w).cast("long") + $"__offset")
+        .withColumn("docId",
+          row_number().over(w).cast("long") + $"__offset" + lit(firstId - 1L))
         .drop("__pid", "__offset")
         .localCheckpoint()
     } finally parted.unpersist()

@@ -266,12 +266,12 @@ class BlockIndexSpec extends AnyFunSuite {
   test("batched BM25 (one pass, N queries) == per-query WAND results") {
     val queries = Seq("spark join fast window", "table", "spark spark join",
       "nosuchterm spark", "zzz_oov_only", "")
-    val batch = BlockIndex.bm25TopKBatch(spark, coldDir, queries, 5).collect()
+    val batch = BlockIndex.bm25TopKBatch(spark, coldDir, queries, 5, prune = Some(true)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     // the θ-pruned (default) and unpruned batch paths agree exactly on
     // (query, docId, rank); scores agree to FP association
     val unpruned = BlockIndex
-      .bm25TopKBatch(spark, coldDir, queries, 5, prune = false).collect()
+      .bm25TopKBatch(spark, coldDir, queries, 5, prune = Some(false)).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
     assert(batch.map(t => (t._1, t._2, t._4)).toSet ==
       unpruned.map(t => (t._1, t._2, t._4)).toSet)

@@ -37,6 +37,49 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming index sink: micro-batches commit as segments == cold build; replay is a no-op") {
+    import graft.index.BlockIndex
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-idx").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val b1 = Seq(("Alpha doc", "spark shuffles data fast", "u1"),
+      ("Beta doc", "tables join on keys", "u2"))
+    val b2 = Seq(("Gamma doc", "spark tables stream quickly", "u3"))
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.indexRefreshSink(
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"))
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      val afterB1 = BlockIndex.readStats(dir)._1.nDocs
+      assert(afterB1 == 2L)
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // cold twin: same ids (per-batch title order, continuing numbering)
+    val coldDocs = (b1.sortBy(_._1).zipWithIndex.map { case ((t, b, u), i) =>
+      (i + 1L, t, b, u)
+    } ++ b2.sortBy(_._1).zipWithIndex.map { case ((t, b, u), i) =>
+      (i + 3L, t, b, u)
+    }).toDF("docId", "title", "body", "url")
+    val coldDir = java.nio.file.Files.createTempDirectory("stream-idx-cold").toString
+    BlockIndex.build(coldDocs, coldDir, layout)
+    assert(BlockIndex.readStats(dir) == BlockIndex.readStats(coldDir))
+    def posts(d: String) = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(posts(dir) == posts(coldDir))
+    def hits(d: String) = BlockIndex.bm25TopK(spark, d, "spark tables", 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(hits(dir) == hits(coldDir) && hits(dir).nonEmpty)
+    // redelivered micro-batch (same batchId) must not double-commit
+    val segsBefore = BlockIndex.readSegments(dir).segs
+    StreamOps.indexRefreshBatch(
+      b2.toDF("title", "body", "url"), batchId = 1L, dir, layout, Seq("title"))
+    assert(BlockIndex.readSegments(dir).segs == segsBefore)
+    assert(posts(dir) == posts(coldDir))
+  }
+
   test("watermarked window aggregation drops late events beyond the watermark") {
     val sp = spark
     import sp.implicits._
