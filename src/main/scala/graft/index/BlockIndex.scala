@@ -826,11 +826,6 @@ object BlockIndex {
       prune: Option[Boolean] = None): DataFrame = {
     import spark.implicits._
     val (stats, layout) = readStats(dir)
-    // auto mode: θ pruning costs three extra (metadata-sized) jobs and
-    // only pays when there are enough grid blocks for upper bounds to
-    // exclude — on a small index (sf-scale tests, ≤ ~256 blocks) the
-    // single-job full scan wins, at 2M+ docs pruning does (BENCH.md)
-    val doPrune = prune.getOrElse(stats.nDocs / layout.blockSpan > 256)
     val emptyOut = Seq.empty[(String, Long, Double, Int)]
       .toDF("query", "docId", "score", "rank")
     // (query, term, qcnt) — duplicate tokens double-count (reference
@@ -899,10 +894,11 @@ object BlockIndex {
         .where(col("rank") <= k)
         .orderBy(col("query"), col("rank"))
 
-    if (!doPrune) return ranked(scored(None))
+    if (prune.contains(false)) return ranked(scored(None))
+    lastDriverMetaRows = 0L
 
     // ---- batched block-max WAND: the single-query θ pruning, shared
-    // across the whole batch in THREE bounded driver steps ----
+    // across the whole batch in bounded driver steps ----
     // per-(query, block) upper bound from block metadata only (bytes
     // never read): same envelope algebra as bm25TopK's blockUbDf
     val iqRel = termBlocks
@@ -925,6 +921,25 @@ object BlockIndex {
         max(col("n")).as("nDocs"))
       .withColumn("ub",
         when(col("anyNonNeg") === 1, col("pos")).otherwise(col("maxPub")))
+    // auto mode: θ pruning only pays when block-level UB VARIANCE exists
+    // — which on a docId-grid index is a property of the docId
+    // assignment order (content-clustered ids → a query's rare terms
+    // occupy few blocks and the rest fall below θ; scattered ids →
+    // every term in every block, nothing can be excluded — measured
+    // both ways in BENCH.md / tools/PruneBench). One metadata-only
+    // aggregation decides: prune iff some query has a block whose UB is
+    // under half its best block's (a necessary condition for θ to bite),
+    // and the grid is big enough (> 256 blocks) for the extra jobs to
+    // ever pay. Explicit prune=Some(_) skips the probe entirely.
+    val doPrune = prune.getOrElse {
+      stats.nDocs / layout.blockSpan > 256 && {
+        val spread = qBlockUb.groupBy(col("query"))
+          .agg(max(col("ub")).as("mx"), min(col("ub")).as("mn")).collect()
+        lastDriverMetaRows += spread.length.toLong
+        spread.exists(r => r.getDouble(1) > 0 && r.getDouble(2) < 0.5 * r.getDouble(1))
+      }
+    }
+    if (!doPrune) return ranked(scored(None))
     // phase 1 per query: highest-UB blocks covering ≥ 2k docs (running
     // doc count via a per-query window — no driver loop)
     val wCum = org.apache.spark.sql.expressions.Window
@@ -937,7 +952,7 @@ object BlockIndex {
     val p1 = marked.where(col("cum") < 2L * k)
       .select(col("query"), col("blockId"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    lastDriverMetaRows = p1.length.toLong
+    lastDriverMetaRows += p1.length.toLong
     // driver step 2: θ per query = its kth phase-1 score (absent when a
     // query has < k phase-1 docs → no pruning for that query)
     val thetas: Map[String, Double] = ranked(scored(Some(p1)))

@@ -1,0 +1,85 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Evidence for WHEN block-max θ pruning pays: it needs block-level
+  * score variance, and on a docId-grid index that variance is created by
+  * the DOCID ASSIGNMENT ORDER. The same corpus is indexed twice:
+  *
+  *   - `clustered`: docIds assigned so documents sharing a topic are
+  *     adjacent — each topic's terms live in ~1/topics of the grid
+  *     blocks (what `withDenseDocIds(sortCols = repo/path)` produces on
+  *     real code corpora, and what Lucene calls index sorting);
+  *   - `scattered`: the same documents with topics interleaved round-
+  *     robin — every term appears in EVERY block, so no block's upper
+  *     bound can ever fall below θ and pruning is structurally powerless
+  *     (this is also why the uniform CorpusGen corpus shows no pruning
+  *     win in QueryBench2M).
+  *
+  * Queries mix a corpus-wide head term (`def`, df ≈ n) with topic terms:
+  * θ lands near the topic-term contribution, every block without the
+  * topic is pruned on the clustered index, and the head term's postings
+  * outside the topic's block range are never decoded.
+  */
+object PruneBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 500000L
+    val topics = 50
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val perTopic = n / topics
+    def corpus(clustered: Boolean) = {
+      val id = col("id")
+      val topic = if (clustered) (id / perTopic).cast("int")
+                  else (id % topics).cast("int")
+      def r(j: Int): org.apache.spark.sql.Column = abs(xxhash64(lit(7L), id, lit(j)))
+      // 20 common head words + 10 topic-local words per doc
+      val common = (0 until 20).map(j =>
+        element_at(array(CorpusGen.Keywords.map(lit): _*),
+          (r(j) % CorpusGen.Keywords.size).cast("int") + 1))
+      val local = (20 until 30).map(j =>
+        concat(lit("t"), topic, lit("w"), (r(j) % 20).cast("string")))
+      spark.range(n)
+        .select(id.as("docId"), lit("").as("title"),
+          concat_ws(" ", (common ++ local): _*).as("body"),
+          lit("").as("url"))
+    }
+
+    val layout = BlockIndex.Layout(blockSpan = 4096, nShards = 16)
+    val dirs = Seq("clustered" -> true, "scattered" -> false).map {
+      case (name, cl) =>
+        val d = java.nio.file.Files.createTempDirectory(s"prune-$name").toString
+        val t0 = System.nanoTime()
+        BlockIndex.build(corpus(cl), d, layout)
+        println(f"[prune] build_$name%-10s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+        name -> d
+    }
+    // mixed head+topic queries; topic terms have df ≈ perTopic·10/20
+    val queries = (0 until 10).map(i => s"def t${i * 5 % topics}w3 t${i * 5 % topics}w7")
+    val modes = Seq("unpruned" -> Some(false), "pruned" -> Some(true),
+      "auto" -> Option.empty[Boolean])
+    for ((name, d) <- dirs; (label, pr) <- modes) {
+      // one untimed warmup, then timed — steady-state comparison
+      BlockIndex.bm25TopKBatch(spark, d, queries, 10, prune = pr).count()
+      val t = System.nanoTime()
+      val rows = BlockIndex.bm25TopKBatch(spark, d, queries, 10, prune = pr).count()
+      val s = (System.nanoTime() - t) / 1e9
+      println(f"[prune] $name%-10s batch_10_$label%-8s $s%6.2f s  (rows=$rows)")
+    }
+    // correctness cross-check: pruned == unpruned on both layouts
+    for ((name, d) <- dirs) {
+      val a = BlockIndex.bm25TopKBatch(spark, d, queries, 10, prune = Some(true))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      val b = BlockIndex.bm25TopKBatch(spark, d, queries, 10, prune = Some(false))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3))).toSet
+      println(s"[prune] $name pruned==unpruned: ${a == b}")
+    }
+    spark.stop()
+  }
+}

@@ -55,9 +55,26 @@ object QueryBench2M {
     val warm = (System.nanoTime() - tw) / 1e9
     println(f"[q2m] warm_10_sequential       $warm%7.2f s  (${10 / warm}%.2f q/s)")
     val tb = System.nanoTime()
-    val n = BlockIndex.bm25TopKBatch(spark, idxDir, queries, 10).count()
+    val n = BlockIndex.bm25TopKBatch(spark, idxDir, queries, 10,
+      prune = Some(false)).count()
     val bat = (System.nanoTime() - tb) / 1e9
     println(f"[q2m] batch_10_one_job         $bat%7.2f s  (${10 / bat}%.2f q/s, rows=$n)")
+    val tp = System.nanoTime()
+    val np = BlockIndex.bm25TopKBatch(spark, idxDir, queries, 10,
+      prune = Some(true)).count()
+    val batP = (System.nanoTime() - tp) / 1e9
+    println(f"[q2m] batch_10_theta_pruned    $batP%7.2f s  (${10 / batP}%.2f q/s, rows=$np)")
+    // mixed head+tail queries — the regime θ pruning exists for: the
+    // tail term's contribution sets θ above any head-term-only block's
+    // UB, so the head term's ~all-grid-blocks postings are never decoded
+    val mixed = (1 to 10).map(i => s"def val$i class${i * 3}")
+    for ((label, pr) <- Seq("unpruned" -> false, "pruned" -> true)) {
+      val t = System.nanoTime()
+      val r = BlockIndex.bm25TopKBatch(spark, idxDir, mixed, 10,
+        prune = Some(pr)).count()
+      val s = (System.nanoTime() - t) / 1e9
+      println(f"[q2m] batch_10_mixed_$label%-9s $s%7.2f s  (${10 / s}%.2f q/s, rows=$r)")
+    }
     spark.stop()
   }
 }

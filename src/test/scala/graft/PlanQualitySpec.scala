@@ -109,6 +109,16 @@ class PlanQualitySpec extends AnyFunSuite {
       s"nprobe=2 must touch at most 2 cluster dirs, read $clustersRead")
   }
 
+  test("native simhash projection stays inside whole-stage codegen") {
+    val docs = GateQueries.documents(spark, "/root/testdata/sf0.001")
+    val df = docs.select(col("doc_id"),
+      graft.pipeline.Dedup.simhash64(col("text")))
+    df.collect()
+    val plan = planOf(df)
+    assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
+      s"simhash64 should run inside whole-stage codegen:\n$plan")
+  }
+
   test("whole-stage codegen covers the scoring pipeline") {
     val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
     val df = e.bm25Query("spark join", Some(10))
