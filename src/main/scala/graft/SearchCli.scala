@@ -10,7 +10,15 @@ import org.apache.spark.sql.SparkSession
   * server.go:55-103; pagination = 5/page there, `--page` here).
   *
   * Usage:
-  *   runMain graft.SearchCli <csvPath|parquetDir> <algorithm> <query> [page]
+  *   runMain graft.SearchCli <corpusSpec> <algorithm> <query> [page]
+  *
+  * `corpusSpec` is `<csvPath|parquetDir>` — indexed in memory for this
+  * process — or `<csvPath|parquetDir>@<blockIndexDir>`: the corpus
+  * supplies document fields (title/url for rendering), the PERSISTED
+  * block index (built once via `BlockIndex.build` / kept fresh via
+  * `refresh`, plain or segmented) answers every query mode through
+  * `asBundle` — no per-process rebuild, the serving shape for corpora
+  * that do not fit an interactive rebuild.
   *
   * `algorithm` ∈ BM25 | "Classic TF-IDF" | Boolean | Terms | Fuzzy |
   * Wildcard (unknown → BM25, like the reference's registry server.go:39-53).
@@ -18,6 +26,25 @@ import org.apache.spark.sql.SparkSession
   * otherwise it is read as the Iceberg-shaped source-file Parquet corpus.
   */
 object SearchCli {
+
+  /** Resolve a corpusSpec into (engine, docs relation). */
+  private[graft] def resolve(
+      spark: SparkSession, spec: String, k: Int = 3)
+      : (QueryEngine, org.apache.spark.sql.DataFrame) = {
+    val (corpusPath, idxDir) = spec.split("@", 2) match {
+      case Array(c, i) => (c, Some(i))
+      case Array(c) => (c, None)
+    }
+    val docs =
+      if (corpusPath.endsWith(".csv")) CorpusSource.readDocsCsv(spark, corpusPath)
+      else CorpusSource.sourceFilesToDocs(
+        CorpusSource.readSourceFiles(spark, corpusPath))
+    val engine = idxDir match {
+      case Some(d) => new QueryEngine(graft.index.BlockIndex.asBundle(spark, d, k))
+      case None => new QueryEngine(IndexBuilder.build(docs, k = k))
+    }
+    (engine, docs)
+  }
   def main(args: Array[String]): Unit = {
     if (args.length < 3) {
       System.err.println(
@@ -35,11 +62,7 @@ object SearchCli {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val docs =
-        if (path.endsWith(".csv")) CorpusSource.readDocsCsv(spark, path)
-        else CorpusSource.sourceFilesToDocs(
-          CorpusSource.readSourceFiles(spark, path))
-      val engine = new QueryEngine(IndexBuilder.build(docs, k = 3))
+      val (engine, docs) = resolve(spark, path)
       val ranked = engine.byName(alg)(query)
       val pageDf = engine.paginate(ranked, page)
       val out = engine.materialize(pageDf, docs)

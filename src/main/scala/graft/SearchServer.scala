@@ -123,7 +123,8 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
 object SearchServer {
   def main(args: Array[String]): Unit = {
     if (args.isEmpty) {
-      System.err.println("usage: SearchServer <csvPath|parquetDir> [port]")
+      System.err.println(
+        "usage: SearchServer <csvPath|parquetDir>[@blockIndexDir] [port]")
       sys.exit(2)
     }
     val path = args(0)
@@ -136,10 +137,9 @@ object SearchServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs =
-      if (path.endsWith(".csv")) CorpusSource.readDocsCsv(spark, path)
-      else CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, path))
-    val engine = new QueryEngine(IndexBuilder.build(docs, k = 3))
+    // "corpus@indexDir" serves from the persisted (plain or segmented)
+    // block index — no per-process rebuild (SearchCli.resolve)
+    val (engine, docs) = SearchCli.resolve(spark, path)
     val srv = new SearchServer(engine, docs, port)
     println(s"serving on http://127.0.0.1:${srv.start()}/")
     Thread.currentThread.join()

@@ -65,6 +65,23 @@ class SearchServerSpec extends AnyFunSuite {
     assert(code == 200 && body.contains("results=0"))
   }
 
+  test("corpus@indexDir serving: block-index-backed server == in-memory server") {
+    val csv = SparkSessionFixture.resourcePath("example.csv")
+    val idx = java.nio.file.Files.createTempDirectory("serve-idx").toString
+    graft.index.BlockIndex.build(docs, idx,
+      graft.index.BlockIndex.Layout(blockSpan = 4, nShards = 4))
+    val (idxEngine, idxDocs) = SearchCli.resolve(spark, s"$csv@$idx")
+    val s2 = new SearchServer(idxEngine, idxDocs, port = 0)
+    s2.start()
+    try {
+      for (alg <- Seq("BM25", "Classic TF-IDF", "Terms", "Fuzzy")) {
+        val q = if (alg == "Fuzzy") "matrx comunication chanel"
+                else "matrix communication channel"
+        assert(s2.search(q, alg, 1) == server.search(q, alg, 1), s"alg=$alg")
+      }
+    } finally s2.stop()
+  }
+
   test("server.search == the CLI query path (byName + paginate + materialize)") {
     val (hits, total) = server.search("matrix communication channel", "BM25", 1)
     assert(total == 2)
