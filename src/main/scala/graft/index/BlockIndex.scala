@@ -5,7 +5,6 @@ import graft.analysis.Analyzer
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardCopyOption}
 
 /** The persistent, compressed, block-structured inverted index — the
   * 100 TB-scale physical counterpart of the in-memory [[IndexBundle]].
@@ -39,6 +38,7 @@ object BlockIndex {
   val StatsName = "_stats.json"
   val DocLensName = "_doclens"
   val SegmentsName = "_segments.json"
+  val VocabName = "_vocab"
 
   /** Block relation schema (shard partition column excluded). */
   val BlockSchema: org.apache.spark.sql.types.StructType = {
@@ -60,8 +60,7 @@ object BlockIndex {
     * to the parquet reader throws instead of reading empty.
     */
   private def existingShardPaths(dir: String, shards: Seq[Int]): Seq[String] =
-    shards.map(s => s"$dir/shard=$s")
-      .filter(p => Files.exists(Paths.get(p)))
+    shards.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
 
   /** The block relation for `shards` across every live segment of `dir` —
     * a union of per-segment reads (each with its own basePath so the
@@ -170,16 +169,16 @@ object BlockIndex {
       limitShards: Option[Int],
       shardGroupSize: Int,
       overwrite: Boolean): Seq[ShardEntry] = {
-    Files.createDirectories(Paths.get(dir))
+    MetaIO.mkdirs(dir)
     if (overwrite) {
       // full rebuild in place: drop the completion artifacts FIRST (so a
       // kill mid-rebuild reads as incomplete, never as the old index),
       // then the manifest — shard parquet dirs are replaced by the
       // dynamic-partition overwrite below
-      Files.deleteIfExists(Paths.get(dir, StatsName))
-      org.apache.commons.io.FileUtils.deleteQuietly(
-        Paths.get(dir, DocLensName).toFile)
-      Files.deleteIfExists(Paths.get(dir, ManifestName))
+      MetaIO.deleteIfExists(s"$dir/$StatsName")
+      MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$ManifestName")
     }
     val done = readManifest(dir).map(_.shard).toSet
     val pending0 = (0 until layout.nShards).filterNot(done)
@@ -188,7 +187,7 @@ object BlockIndex {
       // a kill between the last manifest append and the stats/doclens
       // write leaves a complete manifest but no completion artifacts —
       // finish that tail here instead of early-returning forever-broken
-      if (!Files.exists(Paths.get(dir, StatsName)))
+      if (!MetaIO.exists(s"$dir/$StatsName"))
         writeCompletionArtifacts(docLensThunk(), dir, layout)
       return readManifest(dir)
     }
@@ -234,12 +233,33 @@ object BlockIndex {
       docLens: DataFrame, dir: String, layout: Layout): Unit = {
     val spark = docLens.sparkSession
     docLens.write.mode("overwrite").parquet(s"$dir/$DocLensName")
-    val Row(nDocs: Long, totalLen: Long) = spark.read
+    val Row(nDocs: Long, totalLen: Long, maxDocId: Long) = spark.read
       .parquet(s"$dir/$DocLensName")
-      .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)))
+      .agg(count(lit(1)), coalesce(sum(col("len").cast("long")), lit(0L)),
+        coalesce(max(col("docId")), lit(-1L)))
       .head()
+    // the segment's distinct-term table: one `term` column, read back by
+    // every refresh/compaction commit to combine exact vocabularies
+    // WITHOUT re-scanning block-level term columns (a segment has ~one
+    // block row per (term, blockId) — many× its vocabulary)
+    plainBlocks(spark, dir, layout)
+      .fold(spark.emptyDataFrame.withColumn("term", lit("")).limit(0))(
+        _.select(col("term")))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$dir/$VocabName")
     val vocab = readManifest(dir).map(_.terms).sum // terms are hash-disjoint across shards
-    writeStats(dir, CorpusStats(nDocs, vocab, totalLen), layout)
+    writeStats(dir, CorpusStats(nDocs, vocab, totalLen), layout, maxDocId)
+  }
+
+  /** The block relation of ONE segment directory, never the segmented
+    * union — for per-segment artifacts of a root whose base segment is
+    * the root itself.
+    */
+  private def plainBlocks(
+      spark: SparkSession, dir: String, layout: Layout): Option[DataFrame] = {
+    val paths = existingShardPaths(dir, 0 until layout.nShards)
+    if (paths.isEmpty) None
+    else Some(spark.read.option("basePath", dir).parquet(paths: _*))
   }
 
   // ------------------------------------------------------------------
@@ -247,18 +267,17 @@ object BlockIndex {
   // ------------------------------------------------------------------
 
   private def appendManifest(dir: String, e: ShardEntry): Unit = {
-    val p = Paths.get(dir, ManifestName)
+    val p = s"$dir/$ManifestName"
     // if a previous run died mid-append the file may end with a torn
     // partial line — start this entry on a fresh line so the torn one
     // stays isolated (and gets dropped by readManifest's key check)
-    val needsNl = Files.exists(p) && {
-      val bytes = Files.readAllBytes(p)
+    val needsNl = MetaIO.exists(p) && {
+      val bytes = MetaIO.readBytes(p)
       bytes.nonEmpty && bytes.last != '\n'.toByte
     }
     val line = (if (needsNl) "\n" else "") +
       s"""{"shard":${e.shard},"rows":${e.rows},"terms":${e.terms},"blocks":${e.blocks},"wallMs":${e.wallMs}}\n"""
-    Files.write(p, line.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    MetaIO.append(p, line.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Manifest lines are appended non-atomically, so a kill mid-append can
@@ -268,11 +287,11 @@ object BlockIndex {
     * every subsequent build() of the directory.
     */
   def readManifest(dir: String): Seq[ShardEntry] = {
-    val p = Paths.get(dir, ManifestName)
-    if (!Files.exists(p)) return Seq.empty
+    val p = s"$dir/$ManifestName"
+    if (!MetaIO.exists(p)) return Seq.empty
     val re = """"(\w+)":(\d+)""".r
     val required = Seq("shard", "rows", "terms", "blocks", "wallMs")
-    Files.readAllLines(p).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty).flatMap { l =>
+    MetaIO.readString(p).split("\n", -1).toSeq.filter(_.nonEmpty).flatMap { l =>
       val kv = re.findAllMatchIn(l).map(m => m.group(1) -> m.group(2).toLong).toMap
       // the closing brace guards against a tear INSIDE the last value's
       // digits (all keys present but wallMs truncated) — only a complete
@@ -283,18 +302,17 @@ object BlockIndex {
     }
   }
 
-  private def writeStats(dir: String, stats: CorpusStats, layout: Layout): Unit = {
+  private def writeStats(dir: String, stats: CorpusStats, layout: Layout,
+      maxDocId: Long = -1L): Unit = {
     // nonce: identifies THIS build for the envelope cache. nanoTime is
     // strictly monotonic within a JVM and collision-free across JVMs for
     // practical purposes — unlike file mtime, whose millisecond (or
     // coarser) granularity can leave two back-to-back rebuilds
-    // indistinguishable and serve stale cached envelopes.
+    // indistinguishable and serve stale cached envelopes. maxDocId lets
+    // the first refresh of a plain index skip the block-metadata scan.
     val json =
-      s"""{"nDocs":${stats.nDocs},"vocabSize":${stats.vocabSize},"totalLen":${stats.totalLen},"blockSpan":${layout.blockSpan},"nShards":${layout.nShards},"nonce":${System.nanoTime()}}"""
-    val tmp = Paths.get(dir, StatsName + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, StatsName), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+      s"""{"nDocs":${stats.nDocs},"vocabSize":${stats.vocabSize},"totalLen":${stats.totalLen},"blockSpan":${layout.blockSpan},"nShards":${layout.nShards},"maxDocId":$maxDocId,"nonce":${System.nanoTime()}}"""
+    MetaIO.writeAtomic(s"$dir/$StatsName", json.getBytes(StandardCharsets.UTF_8))
   }
 
   def readStats(dir: String): (CorpusStats, Layout) = {
@@ -308,7 +326,7 @@ object BlockIndex {
     * second refresh's commit).
     */
   private def readStatsPlain(dir: String): (CorpusStats, Layout) = {
-    val s = new String(Files.readAllBytes(Paths.get(dir, StatsName)), StandardCharsets.UTF_8)
+    val s = MetaIO.readString(s"$dir/$StatsName")
     val re = """"(\w+)":(\d+)""".r
     val kv = re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toLong).toMap
     (CorpusStats(kv("nDocs"), kv("vocabSize"), kv("totalLen")),
@@ -333,7 +351,7 @@ object BlockIndex {
   final case class SegmentsMeta(
       segs: Seq[String], stats: CorpusStats, layout: Layout, maxDocId: Long)
 
-  def isSegmented(dir: String): Boolean = Files.exists(Paths.get(dir, SegmentsName))
+  def isSegmented(dir: String): Boolean = MetaIO.exists(s"$dir/$SegmentsName")
 
   /** Absolute segment directories of `dir` (just `dir` for a plain,
     * non-segmented index).
@@ -343,8 +361,7 @@ object BlockIndex {
     else readSegments(dir).segs.map(s => if (s == ".") dir else s"$dir/$s")
 
   def readSegments(dir: String): SegmentsMeta = {
-    val s = new String(
-      Files.readAllBytes(Paths.get(dir, SegmentsName)), StandardCharsets.UTF_8)
+    val s = MetaIO.readString(s"$dir/$SegmentsName")
     val kv = """"(\w+)":(-?\d+)""".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2).toLong).toMap
     val segs = """"segs":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1))
@@ -359,10 +376,7 @@ object BlockIndex {
     val segsJson = m.segs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"nDocs":${m.stats.nDocs},"vocabSize":${m.stats.vocabSize},"totalLen":${m.stats.totalLen},"blockSpan":${m.layout.blockSpan},"nShards":${m.layout.nShards},"maxDocId":${m.maxDocId},"nonce":${System.nanoTime()},"segs":$segsJson}"""
-    val tmp = Paths.get(dir, SegmentsName + ".tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(dir, SegmentsName), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.writeAtomic(s"$dir/$SegmentsName", json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** Current metadata of `dir` whether segmented or plain; for a plain
@@ -373,10 +387,17 @@ object BlockIndex {
     if (isSegmented(dir)) readSegments(dir)
     else {
       val (stats, layout) = readStats(dir)
-      val blocks = readBlocks(spark, dir)
+      // prefer the maxDocId recorded at build completion; pre-maxDocId
+      // stats files fall back to one metadata-only scan of `maxDoc`
       val maxDoc =
-        if (blocks.isEmpty) -1L
-        else blocks.agg(max(col("maxDoc"))).head().getLong(0)
+        """"maxDocId":(-?\d+)""".r
+          .findFirstMatchIn(MetaIO.readString(s"$dir/$StatsName"))
+          .map(_.group(1).toLong)
+          .getOrElse {
+            val blocks = readBlocks(spark, dir)
+            if (blocks.isEmpty) -1L
+            else blocks.agg(max(col("maxDoc"))).head().getLong(0)
+          }
       SegmentsMeta(Seq("."), stats, layout, maxDoc)
     }
 
@@ -440,18 +461,23 @@ object BlockIndex {
   }
 
   /** Commit a segment list: combined counts from per-segment stats, exact
-    * cross-segment distinct vocabulary (one column-pruned aggregation
-    * over the `term` column — parquet reads only that column's pages),
-    * then the atomic `_segments.json` replace.
+    * cross-segment distinct vocabulary, then the atomic `_segments.json`
+    * replace. The vocabulary union reads each segment's `_vocab` table
+    * (one row per DISTINCT term, written at build completion) — NOT the
+    * block-level term column, which carries one entry per (term, blockId)
+    * row and made every refresh pay a near-full index metadata scan.
+    * Pre-vocab segments fall back to their block term columns.
     */
   private def commitSegments(spark: SparkSession, dir: String,
       segs: Seq[String], layout: Layout, maxDocId: Long): SegmentsMeta = {
     val dirs = segs.map(s => if (s == ".") dir else s"$dir/$s")
     val perSeg = dirs.map(readStatsPlain) // NEVER the segmented view of "."
     val vocab = dirs
-      .map(d => existingShardPaths(d, 0 until layout.nShards))
-      .filter(_.nonEmpty)
-      .map(paths => spark.read.parquet(paths: _*).select(col("term")))
+      .flatMap { d =>
+        if (MetaIO.exists(s"$d/$VocabName"))
+          Some(spark.read.parquet(s"$d/$VocabName").select(col("term")))
+        else plainBlocks(spark, d, layout).map(_.select(col("term")))
+      }
       .reduceOption(_ union _)
       .fold(0L)(_.distinct().count())
     val combined = CorpusStats(
@@ -487,14 +513,14 @@ object BlockIndex {
     // the root (which now owns _segments.json and the new segment).
     meta.segs.foreach {
       case "." =>
-        (0 until meta.layout.nShards).map(s => Paths.get(dir, s"shard=$s"))
-          .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(p.toFile))
-        Files.deleteIfExists(Paths.get(dir, ManifestName))
-        Files.deleteIfExists(Paths.get(dir, StatsName))
-        org.apache.commons.io.FileUtils.deleteQuietly(
-          Paths.get(dir, DocLensName).toFile)
+        (0 until meta.layout.nShards)
+          .foreach(s => MetaIO.deleteIfExists(s"$dir/shard=$s", recursive = true))
+        MetaIO.deleteIfExists(s"$dir/$ManifestName")
+        MetaIO.deleteIfExists(s"$dir/$StatsName")
+        MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
+        MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
       case s =>
-        org.apache.commons.io.FileUtils.deleteQuietly(Paths.get(dir, s).toFile)
+        MetaIO.deleteIfExists(s"$dir/$s", recursive = true)
     }
     committed
   }
@@ -507,8 +533,7 @@ object BlockIndex {
 
   /** The materialized doc-length relation across all segments. */
   private def readDocLens(spark: SparkSession, dir: String): DataFrame =
-    segDirs(dir).map(d => s"$d/$DocLensName")
-      .filter(p => Files.exists(Paths.get(p)))
+    segDirs(dir).map(d => s"$d/$DocLensName").filter(MetaIO.exists)
       .map(p => spark.read.parquet(p).select(col("docId"), col("len")))
       .reduceOption(_ union _)
       .getOrElse {
@@ -566,7 +591,7 @@ object BlockIndex {
     // decode-and-distinct over the whole index is only the fallback for
     // pre-doclens indexes
     val docLensPaths = segDirs(dir).map(d => s"$d/$DocLensName")
-      .filter(p => Files.exists(Paths.get(p)))
+      .filter(MetaIO.exists)
     val docLens =
       if (docLensPaths.nonEmpty)
         docLensPaths.map(p => spark.read.parquet(p).select(col("docId"), col("len")))
@@ -647,11 +672,10 @@ object BlockIndex {
     * syscall the mtime stat did.
     */
   private def statsMtime(dir: String): Long = {
-    val p = if (isSegmented(dir)) Paths.get(dir, SegmentsName)
-            else Paths.get(dir, StatsName)
-    val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val p = if (isSegmented(dir)) s"$dir/$SegmentsName" else s"$dir/$StatsName"
+    val s = MetaIO.readString(p)
     """"nonce":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
-      .getOrElse(Files.getLastModifiedTime(p).toMillis)
+      .getOrElse(MetaIO.mtimeMillis(p))
   }
 
   /** Current stats mtime for `dir`, evicting the dir's stale entries when

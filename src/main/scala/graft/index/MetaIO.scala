@@ -1,0 +1,122 @@
+package graft.index
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Index-metadata IO (`_stats.json`, `_manifest.jsonl`,
+  * `_segments.json`, existence probes, cleanup) that works on any Hadoop
+  * filesystem, not just local paths.
+  *
+  * Scheme dispatch, deliberately:
+  *   - no scheme / `file:` → java.nio directly. This is the tested path
+  *     (the whole suite runs on it) and keeps local semantics
+  *     byte-identical — in particular manifest APPEND, which Hadoop's
+  *     checksummed LocalFileSystem refuses (`append` throws), and true
+  *     ATOMIC_MOVE for the commit files.
+  *   - any other scheme (hdfs://, s3a://, …) → the scheme's Hadoop
+  *     `FileSystem`; atomic replace via `FileContext.rename(OVERWRITE)`
+  *     (atomic on HDFS — the index-commit requirement). On stores
+  *     without atomic rename (S3) the replace is best-effort
+  *     last-writer-wins, and the manifest append degrades to
+  *     read-concat-rewrite; an object-store-native layout (per-shard
+  *     marker objects) is the documented alternative, out of scope here.
+  *
+  * The parquet payloads (shards, _doclens, _vocab) already go through
+  * Spark's Hadoop readers/writers and need nothing from this object.
+  */
+object MetaIO {
+
+  private def isLocal(p: String): Boolean = {
+    val i = p.indexOf("://")
+    i < 0 || p.startsWith("file://")
+  }
+  private def localPath(p: String) =
+    Paths.get(if (p.startsWith("file://")) p.stripPrefix("file://") else p)
+
+  private def conf: org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  private def hfs(p: String) = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    (hp.getFileSystem(conf), hp)
+  }
+
+  def exists(p: String): Boolean =
+    if (isLocal(p)) Files.exists(localPath(p))
+    else { val (fs, hp) = hfs(p); fs.exists(hp) }
+
+  def mkdirs(p: String): Unit =
+    if (isLocal(p)) { Files.createDirectories(localPath(p)); () }
+    else { val (fs, hp) = hfs(p); fs.mkdirs(hp); () }
+
+  def readBytes(p: String): Array[Byte] =
+    if (isLocal(p)) Files.readAllBytes(localPath(p))
+    else {
+      val (fs, hp) = hfs(p)
+      val in = fs.open(hp)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+
+  def readString(p: String): String =
+    new String(readBytes(p), StandardCharsets.UTF_8)
+
+  /** Write `bytes` to `p` atomically: sibling tmp file + rename-replace.
+    * Atomic on local (ATOMIC_MOVE) and HDFS (FileContext OVERWRITE).
+    */
+  def writeAtomic(p: String, bytes: Array[Byte]): Unit =
+    if (isLocal(p)) {
+      val tmp = localPath(p + ".tmp")
+      Files.write(tmp, bytes)
+      Files.move(tmp, localPath(p), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val (fs, hp) = hfs(p)
+      val tmp = new org.apache.hadoop.fs.Path(p + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      org.apache.hadoop.fs.FileContext.getFileContext(hp.toUri, conf)
+        .rename(tmp, hp, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    }
+
+  /** Append raw bytes to `p` (creating it if absent). Local: O_APPEND.
+    * Remote: FileSystem.append where supported (HDFS), else
+    * read-concat-rewrite (object stores — small metadata files only).
+    */
+  def append(p: String, bytes: Array[Byte]): Unit =
+    if (isLocal(p)) {
+      Files.write(localPath(p), bytes,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      ()
+    } else {
+      val (fs, hp) = hfs(p)
+      if (!fs.exists(hp)) {
+        val out = fs.create(hp, false)
+        try out.write(bytes) finally out.close()
+      } else
+        try {
+          val out = fs.append(hp)
+          try out.write(bytes) finally out.close()
+        } catch {
+          case _: UnsupportedOperationException =>
+            writeAtomic(p, readBytes(p) ++ bytes)
+        }
+    }
+
+  def deleteIfExists(p: String, recursive: Boolean = false): Unit =
+    if (isLocal(p)) {
+      if (recursive)
+        org.apache.commons.io.FileUtils.deleteQuietly(localPath(p).toFile)
+      else { Files.deleteIfExists(localPath(p)); () }
+    } else {
+      val (fs, hp) = hfs(p)
+      if (fs.exists(hp)) fs.delete(hp, recursive)
+      ()
+    }
+
+  def mtimeMillis(p: String): Long =
+    if (isLocal(p)) Files.getLastModifiedTime(localPath(p)).toMillis
+    else { val (fs, hp) = hfs(p); fs.getFileStatus(hp).getModificationTime }
+}

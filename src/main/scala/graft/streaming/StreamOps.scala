@@ -97,7 +97,8 @@ object StreamOps {
   def indexRefreshBatch(
       batch: DataFrame, batchId: Long, dir: String,
       layout: graft.index.BlockIndex.Layout,
-      idSortCols: Seq[String]): Unit = {
+      idSortCols: Seq[String],
+      compactEvery: Int = 0): Unit = {
     import graft.index.BlockIndex
     val corpusCols = batch.select(
       col("title").cast("string"), col("body").cast("string"),
@@ -111,6 +112,15 @@ object StreamOps {
     if (BlockIndex.isSegmented(dir) &&
         graft.index.BlockIndex.readSegments(dir).segs.contains(s"seg-b$batchId"))
       return // replayed micro-batch: already committed
+    // maintenance BEFORE committing this batch's segment: the segments
+    // folded here belong to batches whose offsets are already committed
+    // (micro-batches execute serially), so none of them can replay and
+    // their batch-keyed names are safe to lose. Compacting AFTER the
+    // refresh would fold the CURRENT batch's marker too — and a crash
+    // before the offset commit would then replay it undetected.
+    if (compactEvery > 0 && BlockIndex.isSegmented(dir) &&
+        BlockIndex.readSegments(dir).segs.size >= compactEvery)
+      BlockIndex.compact(dir)
     val start =
       math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
     val docs = graft.sources.CorpusSource.withDenseDocIds(
@@ -130,11 +140,12 @@ object StreamOps {
       docs: DataFrame, dir: String,
       layout: graft.index.BlockIndex.Layout,
       checkpointDir: String,
-      idSortCols: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+      idSortCols: Seq[String],
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        indexRefreshBatch(batch, batchId, dir, layout, idSortCols)
+        indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery)
       }
       .start()
 

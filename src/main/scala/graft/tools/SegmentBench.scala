@@ -1,0 +1,71 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The segments payoff, measured: committing a daily-sized delta to a
+  * 2M-doc index via [[BlockIndex.refresh]] vs rebuilding the whole index
+  * cold — the cost a reference-style engine pays for every update
+  * (its only incremental path is save-then-full-rebuild,
+  * crawler.go:181-205). Also times the post-refresh query and the
+  * compaction that folds the index back to one segment.
+  *
+  * Usage: runMain graft.tools.SegmentBench [corpusDir] [deltaFrac%]
+  */
+object SegmentBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus2m"
+    val deltaPct = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"),
+        concat_ws("/", col("repo"), col("path")).as("title"),
+        col("content").as("body"))
+    val n = all.count()
+    val cut = n - n * deltaPct / 100
+    val base = all.where(col("docId") < cut)
+    val delta = all.where(col("docId") >= cut)
+    val layout = BlockIndex.Layout(blockSpan = 65536, nShards = 16)
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[seg] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+    def fresh() = java.nio.file.Files.createTempDirectory("segbench").toString
+
+    // JIT/codegen warmup (untimed)
+    BlockIndex.build(all.where(col("docId") % 20 === 0), fresh(), layout)
+
+    val segDir = fresh()
+    timed(s"base_build_${cut}_docs") { BlockIndex.build(base, segDir, layout) }
+    timed(s"refresh_${n - cut}_docs") { BlockIndex.refresh(delta, segDir) }
+    timed("query_after_refresh") {
+      BlockIndex.bm25TopK(spark, segDir, "id0 def select", 10).count()
+    }
+    val rebuildDir = fresh()
+    timed(s"full_rebuild_${n}_docs") { BlockIndex.build(all, rebuildDir, layout) }
+    timed("query_after_rebuild") {
+      BlockIndex.bm25TopK(spark, rebuildDir, "id0 def select", 10).count()
+    }
+    // equivalence at this scale: same stats and same top-10
+    val same = BlockIndex.readStats(segDir) == BlockIndex.readStats(rebuildDir) &&
+      BlockIndex.bm25TopK(spark, segDir, "id0 def select", 10).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1))) ==
+      BlockIndex.bm25TopK(spark, rebuildDir, "id0 def select", 10).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    println(s"[seg] refreshed==rebuilt(stats+top10): $same")
+    timed("compact") { BlockIndex.compact(segDir) }
+    timed("query_after_compact") {
+      BlockIndex.bm25TopK(spark, segDir, "id0 def select", 10).count()
+    }
+    spark.stop()
+  }
+}

@@ -80,6 +80,46 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(posts(dir) == posts(coldDir))
   }
 
+  test("streaming sink with compactEvery: maintenance folds old segments, index stays correct") {
+    import graft.index.BlockIndex
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-idx-c").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt-c").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val batches = Seq(
+      Seq(("A1", "spark data alpha", "u1"), ("A2", "join keys beta", "u2")),
+      Seq(("B1", "spark stream gamma", "u3")),
+      Seq(("C1", "tables merge delta", "u4")),
+      Seq(("D1", "spark tables epsilon", "u5")))
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.indexRefreshSink(
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"),
+      compactEvery = 3)
+    try {
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // maintenance ran: fewer live segments than batches committed
+    val segs = BlockIndex.readSegments(dir).segs
+    assert(segs.size < batches.size, s"no compaction happened: $segs")
+    // and the index equals a cold build with the same id assignment
+    var next = 1L
+    val coldDocs = batches.flatMap { b =>
+      val rows = b.sortBy(_._1).zipWithIndex.map { case ((t, bd, u), i) =>
+        (next + i, t, bd, u)
+      }
+      next += b.size
+      rows
+    }.toDF("docId", "title", "body", "url")
+    val coldDir = java.nio.file.Files.createTempDirectory("stream-idx-c-cold").toString
+    BlockIndex.build(coldDocs, coldDir, layout)
+    assert(BlockIndex.readStats(dir) == BlockIndex.readStats(coldDir))
+    def posts(d: String) = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(posts(dir) == posts(coldDir))
+  }
+
   test("watermarked window aggregation drops late events beyond the watermark") {
     val sp = spark
     import sp.implicits._
