@@ -564,6 +564,41 @@ object GateQueries {
               |WHERE round(i.n::DOUBLE / (sa.sz + sb.sz - i.n)::DOUBLE, 6) >= 0.03
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Transitive closure over the q21 near-dup pairs: one canonical doc
+    // per duplicate CLUSTER (chains collapse), not per pair. The oracle
+    // computes the same components with a recursive reachability CTE.
+    Gate("q45_dup_groups",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        Dedup.dupGroupsFromPairs(
+          docsDf.select(col("doc_id")),
+          Dedup.ngramJaccardPairs(docsDf, "doc_id", "text", n = 3, minJaccard = 0.03),
+          idCol = "doc_id")
+          .select(col("id").as("doc_id"), col("canonical_id"), col("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE ${shingleIdxCte(3)},
+              |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sidx GROUP BY doc_id),
+              |inter AS (
+              |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n
+              |  FROM sidx l JOIN sidx r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+              |  GROUP BY 1, 2),
+              |dpairs AS (
+              |  SELECT i.id_a, i.id_b FROM inter i
+              |  JOIN sizes sa ON i.id_a = sa.doc_id
+              |  JOIN sizes sb ON i.id_b = sb.doc_id
+              |  WHERE round(i.n::DOUBLE / (sa.sz + sb.sz - i.n)::DOUBLE, 6) >= 0.03),
+              |edges AS (
+              |  SELECT id_a AS src, id_b AS dst FROM dpairs
+              |  UNION SELECT id_b, id_a FROM dpairs),
+              |reach(id, r) AS (
+              |  SELECT doc_id, doc_id FROM documents
+              |  UNION
+              |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+              |SELECT id AS doc_id, min(r) AS canonical_id,
+              |  (id = min(r)) AS keep
+              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     Gate("q22_minhash_bands",
       (s, d) => Dedup.lshBands(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 8, bands = 4)

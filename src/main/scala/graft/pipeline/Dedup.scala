@@ -272,6 +272,61 @@ object Dedup {
     bits.reduce(_ + _).as("simhash")
   }
 
+  /** Connected components over an undirected near-duplicate PAIR
+    * relation — the curation endgame the pair operators feed: a
+    * component is one duplicate cluster, its canonical id is the
+    * minimum member, and "keep one per cluster" is `id == canonical`.
+    * Without the closure, chains (A≈B, B≈C but A≉C) keep either A or C
+    * twice depending on pair traversal order.
+    *
+    * Algorithm: minimum-label propagation — iterate
+    * `label(v) = min(label(v), min over neighbors u of label(u))`
+    * to a fixpoint. Each round is ONE join + ONE map-side-combinable min
+    * aggregation; rounds needed = component diameter, and near-dup
+    * clusters are shallow (dup graphs are dense blobs, diameter ≤ ~3),
+    * so this converges in a handful of shuffles at any corpus size.
+    * `localCheckpoint` per round truncates the growing plan lineage
+    * (mandatory for iterative DataFrames). For adversarial long-chain
+    * graphs the classic escalation is large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    * out of scope while duplicate clusters stay shallow; `maxIter`
+    * guards the driver loop either way.
+    *
+    * Output: (id, canonical_id, keep) for every id in `ids` — documents
+    * in no pair are their own singleton component.
+    */
+  def dupGroupsFromPairs(
+      ids: DataFrame, pairs: DataFrame,
+      idCol: String = "id", idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).cast("long").as("src"), col(idB).cast("long").as("dst"))
+      .union(pairs.select(col(idB).cast("long").as("src"), col(idA).cast("long").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = ids.select(col(idCol).cast("long").as("id"))
+        .distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIter) {
+        val viaNeighbor = edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.union(viaNeighbor)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint()
+        changed = next.as("n").join(labels.as("o"), "id")
+          .where(col("n.label") =!= col("o.label")).count()
+        labels = next
+        it += 1
+      }
+      labels.select(col("id"), col("label").as("canonical_id"),
+        (col("id") === col("label")).as("keep"))
+    } finally edges.unpersist()
+  }
+
   /** Near-duplicate pairs by SimHash: pigeonhole blocking on the four
     * 16-bit bands of the fingerprint (hamming ≤ 3 ⇒ at least one band is
     * untouched ⇒ the pair collides in ≥1 of the 4 band tables), then an

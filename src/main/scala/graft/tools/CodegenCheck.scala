@@ -32,6 +32,16 @@ object CodegenCheck {
     val dec = Seq(Tuple1(bytes)).toDF("bytes")
       .select(explode(graft.index.VarByteDecodeExpr.decode(col("bytes"))))
     assert(dec.count() == 1)
+    // native simhash (null text included — must fingerprint −1, compiled).
+    // repartition first: a bare local relation would be constant-folded
+    // into a LocalTableScan and never exercise doGenCode
+    val sh = docs.repartition(2)
+      .select(graft.analysis.SimHash64Expr.column(col("title")).as("sh"))
+    assert(sh.where(col("sh") === -1L).count() == 1) // the null-title row
+    sh.collect() // materialize AQE's final plan before inspecting it
+    val shPlan = sh.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\)".r.findFirstIn(shPlan).isDefined,
+      s"SimHash64Expr projection not in a whole-stage-codegen span:\n$shPlan")
     println(s"""{"codegen":"ok","rows":$n}""")
     spark.stop()
   }

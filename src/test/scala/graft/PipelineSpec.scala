@@ -54,6 +54,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("dup groups: transitive closure over pairs — chains, stars, singletons") {
+    val sp = spark
+    import sp.implicits._
+    val ids = (1L to 10L).toDF("id")
+    // chain 1-2-3 (1≈2, 2≈3, but NOT 1≈3), star 5-{6,7}, pair 8-9; 4,10 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (5L, 7L), (9L, 8L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupGroupsFromPairs(ids, pairs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == (1L, true) && out(2L) == (1L, false) && out(3L) == (1L, false))
+    assert(out(5L) == (5L, true) && out(6L) == (5L, false) && out(7L) == (5L, false))
+    assert(out(8L) == (8L, true) && out(9L) == (8L, false))
+    assert(out(4L) == (4L, true) && out(10L) == (10L, true))
+    // kept canonicals = one per component
+    assert(out.values.count(_._2) == 5)
+  }
+
   test("simhash64: identical text → identical hash; near-dup → small hamming") {
     val fp = docs
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
