@@ -515,6 +515,31 @@ object GateQueries {
               |  len(list_transform(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x)))::BIGINT AS analyzer_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // Sequence packing: "concat then chunk" pack assignment by GLOBAL
+    // cumulative whitespace-token count in doc_id order. The engine's
+    // two-pass distributed prefix sum must equal the oracle's single
+    // window — any partition-boundary offset error shows up here.
+    Gate("q46_seq_packing",
+      (s, d) => TextPipeline.packAssign(
+        documents(s, d), "doc_id",
+        TextPipeline.wsTokenCount(col("text")), budget = 512)
+        .select(col("id").as("doc_id"), col("tokens"), col("cum_before"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy(col("doc_id")),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))::BIGINT AS tokens
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, tokens,
+             |    coalesce(sum(tokens) OVER (ORDER BY doc_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+             |  FROM t)
+             |SELECT doc_id, tokens, cum_before,
+             |  (cum_before // 512)::BIGINT AS pack_id,
+             |  (cum_before % 512)::BIGINT AS pack_offset
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
     Gate("q18_quality",
       (s, d) => documents(s, d).select(
         col("doc_id"),

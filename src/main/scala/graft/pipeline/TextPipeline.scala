@@ -240,4 +240,62 @@ object TextPipeline {
     when(bucket < trainUpper, "train")
       .when(bucket < valUpper, "val")
       .otherwise("test")
+
+  // ---------------------------------------------------------------------
+  // Sequence packing (pretraining batch assembly)
+  // ---------------------------------------------------------------------
+
+  /** Assign documents to fixed-token-budget PACKS by global cumulative
+    * token count in `idCol` order — the "concatenate then chunk" scheme
+    * causal-LM pretraining uses: pack p holds token positions
+    * [p·budget, (p+1)·budget); a document starts in
+    * `pack_id = cum_before / budget` at `pack_offset = cum_before mod
+    * budget` and spills into following packs when it straddles a
+    * boundary. Deterministic, order-stable, and exactly the layout a
+    * downstream tokenizer reproduces by concatenating in the same order.
+    *
+    * Scalable by the same two-pass prefix sum as
+    * [[graft.sources.CorpusSource.withDenseDocIds]]: range-partition on
+    * the order key, ONE tiny per-partition sum collect (numPartitions
+    * rows), broadcast offsets, then a per-partition running sum — no
+    * single-partition global window at any size. The eager
+    * localCheckpoint pins the range boundaries so a recomputed partition
+    * can never renumber (same rationale as withDenseDocIds).
+    *
+    * Output: (id, tokens, cum_before, pack_id, pack_offset).
+    */
+  def packAssign(
+      docs: DataFrame, idCol: String, tokens: Column, budget: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      tokens.cast("long").as("tokens"))
+    val nPart = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val parted = base
+      .repartitionByRange(nPart, col("id"))
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val sums = parted.groupBy($"__pid").agg(sum($"tokens")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until nPart).scanLeft(0L) { (acc, p) =>
+        acc + sums.getOrElse(p, 0L)
+      }
+      val offDf = offsets.init.zipWithIndex
+        .map { case (off, p) => (p, off) }.toDF("__pid", "__off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"__pid").orderBy($"id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      parted
+        .join(broadcast(offDf), "__pid")
+        .withColumn("cum_before",
+          coalesce(sum($"tokens").over(w), lit(0L)) + $"__off")
+        .withColumn("pack_id", floor($"cum_before" / budget).cast("long"))
+        .withColumn("pack_offset", $"cum_before" % budget)
+        .select($"id", $"tokens", $"cum_before", $"pack_id", $"pack_offset")
+        .localCheckpoint()
+    } finally parted.unpersist()
+  }
 }

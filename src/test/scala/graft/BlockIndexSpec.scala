@@ -228,6 +228,23 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(topk(d, "table") == topk(coldDir, "table"))
   }
 
+  test("batched WAND over a segmented index == over the cold build") {
+    val d = tmpDir("blockidx-seg-batch").toString
+    BlockIndex.build(docs.where(col("docId") < 300), d, layout)
+    BlockIndex.refresh(docs.where(col("docId") >= 300), d)
+    val queries = Seq("spark join fast window", "table", "customer query stream")
+    for (pr <- Seq(Some(true), Some(false))) {
+      val seg = BlockIndex.bm25TopKBatch(spark, d, queries, 5, prune = pr)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val cold = BlockIndex.bm25TopKBatch(spark, coldDir, queries, 5, prune = pr)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(seg.map(t => (t._1, t._2, t._4)).toSeq == cold.map(t => (t._1, t._2, t._4)).toSeq)
+      seg.map(_._3).zip(cold.map(_._3)).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+  }
+
   test("segmented index serves every query mode via asBundle") {
     val d = tmpDir("blockidx-seg-bundle").toString
     BlockIndex.build(docs.where(col("docId") < 300), d, layout)

@@ -166,6 +166,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.toSeq == out.map(_.getInt(2)).toSeq)
   }
 
+  test("sequence packing: global prefix sums, boundary straddles, many partitions") {
+    val sp = spark
+    import sp.implicits._
+    // 1000 docs with varying token counts; force many range partitions so
+    // the two-pass prefix sum actually crosses partition boundaries
+    val lens = (1L to 1000L).map(i => (i, (i * 7 % 23) + 1))
+    val df = lens.toDF("doc_id", "n")
+    val out = TextPipeline.packAssign(df, "doc_id", col("n"), budget = 100,
+      numPartitions = Some(16))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // exact sequential semantics vs a driver-side fold
+    var cum = 0L
+    for ((id, n) <- lens) {
+      val (tk, cb, pid, po) = out(id)
+      assert(tk == n)
+      assert(cb == cum, s"doc $id cum_before")
+      assert(pid == cum / 100 && po == cum % 100, s"doc $id pack")
+      cum += n
+    }
+    // straddle exists (some doc crosses a 100-token boundary)
+    assert(lens.exists { case (id, n) => out(id)._4 + n > 100 })
+  }
+
   test("langid marker heuristic separates en/de/fr; empty text → und") {
     val out = docs.select(col("doc_id"), TextPipeline.langId(col("text")).as("l"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
