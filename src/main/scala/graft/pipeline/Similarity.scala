@@ -360,6 +360,55 @@ object Similarity {
     * corpus — and never recomputes assignment. The per-query driver work
     * is K centroid dot products (centroids are K·dim doubles).
     */
+  /** The live list roots of an IVF index: the base `lists` plus every
+    * committed append generation.
+    */
+  private def ivfListRoots(dir: String): Seq[String] = {
+    val deltasFile = s"$dir/$IvfDeltasName"
+    val deltas =
+      if (!graft.index.MetaIO.exists(deltasFile)) Seq.empty
+      else """"deltas":\[([^\]]*)\]""".r
+        .findFirstMatchIn(graft.index.MetaIO.readString(deltasFile))
+        .map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+    "lists" +: deltas
+  }
+
+  val IvfDeltasName = "_ivfdeltas.json"
+
+  /** Incrementally add vectors to a persisted [[ivfBuild]] index WITHOUT
+    * rebuilding: the delta is assigned with the STORED centroids (the
+    * quantizer is immutable — standard IVF practice; re-train by
+    * rebuilding when drift warrants it), written as its own
+    * cluster-partitioned generation directory, and committed by
+    * atomically replacing `_ivfdeltas.json` — the segment pattern of
+    * [[graft.index.BlockIndex.refresh]] applied to ANN lists. Readers
+    * see the old index until the commit; a kill leaves the half-written
+    * generation invisible; re-running the same append (same vec_id
+    * range) is a no-op. `newVecs` ids must be new to the index — the
+    * caller's append contract, as with docIds.
+    */
+  def ivfAppend(
+      newVecs: DataFrame, dir: String,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val bounds = newVecs.agg(
+      min(col(corpusIdCol).cast("long")), max(col(corpusIdCol).cast("long")),
+      count(lit(1))).head()
+    if (bounds.getLong(2) == 0L) return
+    val gen = s"delta-${bounds.getLong(0)}-${bounds.getLong(1)}"
+    val roots = ivfListRoots(dir)
+    if (roots.contains(gen)) return // replayed append: already committed
+    val centroids = readIvfCentroids(spark, dir)
+    ivfAssign(newVecs, centroids, corpusIdCol, vecCol)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
+    val deltas = (roots.drop(1) :+ gen).map("\"" + _ + "\"").mkString("[", ",", "]")
+    graft.index.MetaIO.writeAtomic(s"$dir/$IvfDeltasName",
+      s"""{"nonce":${System.nanoTime()},"deltas":$deltas}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   def ivfTopKIndexed(
       spark: SparkSession, dir: String, queries: DataFrame, k: Int, nprobe: Int,
       queryIdCol: String = "query_id", vecCol: String = "embedding"): DataFrame = {
@@ -370,18 +419,21 @@ object Similarity {
       col(vecCol).as("__qv")).collect()
     val probes = probePairs(qRows, centroids, nprobe)
     // partitionBy writes no directory for an empty list. Existence goes
-    // through the Hadoop FileSystem of the dir's scheme so hdfs://‌/s3a://
-    // index layouts probe correctly (java.nio would silently see nothing
-    // non-local and return an empty result).
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val paths = probes.map(_._2).distinct.map(c => s"$dir/lists/cluster=$c")
-      .filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(hconf).exists(hp)
-      }
-    if (paths.isEmpty)
+    // through MetaIO (Hadoop FileSystem for non-local schemes) so
+    // hdfs://‌/s3a:// index layouts probe correctly. Probed clusters are
+    // read from the base lists AND every committed append generation,
+    // each with its own basePath so the cluster partition column is
+    // recovered.
+    val probedClusters = probes.map(_._2).distinct
+    val perRoot = ivfListRoots(dir).flatMap { root =>
+      val paths = probedClusters.map(c => s"$dir/$root/cluster=$c")
+        .filter(graft.index.MetaIO.exists)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", s"$dir/$root").parquet(paths: _*))
+    }
+    if (perRoot.isEmpty)
       return Seq.empty[(Long, Long, Double, Int)].toDF("query_id", "vec_id", "sim", "rank")
-    val assigned = spark.read.option("basePath", s"$dir/lists").parquet(paths: _*)
+    val assigned = perRoot.reduce(_ unionByName _)
       .withColumnRenamed("embedding", "__cv")
     scoreProbed(assigned, queries, probes.toDF("query_id", "cluster"), k,
       queryIdCol, vecCol)

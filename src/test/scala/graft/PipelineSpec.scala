@@ -332,6 +332,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(read.size == 1, s"expected 1 probed cluster dir, read $read")
   }
 
+  test("IVF append: delta generations queryable, replay no-op, == in-memory union") {
+    val sp = spark
+    import sp.implicits._
+    val dirs3 = Seq(
+      Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0), Array(0.0, 0.0, 1.0, 0.0))
+    val all = (0 until 45).map { i =>
+      val d = dirs3(i % 3)
+      val jit = 0.01 * ((i * 7) % 5)
+      (i.toLong, d.zipWithIndex.map { case (x, j) =>
+        (x + (if (j == 3) jit else 0.0)).toFloat })
+    }.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    val centroids = Similarity.ivfBuild(
+      all.where(col("vec_id") < 30), dir, dim = 4, k = 3, iters = 4)
+    Similarity.ivfAppend(all.where(col("vec_id") >= 30 && col("vec_id") < 40), dir)
+    Similarity.ivfAppend(all.where(col("vec_id") >= 40), dir)
+    val qs = all.where(col("vec_id") < 3).withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    // indexed (base + 2 deltas) == in-memory over the union with the SAME
+    // stored quantizer
+    val mem = key(Similarity.ivfTopK(qs, all, centroids, k = 8, nprobe = 3))
+    val idx = key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 8, nprobe = 3))
+    assert(idx == mem)
+    // appended vectors are actually findable
+    assert(idx.values.exists(_._1 >= 30L))
+    // replaying an append (same id range) commits nothing new
+    val before = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, Similarity.IvfDeltasName)).toString
+    Similarity.ivfAppend(all.where(col("vec_id") >= 40), dir)
+    val after = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, Similarity.IvfDeltasName)).toString
+    assert(before == after)
+  }
+
   test("cosine near-dup pairs with banded SRP blocking") {
     val pairs = Similarity.cosineNearDupPairs(vecs, dim = 4, minSim = 0.9,
       nTables = 8, planesPerTable = 8)
