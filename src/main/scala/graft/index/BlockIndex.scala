@@ -173,12 +173,18 @@ object BlockIndex {
     if (overwrite) {
       // full rebuild in place: drop the completion artifacts FIRST (so a
       // kill mid-rebuild reads as incomplete, never as the old index),
-      // then the manifest — shard parquet dirs are replaced by the
-      // dynamic-partition overwrite below
+      // then the manifest. The segmented view and EVERY shard/segment
+      // directory go too: dynamic partition overwrite alone would keep
+      // (a) the stale segmented union serving deleted segments and
+      // (b) old parquet in any shard the NEW corpus leaves empty.
       MetaIO.deleteIfExists(s"$dir/$StatsName")
+      MetaIO.deleteIfExists(s"$dir/$SegmentsName")
       MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$ManifestName")
+      MetaIO.list(dir)
+        .filter(n => n.startsWith("shard=") || n.startsWith("seg-"))
+        .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
     }
     val done = readManifest(dir).map(_.shard).toSet
     val pending0 = (0 until layout.nShards).filterNot(done)
@@ -498,7 +504,12 @@ object BlockIndex {
   def compact(dir: String): SegmentsMeta = {
     require(isSegmented(dir), s"$dir is not a segmented index")
     val meta = readSegments(dir)
-    if (meta.segs.size == 1 && meta.segs.head != ".") return meta
+    if (meta.segs.size == 1 && meta.segs.head != ".") {
+      // nothing to fold, but a killed earlier compaction may have left
+      // unreferenced data behind — reclaim it now
+      sweepUnreferenced(dir, meta)
+      return meta
+    }
     val spark = org.apache.spark.sql.SparkSession.active
     // named by corpus identity (append-only ⇒ (maxDocId, nDocs) pins the
     // doc set): a killed compaction resumes its own directory; a later
@@ -508,21 +519,33 @@ object BlockIndex {
     val docLens = readDocLens(spark, dir)
     buildFromPostings(postings, docLens, s"$dir/$gen", meta.layout)
     val committed = commitSegments(spark, dir, Seq(gen), meta.layout, meta.maxDocId)
-    // old segment data is now unreferenced; reclaim it. "." means the
-    // root held the base segment — remove only its index artifacts, never
-    // the root (which now owns _segments.json and the new segment).
-    meta.segs.foreach {
-      case "." =>
-        (0 until meta.layout.nShards)
-          .foreach(s => MetaIO.deleteIfExists(s"$dir/shard=$s", recursive = true))
-        MetaIO.deleteIfExists(s"$dir/$ManifestName")
-        MetaIO.deleteIfExists(s"$dir/$StatsName")
-        MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
-        MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
-      case s =>
-        MetaIO.deleteIfExists(s"$dir/$s", recursive = true)
-    }
+    sweepUnreferenced(dir, committed)
     committed
+  }
+
+  /** Delete every segment directory (and, when the root-held base `"."`
+    * is unreferenced, the root's own index artifacts) that the committed
+    * segment list does not reference — the old segments a compaction
+    * just folded, AND leftovers of any EARLIER kill between a commit and
+    * its cleanup, which a targeted delete of `meta.segs` alone would
+    * leak forever. Compaction is a maintenance operation under the
+    * index's single-writer contract: it must not run concurrently with a
+    * refresh (whose half-built segment would look unreferenced) — the
+    * streaming sink serializes them by construction.
+    */
+  private def sweepUnreferenced(dir: String, committed: SegmentsMeta): Unit = {
+    val referenced = committed.segs.toSet
+    MetaIO.list(dir)
+      .filter(n => n.startsWith("seg-") && !referenced.contains(n))
+      .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+    if (!referenced.contains(".")) {
+      MetaIO.list(dir).filter(_.startsWith("shard="))
+        .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+      MetaIO.deleteIfExists(s"$dir/$ManifestName")
+      MetaIO.deleteIfExists(s"$dir/$StatsName")
+      MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
+    }
   }
 
   /** Highest committed docId of the index at `dir` (−1 for an empty
@@ -990,7 +1013,10 @@ object BlockIndex {
     // top-k doc (same argument as bm25TopK). The collect is capped at
     // SurvivorCap PAIRS PER QUERY; past that pruning can't pay — score
     // everything rather than hold unbounded driver state.
-    val pairCap = SurvivorCap.toLong * queries.distinct.size
+    // capped at SurvivorCap pairs per query AND an absolute ceiling so
+    // driver state stays bounded (and limit() stays a valid Int) for
+    // arbitrarily large query batches
+    val pairCap = math.min(SurvivorCap.toLong * queries.distinct.size, 4000000L)
     val thetaDf = broadcast(thetas.toSeq.toDF("query", "theta"))
     val surv = marked.join(thetaDf, Seq("query"), "left")
       .where(col("cum") < 2L * k || col("theta").isNull || col("ub") >= col("theta"))

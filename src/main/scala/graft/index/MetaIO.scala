@@ -26,12 +26,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object MetaIO {
 
-  private def isLocal(p: String): Boolean = {
-    val i = p.indexOf("://")
-    i < 0 || p.startsWith("file://")
-  }
+  private def isLocal(p: String): Boolean =
+    p.indexOf("://") < 0 || p.startsWith("file://")
+  // `file:` URIs appear in BOTH single-slash (hadoop Path.toString) and
+  // triple-slash forms — parse via URI so "file:/tmp/x" resolves to
+  // /tmp/x instead of a bogus relative "./file:/tmp/x"
   private def localPath(p: String) =
-    Paths.get(if (p.startsWith("file://")) p.stripPrefix("file://") else p)
+    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
+    else Paths.get(p)
 
   private def conf: org.apache.hadoop.conf.Configuration =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -114,6 +116,26 @@ object MetaIO {
       val (fs, hp) = hfs(p)
       if (fs.exists(hp)) fs.delete(hp, recursive)
       ()
+    }
+
+  /** Child entry NAMES of directory `p` (empty when absent). */
+  def list(p: String): Seq[String] =
+    if (isLocal(p)) {
+      val lp = localPath(p)
+      if (!Files.isDirectory(lp)) Seq.empty
+      else {
+        val s = Files.list(lp)
+        try {
+          val it = s.iterator()
+          val out = Seq.newBuilder[String]
+          while (it.hasNext) out += it.next().getFileName.toString
+          out.result()
+        } finally s.close()
+      }
+    } else {
+      val (fs, hp) = hfs(p)
+      if (!fs.exists(hp)) Seq.empty
+      else fs.listStatus(hp).toSeq.map(_.getPath.getName)
     }
 
   def mtimeMillis(p: String): Long =

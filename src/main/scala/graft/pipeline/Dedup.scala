@@ -322,6 +322,15 @@ object Dedup {
         labels = next
         it += 1
       }
+      // fail LOUDLY on non-convergence: returning partially-propagated
+      // labels would silently keep several "canonical" docs per cluster
+      // — a curated corpus with duplicates nothing flags. A component's
+      // diameter exceeding maxIter (degenerate chain graphs) is a
+      // configuration problem the caller must see, not absorb.
+      if (changed > 0) throw new IllegalStateException(
+        s"dupGroupsFromPairs did not converge in $maxIter rounds " +
+          s"($changed labels still changing) — a component's diameter " +
+          "exceeds maxIter; raise maxIter or pre-cut degenerate chains")
       labels.select(col("id"), col("label").as("canonical_id"),
         (col("id") === col("label")).as("keep"))
     } finally edges.unpersist()

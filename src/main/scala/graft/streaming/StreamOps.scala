@@ -104,8 +104,7 @@ object StreamOps {
       col("title").cast("string"), col("body").cast("string"),
       col("url").cast("string"))
     if (!BlockIndex.isSegmented(dir) &&
-        !java.nio.file.Files.exists(
-          java.nio.file.Paths.get(dir, BlockIndex.StatsName))) {
+        !graft.index.MetaIO.exists(s"$dir/${BlockIndex.StatsName}")) {
       BlockIndex.build(
         corpusCols.withColumn("docId", lit(0L)).limit(0), dir, layout)
     }

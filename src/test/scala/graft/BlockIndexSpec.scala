@@ -156,6 +156,35 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(before.nonEmpty && cold.nonEmpty)
   }
 
+  test("overwrite rebuild of a SEGMENTED root drops the old segmented view entirely") {
+    val d = tmpDir("blockidx-ow-seg").toString
+    BlockIndex.build(docs.where(col("docId") < 200), d, layout)
+    BlockIndex.refresh(docs.where(col("docId") >= 200 && col("docId") < 400), d)
+    assert(BlockIndex.isSegmented(d))
+    // rebuild in place with a DIFFERENT corpus slice
+    BlockIndex.build(docs.where(col("docId") < 100), d, layout, overwrite = true)
+    assert(!BlockIndex.isSegmented(d))
+    val (stats, _) = BlockIndex.readStats(d)
+    assert(stats.nDocs == 100)
+    val decodedIds = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .select("docId").distinct().collect().map(_.getLong(0))
+    assert(decodedIds.forall(_ < 100), "stale segment postings survived the overwrite")
+  }
+
+  test("overwrite rebuild leaves NO stale parquet in shards the new corpus skips") {
+    val sp = spark
+    import sp.implicits._
+    val d = tmpDir("blockidx-ow-sparse").toString
+    BlockIndex.build(docs, d, layout) // populates (almost) all 8 shards
+    // tiny corpus: single term → exactly one shard written by the rebuild
+    val tiny = Seq((1L, "", "solo", "")).toDF("docId", "title", "body", "url")
+    BlockIndex.build(tiny, d, layout, overwrite = true)
+    val all = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(all.toSeq == Seq(("solo", 1L)),
+      s"stale shard data survived a sparse overwrite: ${all.take(5).toSeq}")
+  }
+
   // ------------------------------------------------------------------
   // Segments: incremental refresh + compaction
   // ------------------------------------------------------------------
@@ -212,6 +241,11 @@ class BlockIndexSpec extends AnyFunSuite {
     BlockIndex.refresh(docs.where(col("docId") >= 200 && col("docId") < 350), d)
     BlockIndex.refresh(docs.where(col("docId") >= 350), d)
     assert(BlockIndex.readSegments(d).segs.size == 3)
+    // an unreferenced leftover (e.g. from a killed earlier compaction)
+    // must be swept by the next compact, not leak forever
+    val junk = java.nio.file.Paths.get(d, "seg-compact-999-999")
+    Files.createDirectories(junk)
+    Files.write(junk.resolve("garbage.bin"), Array[Byte](1, 2, 3))
     // multi-segment queries already correct pre-compaction
     assert(topk(d, "spark join fast window") == topk(coldDir, "spark join fast window"))
     val meta = BlockIndex.compact(d)
@@ -222,9 +256,11 @@ class BlockIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getLong(1),
         r.getAs[Array[Byte]](2).toSeq)).toSet
     assert(bytesSet(d) == bytesSet(coldDir))
-    // old segment dirs reclaimed; root artifacts of the base gone
+    // old segment dirs reclaimed; root artifacts of the base gone; the
+    // planted unreferenced leftover swept too
     assert(!Files.exists(java.nio.file.Paths.get(d, "shard=0")))
     assert(!Files.exists(java.nio.file.Paths.get(d, BlockIndex.StatsName)))
+    assert(!Files.exists(java.nio.file.Paths.get(d, "seg-compact-999-999")))
     assert(topk(d, "table") == topk(coldDir, "table"))
   }
 

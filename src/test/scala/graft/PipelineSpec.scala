@@ -71,6 +71,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.count(_._2) == 5)
   }
 
+  test("dup groups: non-convergence within maxIter fails loudly, never silently") {
+    val sp = spark
+    import sp.implicits._
+    // a 12-node path graph needs 11 propagation rounds
+    val ids = (1L to 12L).toDF("id")
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.dupGroupsFromPairs(ids, chain, maxIter = 3)
+    }
+    // and with enough rounds the whole chain is ONE component
+    val ok = Dedup.dupGroupsFromPairs(ids, chain, maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ok.values.toSet == Set(1L))
+  }
+
   test("simhash64: identical text → identical hash; near-dup → small hamming") {
     val fp = docs
       .select(col("doc_id"), Dedup.simhash64(col("text")).as("sh"))
