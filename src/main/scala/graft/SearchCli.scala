@@ -27,20 +27,42 @@ import org.apache.spark.sql.SparkSession
   */
 object SearchCli {
 
-  /** Resolve a corpusSpec into (engine, docs relation). */
+  /** Resolve a corpusSpec into (engine, docs relation).
+    *
+    * The `@` split uses the LAST `@` and only when the suffix actually
+    * IS a block-index directory — so a corpus path that legitimately
+    * contains `@` still resolves as a plain corpus instead of failing
+    * with a confusing two-path error.
+    *
+    * Corpus forms: `.csv` (reference id,title,body,URL), a parquet
+    * corpus ALREADY in model form (docId,title,body,url — what a
+    * refresh/streaming writer maintains alongside its index, ids taken
+    * VERBATIM so they match the index), or an Iceberg-shaped source-file
+    * parquet (renumbered deterministically by repo/path — only valid
+    * with an index built from the same renumbering).
+    */
   private[graft] def resolve(
       spark: SparkSession, spec: String, k: Int = 3)
       : (QueryEngine, org.apache.spark.sql.DataFrame) = {
-    val (corpusPath, idxDir) = spec.split("@", 2) match {
-      case Array(c, i) => (c, Some(i))
-      case Array(c) => (c, None)
-    }
+    import graft.index.{BlockIndex, MetaIO}
+    def isIndexDir(d: String) =
+      MetaIO.exists(s"$d/${BlockIndex.StatsName}") || BlockIndex.isSegmented(d)
+    val at = spec.lastIndexOf('@')
+    val (corpusPath, idxDir) =
+      if (at > 0 && isIndexDir(spec.drop(at + 1)))
+        (spec.take(at), Some(spec.drop(at + 1)))
+      else (spec, None)
     val docs =
       if (corpusPath.endsWith(".csv")) CorpusSource.readDocsCsv(spark, corpusPath)
-      else CorpusSource.sourceFilesToDocs(
-        CorpusSource.readSourceFiles(spark, corpusPath))
+      else {
+        val raw = spark.read.parquet(corpusPath)
+        if (Seq("docId", "title", "body", "url").forall(raw.columns.contains))
+          raw.select(org.apache.spark.sql.functions.col("docId").cast("long"),
+            raw("title"), raw("body"), raw("url"))
+        else CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, corpusPath))
+      }
     val engine = idxDir match {
-      case Some(d) => new QueryEngine(graft.index.BlockIndex.asBundle(spark, d, k))
+      case Some(d) => new QueryEngine(BlockIndex.asBundle(spark, d, k))
       case None => new QueryEngine(IndexBuilder.build(docs, k = k))
     }
     (engine, docs)

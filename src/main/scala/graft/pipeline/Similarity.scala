@@ -281,8 +281,24 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     ivfAssign(corpus, centroids, corpusIdCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
+    // a rebuild is a NEW index: drop the delta commit list and every
+    // append generation, or ivfTopKIndexed would union the fresh lists
+    // with stale deltas assigned under the OLD quantizer (the same
+    // rebuild-staleness class build(overwrite=true) guards against)
+    graft.index.MetaIO.deleteIfExists(s"$dir/$IvfDeltasName")
+    sweepIvfDeltas(dir, referenced = Set.empty)
     centroids
   }
+
+  /** Delete every `delta-*` generation not in `referenced` — stale
+    * generations of a rebuilt index, and generations written by an
+    * append that died before its commit (which a later append with
+    * different bounds would otherwise leak forever).
+    */
+  private def sweepIvfDeltas(dir: String, referenced: Set[String]): Unit =
+    graft.index.MetaIO.list(dir)
+      .filter(n => n.startsWith("delta-") && !referenced.contains(n))
+      .foreach(n => graft.index.MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
 
   def readIvfCentroids(spark: SparkSession, dir: String): Array[Array[Double]] =
     spark.read.parquet(s"$dir/centroids").orderBy(col("cluster")).collect()
@@ -403,10 +419,13 @@ object Similarity {
     val centroids = readIvfCentroids(spark, dir)
     ivfAssign(newVecs, centroids, corpusIdCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
-    val deltas = (roots.drop(1) :+ gen).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val committed = roots.drop(1) :+ gen
+    val deltas = committed.map("\"" + _ + "\"").mkString("[", ",", "]")
     graft.index.MetaIO.writeAtomic(s"$dir/$IvfDeltasName",
       s"""{"nonce":${System.nanoTime()},"deltas":$deltas}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // reclaim generations a died-before-commit append left behind
+    sweepIvfDeltas(dir, committed.toSet)
   }
 
   def ivfTopKIndexed(

@@ -82,24 +82,42 @@ object StreamOps {
   final case class TermState(df: Long, totalTf: Long)
   final case class TermStatsUpdate(term: String, df: Long, totalTf: Long)
 
+  /** The per-STREAM marker scoping batch-id replay detection: batchIds
+    * restart at 0 whenever a stream runs with a fresh checkpoint, so a
+    * bare `b0` marker from an earlier run would make the new stream's
+    * first batches look like replays and silently drop their data. The
+    * checkpoint directory IS the replay domain — same checkpoint ⇒ same
+    * batch contents on redelivery — so its hash scopes the marker.
+    */
+  private[graft] def runTag(checkpointDir: String): String =
+    java.lang.Long.toHexString(
+      org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        checkpointDir.length, 42) & 0xffffffffL)
+
   /** Commit ONE micro-batch of documents (title, body, url — ids are
     * assigned here) into the block index at `dir` as an immutable
     * segment: the Structured-Streaming face of
     * [[graft.index.BlockIndex.refresh]]. Dense docIds continue from the
     * committed maxDocId (deterministic within the batch via
-    * `idSortCols`); the segment is keyed by the micro-batch id, so a
-    * redelivered batch — foreachBatch's at-least-once contract — is
-    * detected as already committed and becomes a no-op BEFORE any
-    * renumbering could double-commit it. First call on an empty
-    * directory lays down an empty base index, so every batch takes the
-    * same refresh path.
+    * `idSortCols`); the segment is keyed by `genTag` (the stream's
+    * [[runTag]]) + the micro-batch id, so a redelivered batch —
+    * foreachBatch's at-least-once contract — is detected as already
+    * committed and becomes a no-op BEFORE any renumbering could
+    * double-commit it, while a different stream (fresh checkpoint,
+    * batchIds restarting) against the same index commits normally.
+    * First call on an empty directory lays down an empty base index, so
+    * every batch takes the same refresh path.
     */
   def indexRefreshBatch(
       batch: DataFrame, batchId: Long, dir: String,
       layout: graft.index.BlockIndex.Layout,
       idSortCols: Seq[String],
-      compactEvery: Int = 0): Unit = {
+      compactEvery: Int = 0,
+      genTag: String = ""): Unit = {
     import graft.index.BlockIndex
+    val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
       col("title").cast("string"), col("body").cast("string"),
       col("url").cast("string"))
@@ -109,7 +127,7 @@ object StreamOps {
         corpusCols.withColumn("docId", lit(0L)).limit(0), dir, layout)
     }
     if (BlockIndex.isSegmented(dir) &&
-        graft.index.BlockIndex.readSegments(dir).segs.contains(s"seg-b$batchId"))
+        graft.index.BlockIndex.readSegments(dir).segs.contains(s"seg-$marker"))
       return // replayed micro-batch: already committed
     // maintenance BEFORE committing this batch's segment: the segments
     // folded here belong to batches whose offsets are already committed
@@ -124,7 +142,7 @@ object StreamOps {
       math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
     val docs = graft.sources.CorpusSource.withDenseDocIds(
       corpusCols, idSortCols.map(col), firstId = start)
-    BlockIndex.refresh(docs, dir, genName = Some(s"b$batchId"))
+    BlockIndex.refresh(docs, dir, genName = Some(marker))
   }
 
   /** A live, queryable search index over a document stream: every
@@ -144,7 +162,8 @@ object StreamOps {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery)
+        indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery,
+          genTag = runTag(checkpointDir))
       }
       .start()
 

@@ -381,6 +381,22 @@ class PipelineSpec extends AnyFunSuite {
     val after = java.nio.file.Files.readAllLines(
       java.nio.file.Paths.get(dir, Similarity.IvfDeltasName)).toString
     assert(before == after)
+    // an uncommitted generation (append died before its commit) is swept
+    // by the next successful append instead of leaking
+    val orphan = java.nio.file.Paths.get(dir, "delta-900-901")
+    java.nio.file.Files.createDirectories(orphan)
+    Similarity.ivfAppend(
+      Seq((50L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding"), dir)
+    assert(!java.nio.file.Files.exists(orphan), "orphan delta generation leaked")
+    // a REBUILD is a new index: committed deltas must not survive it, or
+    // queries would union fresh lists with stale-quantizer generations
+    Similarity.ivfBuild(all, dir, dim = 4, k = 3, iters = 4)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, Similarity.IvfDeltasName)))
+    val postRebuild = key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 8, nprobe = 3))
+    val memRebuilt = key(Similarity.ivfTopK(qs, all,
+      Similarity.readIvfCentroids(spark, dir), k = 8, nprobe = 3))
+    assert(postRebuild == memRebuilt)
   }
 
   test("cosine near-dup pairs with banded SRP blocking") {

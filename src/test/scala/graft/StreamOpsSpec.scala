@@ -72,12 +72,23 @@ class StreamOpsSpec extends AnyFunSuite {
     def hits(d: String) = BlockIndex.bm25TopK(spark, d, "spark tables", 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hits(dir) == hits(coldDir) && hits(dir).nonEmpty)
-    // redelivered micro-batch (same batchId) must not double-commit
+    // redelivered micro-batch (same checkpoint + batchId) must not
+    // double-commit
     val segsBefore = BlockIndex.readSegments(dir).segs
     StreamOps.indexRefreshBatch(
-      b2.toDF("title", "body", "url"), batchId = 1L, dir, layout, Seq("title"))
+      b2.toDF("title", "body", "url"), batchId = 1L, dir, layout, Seq("title"),
+      genTag = StreamOps.runTag(ckpt))
     assert(BlockIndex.readSegments(dir).segs == segsBefore)
     assert(posts(dir) == posts(coldDir))
+    // but a DIFFERENT stream (fresh checkpoint, batchIds restarting at 0)
+    // against the same index dir is NOT a replay — its data must commit,
+    // not silently vanish behind the old run's b0/b1 markers
+    val ckpt2 = java.nio.file.Files.createTempDirectory("stream-ckpt2").toString
+    val nBefore = BlockIndex.readStats(dir)._1.nDocs
+    StreamOps.indexRefreshBatch(
+      Seq(("Zeta doc", "fresh stream content", "u9")).toDF("title", "body", "url"),
+      batchId = 1L, dir, layout, Seq("title"), genTag = StreamOps.runTag(ckpt2))
+    assert(BlockIndex.readStats(dir)._1.nDocs == nBefore + 1)
   }
 
   test("streaming sink with compactEvery: maintenance folds old segments, index stays correct") {
