@@ -376,19 +376,58 @@ object Similarity {
     * corpus — and never recomputes assignment. The per-query driver work
     * is K centroid dot products (centroids are K·dim doubles).
     */
-  /** The live list roots of an IVF index: the base `lists` plus every
-    * committed append generation.
+  /** The live list roots of an IVF index: the base `lists` (unless a
+    * compaction retired it) plus every committed append generation.
     */
   private def ivfListRoots(dir: String): Seq[String] = {
     val deltasFile = s"$dir/$IvfDeltasName"
-    val deltas =
-      if (!graft.index.MetaIO.exists(deltasFile)) Seq.empty
-      else """"deltas":\[([^\]]*)\]""".r
-        .findFirstMatchIn(graft.index.MetaIO.readString(deltasFile))
-        .map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
-        .filter(_.nonEmpty).toSeq
-    "lists" +: deltas
+    if (!graft.index.MetaIO.exists(deltasFile)) return Seq("lists")
+    val s = graft.index.MetaIO.readString(deltasFile)
+    val deltas = """"deltas":\[([^\]]*)\]""".r
+      .findFirstMatchIn(s).map(_.group(1)).getOrElse("")
+      .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    val baseLive = !s.contains(""""base":false""")
+    if (baseLive) "lists" +: deltas else deltas
+  }
+
+  private def writeIvfDeltas(
+      dir: String, deltas: Seq[String], baseLive: Boolean): Unit = {
+    val arr = deltas.map("\"" + _ + "\"").mkString("[", ",", "]")
+    graft.index.MetaIO.writeAtomic(s"$dir/$IvfDeltasName",
+      s"""{"nonce":${System.nanoTime()},"base":$baseLive,"deltas":$arr}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Fold the base lists and every append generation into ONE generation
+    * — the ANN counterpart of [[graft.index.BlockIndex.compact]].
+    * Cluster assignments are already final (the quantizer never moved),
+    * so compaction is a pure re-layout: read all live roots, write one
+    * combined cluster-partitioned generation, then ATOMICALLY commit a
+    * state that references only it (`base:false` retires the base lists
+    * without an in-place overwrite, which would double-serve vectors in
+    * the window between overwrite and commit). Old data is swept after
+    * the commit; a kill before the commit leaves the old state intact.
+    * Single-writer contract, like block-index compaction.
+    */
+  def ivfCompact(dir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val roots = ivfListRoots(dir)
+    if (roots == Seq("lists") || roots.size <= 1) return
+    val union = roots.map { root =>
+      val paths = graft.index.MetaIO.list(s"$dir/$root")
+        .filter(_.startsWith("cluster=")).map(c => s"$dir/$root/$c")
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", s"$dir/$root").parquet(paths: _*))
+    }.flatten
+    if (union.isEmpty) return
+    val gen = s"delta-compact-${System.nanoTime()}"
+    union.reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
+    writeIvfDeltas(dir, Seq(gen), baseLive = false)
+    // reclaim everything the committed state no longer references
+    sweepIvfDeltas(dir, referenced = Set(gen))
+    graft.index.MetaIO.deleteIfExists(s"$dir/lists", recursive = true)
   }
 
   val IvfDeltasName = "_ivfdeltas.json"
@@ -419,11 +458,9 @@ object Similarity {
     val centroids = readIvfCentroids(spark, dir)
     ivfAssign(newVecs, centroids, corpusIdCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
-    val committed = roots.drop(1) :+ gen
-    val deltas = committed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    graft.index.MetaIO.writeAtomic(s"$dir/$IvfDeltasName",
-      s"""{"nonce":${System.nanoTime()},"deltas":$deltas}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val baseLive = roots.headOption.contains("lists")
+    val committed = (if (baseLive) roots.drop(1) else roots) :+ gen
+    writeIvfDeltas(dir, committed, baseLive) // preserves a retired base
     // reclaim generations a died-before-commit append left behind
     sweepIvfDeltas(dir, committed.toSet)
   }

@@ -388,6 +388,22 @@ class PipelineSpec extends AnyFunSuite {
     Similarity.ivfAppend(
       Seq((50L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding"), dir)
     assert(!java.nio.file.Files.exists(orphan), "orphan delta generation leaked")
+    // compaction folds base + deltas into ONE generation: same results,
+    // base retired, and a post-compaction append still works
+    Similarity.ivfCompact(dir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "lists")))
+    assert(key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 8, nprobe = 3)) ==
+      key(Similarity.ivfTopK(qs,
+        all.union(Seq((50L, Array.fill(4)(0.5f))).toDF("vec_id", "embedding")),
+        centroids, k = 8, nprobe = 3)))
+    Similarity.ivfAppend(
+      Seq((60L, Array.fill(4)(0.9f))).toDF("vec_id", "embedding"), dir)
+    val afterCompactAppend =
+      key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 8, nprobe = 3))
+    assert(afterCompactAppend == key(Similarity.ivfTopK(qs,
+      all.union(Seq((50L, Array.fill(4)(0.5f)), (60L, Array.fill(4)(0.9f)))
+        .toDF("vec_id", "embedding")),
+      centroids, k = 8, nprobe = 3)))
     // a REBUILD is a new index: committed deltas must not survive it, or
     // queries would union fresh lists with stale-quantizer generations
     Similarity.ivfBuild(all, dir, dim = 4, k = 3, iters = 4)
