@@ -222,9 +222,12 @@ object BlockIndex {
         }
       }
       // doc lengths + corpus stats last — their presence marks the index
-      // complete
+      // complete. The vocab table derives from the still-cached blocks
+      // relation here; the resume path below re-reads the shard parquet
+      // instead.
       if (readManifest(dir).size == layout.nShards)
-        writeCompletionArtifacts(docLensThunk(), dir, layout)
+        writeCompletionArtifacts(docLensThunk(), dir, layout,
+          blocksOpt = Some(blocks))
       readManifest(dir)
     } finally blocks.unpersist()
   }
@@ -236,7 +239,8 @@ object BlockIndex {
     * pass over the corpus. Idempotent.
     */
   private def writeCompletionArtifacts(
-      docLens: DataFrame, dir: String, layout: Layout): Unit = {
+      docLens: DataFrame, dir: String, layout: Layout,
+      blocksOpt: Option[DataFrame] = None): Unit = {
     val spark = docLens.sparkSession
     docLens.write.mode("overwrite").parquet(s"$dir/$DocLensName")
     val Row(nDocs: Long, totalLen: Long, maxDocId: Long) = spark.read
@@ -247,8 +251,9 @@ object BlockIndex {
     // the segment's distinct-term table: one `term` column, read back by
     // every refresh/compaction commit to combine exact vocabularies
     // WITHOUT re-scanning block-level term columns (a segment has ~one
-    // block row per (term, blockId) — many× its vocabulary)
-    plainBlocks(spark, dir, layout)
+    // block row per (term, blockId) — many× its vocabulary). Derived
+    // from the build's cached blocks when available, else read back.
+    blocksOpt.orElse(plainBlocks(spark, dir, layout))
       .fold(spark.emptyDataFrame.withColumn("term", lit("")).limit(0))(
         _.select(col("term")))
       .distinct()
