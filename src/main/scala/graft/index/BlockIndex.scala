@@ -52,7 +52,7 @@ object BlockIndex {
   }
 
   private def emptyBlocks(spark: SparkSession): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], BlockSchema)
+    spark.createDataFrame(java.util.Collections.emptyList[Row](), BlockSchema)
 
   /** Shard directories that actually exist — a shard with no terms gets
     * no directory from partitionBy, and an out-of-vocabulary query term
