@@ -32,7 +32,15 @@ object MetaIO {
   // triple-slash forms — parse via URI so "file:/tmp/x" resolves to
   // /tmp/x instead of a bogus relative "./file:/tmp/x"
   private def localPath(p: String) =
-    if (p.startsWith("file:")) Paths.get(java.net.URI.create(p))
+    if (p.startsWith("file:"))
+      try Paths.get(java.net.URI.create(p))
+      catch {
+        // URI-illegal characters (spaces — legal in filenames, and
+        // hadoop Path.toString does not re-encode them) or a non-empty
+        // authority: fall back to plain prefix stripping
+        case _: IllegalArgumentException | _: java.nio.file.FileSystemNotFoundException =>
+          Paths.get(p.stripPrefix("file://").stripPrefix("file:"))
+      }
     else Paths.get(p)
 
   private def conf: org.apache.hadoop.conf.Configuration =

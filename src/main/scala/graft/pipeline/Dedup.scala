@@ -310,7 +310,10 @@ object Dedup {
         .localCheckpoint()
       var changed = 1L
       var it = 0
-      while (changed > 0 && it < maxIter) {
+      // maxIter bounds the component DIAMETER; one extra round runs so
+      // convergence on exactly round maxIter is WITNESSED by a
+      // zero-change round instead of misreported as failure
+      while (changed > 0 && it < maxIter + 1) {
         val viaNeighbor = edges
           .join(labels.withColumnRenamed("id", "src"), "src")
           .select(col("dst").as("id"), col("label"))

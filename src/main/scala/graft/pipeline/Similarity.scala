@@ -275,18 +275,22 @@ object Similarity {
       corpusIdCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // a rebuild is a NEW index: drop the delta commit list and every
+    // append generation FIRST — deleting after the lists overwrite would
+    // let a kill in between durably pair the new quantizer with stale
+    // deltas (or, post-compaction, hide the new lists behind base:false)
+    graft.index.MetaIO.deleteIfExists(s"$dir/$IvfDeltasName")
+    sweepIvfDeltas(dir, referenced = Set.empty)
     val centroids = ivfCentroids(corpus, dim, k, iters, corpusIdCol, vecCol)
     centroids.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
       .toDF("cluster", "weights")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
     ivfAssign(corpus, centroids, corpusIdCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
-    // a rebuild is a NEW index: drop the delta commit list and every
-    // append generation, or ivfTopKIndexed would union the fresh lists
-    // with stale deltas assigned under the OLD quantizer (the same
-    // rebuild-staleness class build(overwrite=true) guards against)
-    graft.index.MetaIO.deleteIfExists(s"$dir/$IvfDeltasName")
-    sweepIvfDeltas(dir, referenced = Set.empty)
+    // record the corpus id ceiling so appends can police their contract
+    val mx = corpus.agg(coalesce(max(col(corpusIdCol).cast("long")), lit(-1L)))
+      .head().getLong(0)
+    writeIvfDeltas(dir, Seq.empty, baseLive = true, maxVecId = mx)
     centroids
   }
 
@@ -392,11 +396,21 @@ object Similarity {
   }
 
   private def writeIvfDeltas(
-      dir: String, deltas: Seq[String], baseLive: Boolean): Unit = {
+      dir: String, deltas: Seq[String], baseLive: Boolean,
+      maxVecId: Long): Unit = {
     val arr = deltas.map("\"" + _ + "\"").mkString("[", ",", "]")
     graft.index.MetaIO.writeAtomic(s"$dir/$IvfDeltasName",
-      s"""{"nonce":${System.nanoTime()},"base":$baseLive,"deltas":$arr}"""
+      s"""{"nonce":${System.nanoTime()},"base":$baseLive,"maxVecId":$maxVecId,"deltas":$arr}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Committed vec_id ceiling (−1 when unrecorded — pre-append indexes). */
+  private def ivfMaxVecId(dir: String): Long = {
+    val f = s"$dir/$IvfDeltasName"
+    if (!graft.index.MetaIO.exists(f)) -1L
+    else """"maxVecId":(-?\d+)""".r
+      .findFirstMatchIn(graft.index.MetaIO.readString(f))
+      .map(_.group(1).toLong).getOrElse(-1L)
   }
 
   /** Fold the base lists and every append generation into ONE generation
@@ -413,7 +427,15 @@ object Similarity {
   def ivfCompact(dir: String): Unit = {
     val spark = org.apache.spark.sql.SparkSession.active
     val roots = ivfListRoots(dir)
-    if (roots == Seq("lists") || roots.size <= 1) return
+    if (roots == Seq("lists") || roots.size <= 1) {
+      // nothing to fold — but a kill between an earlier compaction's
+      // commit and its cleanup may have left a retired base and/or
+      // unreferenced generations behind; reclaim them now
+      sweepIvfDeltas(dir, referenced = roots.toSet)
+      if (!roots.contains("lists"))
+        graft.index.MetaIO.deleteIfExists(s"$dir/lists", recursive = true)
+      return
+    }
     val union = roots.map { root =>
       val paths = graft.index.MetaIO.list(s"$dir/$root")
         .filter(_.startsWith("cluster=")).map(c => s"$dir/$root/$c")
@@ -424,7 +446,7 @@ object Similarity {
     val gen = s"delta-compact-${System.nanoTime()}"
     union.reduce(_ unionByName _)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
-    writeIvfDeltas(dir, Seq(gen), baseLive = false)
+    writeIvfDeltas(dir, Seq(gen), baseLive = false, ivfMaxVecId(dir))
     // reclaim everything the committed state no longer references
     sweepIvfDeltas(dir, referenced = Set(gen))
     graft.index.MetaIO.deleteIfExists(s"$dir/lists", recursive = true)
@@ -452,15 +474,25 @@ object Similarity {
       min(col(corpusIdCol).cast("long")), max(col(corpusIdCol).cast("long")),
       count(lit(1))).head()
     if (bounds.getLong(2) == 0L) return
-    val gen = s"delta-${bounds.getLong(0)}-${bounds.getLong(1)}"
+    val (minNew, maxNew) = (bounds.getLong(0), bounds.getLong(1))
+    val gen = s"delta-$minNew-$maxNew"
     val roots = ivfListRoots(dir)
     if (roots.contains(gen)) return // replayed append: already committed
+    // the id-ceiling check makes a replay whose generation a compaction
+    // already FOLDED fail loudly instead of silently double-committing
+    // the vectors into a second root (ceiling −1 = pre-append index:
+    // contract enforced from the first recorded append onward)
+    val ceiling = ivfMaxVecId(dir)
+    require(ceiling < 0 || minNew > ceiling,
+      s"ivfAppend ids must exceed committed maxVecId=$ceiling, got min=$minNew" +
+        " (an already-committed append folded by compaction replays as this)")
     val centroids = readIvfCentroids(spark, dir)
     ivfAssign(newVecs, centroids, corpusIdCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
     val baseLive = roots.headOption.contains("lists")
     val committed = (if (baseLive) roots.drop(1) else roots) :+ gen
-    writeIvfDeltas(dir, committed, baseLive) // preserves a retired base
+    writeIvfDeltas(dir, committed, baseLive,
+      math.max(ceiling, maxNew)) // preserves a retired base
     // reclaim generations a died-before-commit append left behind
     sweepIvfDeltas(dir, committed.toSet)
   }

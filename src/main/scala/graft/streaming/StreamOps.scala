@@ -89,12 +89,20 @@ object StreamOps {
     * checkpoint directory IS the replay domain — same checkpoint ⇒ same
     * batch contents on redelivery — so its hash scopes the marker.
     */
-  private[graft] def runTag(checkpointDir: String): String =
+  private[graft] def runTag(checkpointDir: String): String = {
+    // canonicalize spelling variants of the SAME checkpoint (trailing
+    // slash, file: scheme, doubled separators) — hadoop Path normalizes
+    // and the scheme is dropped so "/tmp/ck" ≡ "file:/tmp/ck"; the
+    // authority is kept so distinct hdfs namespaces stay distinct
+    val uri = new org.apache.hadoop.fs.Path(checkpointDir).toUri
+    val canon = Option(uri.getAuthority).getOrElse("") +
+      Option(uri.getPath).filter(_.nonEmpty).getOrElse(checkpointDir)
+    val bytes = canon.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     java.lang.Long.toHexString(
       org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
-        checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-        checkpointDir.length, 42) & 0xffffffffL)
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        bytes.length, 42) & 0xffffffffL)
+  }
 
   /** Commit ONE micro-batch of documents (title, body, url — ids are
     * assigned here) into the block index at `dir` as an immutable
@@ -126,9 +134,17 @@ object StreamOps {
       BlockIndex.build(
         corpusCols.withColumn("docId", lit(0L)).limit(0), dir, layout)
     }
-    if (BlockIndex.isSegmented(dir) &&
-        graft.index.BlockIndex.readSegments(dir).segs.contains(s"seg-$marker"))
-      return // replayed micro-batch: already committed
+    if (BlockIndex.isSegmented(dir)) {
+      val segs = graft.index.BlockIndex.readSegments(dir).segs
+      // the bare-batchId marker is the pre-runTag legacy format: a
+      // RESUMED stream on an index the earlier sink built must keep
+      // detecting its replays (harmless on new-format indexes, whose
+      // markers always carry a tag). One-time migration caveat: before
+      // attaching a brand-NEW stream to a legacy index, compact() it so
+      // stale bare markers cannot shadow the new stream's batchIds.
+      if (segs.contains(s"seg-$marker") || segs.contains(s"seg-b$batchId"))
+        return // replayed micro-batch: already committed
+    }
     // maintenance BEFORE committing this batch's segment: the segments
     // folded here belong to batches whose offsets are already committed
     // (micro-batches execute serially), so none of them can replay and

@@ -398,6 +398,11 @@ class PipelineSpec extends AnyFunSuite {
         centroids, k = 8, nprobe = 3)))
     Similarity.ivfAppend(
       Seq((60L, Array.fill(4)(0.9f))).toDF("vec_id", "embedding"), dir)
+    // a replay whose generation compaction already FOLDED must fail the
+    // id-ceiling check loudly, never double-commit into a second root
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(all.where(col("vec_id") >= 40), dir)
+    }
     val afterCompactAppend =
       key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 8, nprobe = 3))
     assert(afterCompactAppend == key(Similarity.ivfTopK(qs,
@@ -405,10 +410,20 @@ class PipelineSpec extends AnyFunSuite {
         .toDF("vec_id", "embedding")),
       centroids, k = 8, nprobe = 3)))
     // a REBUILD is a new index: committed deltas must not survive it, or
-    // queries would union fresh lists with stale-quantizer generations
+    // queries would union fresh lists with stale-quantizer generations.
+    // The rebuild commits a FRESH state (live base, no deltas, the new
+    // corpus's id ceiling) so the append contract is armed from day one.
     Similarity.ivfBuild(all, dir, dim = 4, k = 3, iters = 4)
-    assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, Similarity.IvfDeltasName)))
+    val rebuiltState = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, Similarity.IvfDeltasName)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(rebuiltState.contains("\"deltas\":[]"), rebuiltState)
+    assert(rebuiltState.contains("\"base\":true"), rebuiltState)
+    assert(rebuiltState.contains("\"maxVecId\":44"), rebuiltState)
+    // the recorded ceiling polices appends immediately after a rebuild
+    intercept[IllegalArgumentException] {
+      Similarity.ivfAppend(all.where(col("vec_id") >= 40), dir)
+    }
     val postRebuild = key(Similarity.ivfTopKIndexed(spark, dir, qs, k = 8, nprobe = 3))
     val memRebuilt = key(Similarity.ivfTopK(qs, all,
       Similarity.readIvfCentroids(spark, dir), k = 8, nprobe = 3))
