@@ -165,6 +165,18 @@ object GateQueries {
        |  FROM tokarr
        |)""".stripMargin
 
+  /** The [[TextPipeline.hashBucket256]] arithmetic over an arbitrary SQL
+    * expression — first md5 byte as 0..255 (q40 inlines the text form;
+    * new gates parameterize it).
+    */
+  private def bucketSqlOf(e: String): String =
+    s"""(CASE WHEN ascii(substring(md5($e), 1, 1)) >= 97
+       |      THEN ascii(substring(md5($e), 1, 1)) - 87
+       |      ELSE ascii(substring(md5($e), 1, 1)) - 48 END) * 16 +
+       |(CASE WHEN ascii(substring(md5($e), 2, 1)) >= 97
+       |      THEN ascii(substring(md5($e), 2, 1)) - 87
+       |      ELSE ascii(substring(md5($e), 2, 1)) - 48 END)""".stripMargin
+
   /** Distinct (doc_id, shingle) index. */
   private def shingleIdxCte(n: Int) =
     s"""${shinglesCte(n)},
@@ -1251,7 +1263,104 @@ object GateQueries {
               |SELECT doc_id, bucket::BIGINT AS bucket,
               |  CASE WHEN bucket < 230 THEN 'train'
               |       WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split
-              |FROM b ORDER BY doc_id""".stripMargin)))
+              |FROM b ORDER BY doc_id""".stripMargin)),
+
+    // int8 scalar quantization with exact re-rank: candidates ranked by
+    // asymmetric distance over dequantized codes (floor arithmetic — no
+    // round-half ambiguity), survivors re-scored exactly. The oracle
+    // reconstructs the per-dimension bounds, the code/dequant arithmetic,
+    // and both ranking windows.
+    Gate("q47_sq8_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.sq8TopK(
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          e, k = 10, rerank = 30, dim = 64)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |mm AS (
+             |  SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+             |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+             |dq AS (
+             |  SELECT e.vec_id, mm.i,
+             |    CASE WHEN mm.hi = mm.lo THEN mm.lo
+             |         ELSE mm.lo + (least(255, floor((v[mm.i] - mm.lo) / (mm.hi - mm.lo) * 256))::DOUBLE + 0.5)
+             |              * (mm.hi - mm.lo) / 256 END AS xq
+             |  FROM e CROSS JOIN mm),
+             |dqv AS (SELECT vec_id, list(xq ORDER BY i) AS dv FROM dq GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |approx AS (
+             |  SELECT q.query_id, d.vec_id,
+             |    round(list_sum([qv[i] * dv[i] for i in range(1, len(dv) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in dv]))), 6) AS asim
+             |  FROM dqv d CROSS JOIN q),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, vec_id ASC) AS r
+             |    FROM approx) WHERE r <= 30),
+             |exact AS (
+             |  SELECT c.query_id, c.vec_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS sim
+             |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+             |  FROM exact)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Benchmark decontamination: training docs sharing any distinct word
+    // 5-gram with the val/test split of the SAME corpus (splits from the
+    // q40 content-keyed assignment) are flagged. n_shared counts distinct
+    // shared shingles.
+    Gate("q48_decontaminate",
+      (s, d) => {
+        val withSplit = documents(s, d).withColumn("split",
+          TextPipeline.splitAssign(TextPipeline.hashBucket256(col("text"))))
+        TextPipeline.decontaminateAgainst(
+          withSplit.where(col("split") === "train"),
+          withSplit.where(col("split") =!= "train"), n = 5)
+          .select(col("id").as("doc_id"), col("n_shared"), col("contaminated"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ${shingleIdxCte(5)},
+              |b AS (SELECT doc_id, ${bucketSqlOf("coalesce(text, '')")} AS bucket FROM documents),
+              |sp AS (SELECT doc_id, CASE WHEN bucket < 230 THEN 'train'
+              |         WHEN bucket < 243 THEN 'val' ELSE 'test' END AS split FROM b),
+              |ev AS (SELECT DISTINCT s.shingle FROM sidx s
+              |       JOIN sp ON s.doc_id = sp.doc_id WHERE sp.split <> 'train'),
+              |tr AS (SELECT doc_id FROM sp WHERE split = 'train'),
+              |shared AS (
+              |  SELECT s.doc_id, count(*)::BIGINT AS n_shared
+              |  FROM sidx s JOIN ev ON s.shingle = ev.shingle
+              |  JOIN tr ON tr.doc_id = s.doc_id GROUP BY s.doc_id)
+              |SELECT t.doc_id, coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+              |  coalesce(sh.n_shared, 0) > 0 AS contaminated
+              |FROM tr t LEFT JOIN shared sh ON sh.doc_id = t.doc_id
+              |ORDER BY t.doc_id""".stripMargin)),
+
+    // Stratified deterministic sampling: per-source keep thresholds over
+    // the content-keyed (source-salted) 0..255 bucket — src0 down to
+    // ~25%, src1 ~50%, src2 dropped, everything else ~75%.
+    Gate("q49_stratified_sample",
+      (s, d) => TextPipeline.stratifiedSample(documents(s, d), "source",
+        Map("src0" -> 64, "src1" -> 128, "src2" -> 0), defaultThreshold = 192)
+        .select(col("doc_id"), col("source"), col("sample_bucket"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH b AS (SELECT doc_id, source,
+              |  ${bucketSqlOf("coalesce(source, '') || ':' || coalesce(text, '')")} AS bucket
+              |  FROM documents)
+              |SELECT doc_id, source, bucket::BIGINT AS sample_bucket FROM b
+              |WHERE bucket < CASE WHEN source = 'src0' THEN 64
+              |                    WHEN source = 'src1' THEN 128
+              |                    WHEN source = 'src2' THEN 0 ELSE 192 END
+              |ORDER BY doc_id""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)

@@ -527,6 +527,124 @@ object Similarity {
       queryIdCol, vecCol)
   }
 
+  // ---------------------------------------------------------------------
+  // Scalar quantization (int8) with exact re-rank
+  // ---------------------------------------------------------------------
+
+  /** Per-dimension (lo, hi) quantization bounds over the corpus — the
+    * training pass of int8 scalar quantization. ONE aggregation job:
+    * posexplode fans each vector into dim rows, but partial aggregation
+    * (map-side combine) collapses every partition to dim rows before the
+    * shuffle, so the exchange carries nPartitions·dim rows regardless of
+    * corpus size. min/max are exact in IEEE double (no summation), so the
+    * bounds — and everything derived from them — are bit-reproducible.
+    */
+  def sq8Train(
+      corpus: DataFrame, dim: Int,
+      vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val rows = corpus
+      .select(posexplode(asDouble(col(vecCol))).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .collect()
+    val lo = Array.fill(dim)(0.0)
+    val hi = Array.fill(dim)(0.0)
+    rows.foreach { r =>
+      val d = r.getInt(0); lo(d) = r.getDouble(1); hi(d) = r.getDouble(2)
+    }
+    (lo, hi)
+  }
+
+  /** Encode a vector to int8 codes (stored as `array<tinyint>`, code−128):
+    * code = min(255, floor((x − lo) / (hi − lo) · 256)), 0 for a constant
+    * dimension. Pure floor arithmetic — no round-half ambiguity between
+    * engines — and 1 byte per dimension: a 100 TB float32 embedding table
+    * scans as 25 TB during candidate generation.
+    */
+  def sq8Code(vec: Column, lo: Array[Double], hi: Array[Double]): Column = {
+    val loA = array(lo.map(lit): _*)
+    val hiA = array(hi.map(lit): _*)
+    transform(asDouble(vec), (x, i) => {
+      val l = element_at(loA, i + 1)
+      val h = element_at(hiA, i + 1)
+      (when(h === l, lit(0L))
+        .otherwise(least(lit(255L), floor((x - l) / (h - l) * 256.0)))
+        - 128L).cast("byte")
+    })
+  }
+
+  /** Decode int8 codes to the bucket-midpoint reconstruction:
+    * x̂ = lo + (code + 0.5) · (hi − lo) / 256 (lo for a constant
+    * dimension) — the value asymmetric distance computation scores
+    * against.
+    */
+  def sq8Dequant(codes: Column, lo: Array[Double], hi: Array[Double]): Column = {
+    val loA = array(lo.map(lit): _*)
+    val hiA = array(hi.map(lit): _*)
+    transform(codes, (cb, i) => {
+      val l = element_at(loA, i + 1)
+      val h = element_at(hiA, i + 1)
+      val code = cb.cast("int") + lit(128)
+      when(h === l, l)
+        .otherwise(l + (code.cast("double") + 0.5) * (h - l) / 256.0)
+    })
+  }
+
+  /** Approximate top-k by int8 scalar quantization with EXACT re-rank —
+    * the memory/bandwidth scale path for brute-force-quality search:
+    *
+    *  1. train per-dimension bounds ([[sq8Train]], one tiny-shuffle job);
+    *  2. candidate generation scans ONLY the 1-byte/dim codes
+    *     (asymmetric distance: exact query vs dequantized corpus —
+    *     queries are never quantized), ranks by 6dp-rounded approximate
+    *     cosine, and keeps `rerank` candidates per query;
+    *  3. the full float vectors are joined back for the surviving
+    *     `rerank`·|queries| rows only and scored EXACTLY.
+    *
+    * Reported sims are exact cosines — quantization error affects recall
+    * only, and `rerank ≥ |corpus|` degrades gracefully to
+    * [[bruteForceTopK]] (spec-asserted). At 1000 executors the hot scan
+    * reads 4× less than float32 brute force while the re-rank reads a
+    * bounded candidate set; the bounds/codes are computed here for
+    * self-containedness but a production pipeline persists the coded
+    * corpus once (same pattern as [[ivfBuild]]).
+    *
+    * Output: (query_id, vec_id, sim, rank), rank 1..k, ties → lower
+    * vec_id.
+    */
+  def sq8TopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int, dim: Int,
+      queryIdCol: String = "query_id", vecCol: String = "embedding",
+      corpusIdCol: String = "vec_id"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    val (lo, hi) = sq8Train(corpus, dim, vecCol)
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+      col(vecCol).as("__cv"))
+    // the candidate relation is (vec_id, dequant(code)) — in this
+    // self-contained form codes are derived in the same scan, but the
+    // relation a persisted deployment scans is exactly these 1-byte codes
+    val coded = c.select(col("vec_id"),
+      sq8Dequant(sq8Code(col("__cv"), lo, hi), lo, hi).as("__dq"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("vec_id").asc)
+    val cand = coded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__dq")), 6).as("approx_sim"))
+      .withColumn("__r", row_number().over(wA))
+      .where(col("__r") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .join(c, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ minSim),
     * blocked by banded multi-table SRP — the MinHash-bands pattern
     * applied to sign random projections. `nTables` independent tables of

@@ -298,4 +298,79 @@ object TextPipeline {
         .localCheckpoint()
     } finally parted.unpersist()
   }
+
+  // ---------------------------------------------------------------------
+  // Benchmark decontamination (train/eval n-gram overlap)
+  // ---------------------------------------------------------------------
+
+  /** Flag training documents that share any word n-gram with an
+    * evaluation corpus — the standard pretraining decontamination check
+    * (eval answers leaking into training data inflate benchmark scores).
+    *
+    * Shape at scale: the EVAL side is benchmark suites — megabytes
+    * against a 100 TB corpus — so its distinct shingle set is broadcast
+    * and the training corpus streams through a broadcast-hash semi-join
+    * with NO shuffle of the big side; only the per-doc match counts
+    * aggregate (map-side combined, ≤ one row per contaminated doc).
+    * Shingles use [[shingleSet]] (distinct word n-grams of the analyzer
+    * token stream), so `n_shared` counts DISTINCT shared n-grams.
+    *
+    * Output: one row per training doc — (id, n_shared, contaminated).
+    */
+  def decontaminateAgainst(
+      train: DataFrame, eval: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val evalShingles = eval
+      .select(explode(shingleSet(col(textCol), n)).as("__sh"))
+      .distinct()
+    val trainShingles = train.select(col(idCol).cast("long").as("id"),
+      explode(shingleSet(col(textCol), n)).as("__sh"))
+    val shared = trainShingles
+      .join(broadcast(evalShingles), "__sh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).cast("long").as("id"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Stratified deterministic sampling (source mixing)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic keep/drop bucket for stratified sampling: the
+    * [[hashBucket256]] arithmetic over `strata || ':' || content`, so the
+    * decision (a) needs no RNG or seed plumbing — re-runs and retries
+    * agree everywhere, (b) is content-keyed — byte-identical documents in
+    * a stratum are kept or dropped TOGETHER (no partial dup survival to
+    * skew dedup-rate estimates downstream), and (c) is stratum-salted —
+    * the same text in two sources draws independent buckets.
+    */
+  def sampleBucket(strata: Column, text: Column): Column =
+    hashBucket256(concat_ws(":", coalesce(strata, lit("")),
+      coalesce(text, lit(""))))
+
+  /** Down-sample each stratum (source/domain) to `threshold(strata)/256`
+    * of its documents — how a pretraining mix up/down-weights sources.
+    * Thresholds are integers in 0..256 (keep iff bucket < threshold):
+    * exact 1/256 granularity instead of a float rate, so engine and
+    * oracle agree by integer comparison. Strata absent from `thresholds`
+    * use `defaultThreshold`. Pure per-row Column logic — no shuffle, no
+    * RNG; scales as a filter.
+    *
+    * Output: the kept rows of `docs` plus their `sample_bucket`.
+    */
+  def stratifiedSample(
+      docs: DataFrame, strataCol: String, thresholds: Map[String, Int],
+      defaultThreshold: Int, textCol: String = "text"): DataFrame = {
+    require((thresholds.values ++ Seq(defaultThreshold)).forall(t => t >= 0 && t <= 256),
+      "thresholds must be in 0..256")
+    val bucket = sampleBucket(col(strataCol), col(textCol))
+    val cutoff = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (s, t)) => when(col(strataCol) === s, lit(t)).otherwise(acc)
+    }
+    docs.withColumn("sample_bucket", bucket.cast("long"))
+      .where(col("sample_bucket") < cutoff)
+  }
 }

@@ -486,6 +486,124 @@ class PipelineSpec extends AnyFunSuite {
       d1.features.toSeq)
   }
 
+  // ------------------------------------------------------------------
+  // int8 scalar quantization with exact re-rank
+  // ------------------------------------------------------------------
+
+  /** 40 deterministic vectors in 4 well-separated direction clusters. */
+  private lazy val sqCorpus = {
+    val sp = spark
+    import sp.implicits._
+    (0 until 40).map { i =>
+      val v = Array.tabulate(8) { j =>
+        (math.sin((i % 4) * 8 + j * 1.7) + 0.01 * (i / 4) * ((j % 3) - 1)).toFloat
+      }
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("sq8 top-k: rerank window = corpus size degrades to exact brute force") {
+    val qs = sqCorpus.where(col("vec_id") < 4)
+      .withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val brute = key(Similarity.bruteForceTopK(qs, sqCorpus, k = 10))
+    val sq = key(Similarity.sq8TopK(qs, sqCorpus, k = 10, rerank = 40, dim = 8))
+    assert(sq == brute)
+  }
+
+  test("sq8 codes are genuine int8 and reconstruct within half a bucket") {
+    val (lo, hi) = Similarity.sq8Train(sqCorpus, dim = 8)
+    val coded = sqCorpus.select(col("embedding"),
+      Similarity.sq8Code(col("embedding"), lo, hi).as("codes"),
+      Similarity.sq8Dequant(
+        Similarity.sq8Code(col("embedding"), lo, hi), lo, hi).as("dq"))
+    // the stored element type is 1-byte — the 4× scan-width claim is real
+    val elem = coded.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elem == org.apache.spark.sql.types.ByteType)
+    // reconstruction error ≤ half a quantization bucket per dimension
+    coded.collect().foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      val dq = r.getSeq[Double](r.fieldIndex("dq"))
+      v.indices.foreach { j =>
+        val bucketW = (hi(j) - lo(j)) / 256.0
+        assert(math.abs(v(j).toDouble - dq(j)) <= bucketW / 2 + 1e-12,
+          s"dim $j: ${v(j)} vs ${dq(j)} (bucket $bucketW)")
+      }
+    }
+  }
+
+  test("sq8 small rerank window still recalls the true top-k on clustered data") {
+    val qs = sqCorpus.where(col("vec_id") < 4)
+      .withColumnRenamed("vec_id", "query_id")
+    def ids(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val brute = ids(Similarity.bruteForceTopK(qs, sqCorpus, k = 5))
+    val sq = ids(Similarity.sq8TopK(qs, sqCorpus, k = 5, rerank = 10, dim = 8))
+    val recall = (brute & sq).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  // ------------------------------------------------------------------
+  // Decontamination + stratified sampling
+  // ------------------------------------------------------------------
+
+  test("decontamination flags train docs sharing an n-gram with eval, counts distinct shingles") {
+    val sp = spark
+    import sp.implicits._
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // shares 5-gram run with eval 101
+      (2L, "one two three four five six seven"), // clean
+      (3L, "alpha beta gamma delta epsilon zeta eta"), // shares two 5-grams
+      (4L, "short text") // < n tokens → whole-text shingle, no overlap
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (101L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (102L, "unrelated evaluation prompt entirely")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.decontaminateAgainst(train, eval, n = 5)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
+    // doc 1: 6 tokens → 2 distinct 5-grams, both inside eval 101's stream
+    assert(out(1L) == (2L, true))
+    assert(out(2L) == (0L, false))
+    // doc 3: 7 tokens → 3 distinct 5-grams, all inside eval 101's stream
+    assert(out(3L) == (3L, true))
+    assert(out(4L) == (0L, false))
+  }
+
+  test("stratified sampling: deterministic, threshold-exact, strata-salted") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"src${i % 4}", s"document number $i with some body text")
+    }.toDF("doc_id", "source", "text")
+    val kept = TextPipeline.stratifiedSample(rows, "source",
+      Map("src0" -> 0, "src1" -> 256), defaultThreshold = 128)
+    val bySrc = kept.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0")) // threshold 0 drops the stratum
+    assert(bySrc("src1") == 50L) // threshold 256 keeps every row
+    // default threshold: a genuine subsample, not all-or-nothing
+    assert(bySrc.get("src2").forall(n => n > 0 && n < 50))
+    // deterministic: a second run keeps the identical set
+    val ids1 = kept.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val ids2 = TextPipeline.stratifiedSample(rows, "source",
+      Map("src0" -> 0, "src1" -> 256), defaultThreshold = 128)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+    // strata-salting: the same TEXT under different sources draws
+    // different buckets (so per-source rates are independent)
+    val sameText = Seq((1L, "a", "identical body"), (2L, "b", "identical body"))
+      .toDF("doc_id", "source", "text")
+    val buckets = sameText.select(
+      TextPipeline.sampleBucket(col("source"), col("text")).as("b"))
+      .collect().map(_.getInt(0)).toSet
+    assert(buckets.size == 2)
+  }
+
   test("metadata-only scan prunes the payload column (parquet ReadSchema)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString
     Multimodal.syntheticAssets(docs, "doc_id", "text")
