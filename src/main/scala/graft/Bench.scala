@@ -114,7 +114,24 @@ object Bench {
       }),
       "ann_ivf_top10" -> (() => Similarity.ivfTopKIndexed(spark, ivfDir,
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
-        k = 10, nprobe = 2).count()))
+        k = 10, nprobe = 2).count()),
+      // int8 scalar quantization: brute-force-shaped scan over 1-byte/dim
+      // codes + exact re-rank of a bounded candidate set (train+encode
+      // inline here; a deployment persists the coded corpus like IVF)
+      "ann_sq8_top10" -> (() => Similarity.sq8TopK(
+        embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        embeddings, k = 10, rerank = 50, dim = 64).count()),
+      "decontaminate" -> (() => {
+        val withSplit = documents.withColumn("split",
+          graft.pipeline.TextPipeline.splitAssign(
+            graft.pipeline.TextPipeline.hashBucket256(col("text"))))
+        graft.pipeline.TextPipeline.decontaminateAgainst(
+          withSplit.where(col("split") === "train"),
+          withSplit.where(col("split") =!= "train"), n = 5).count()
+      }),
+      "stratified_sample" -> (() => graft.pipeline.TextPipeline
+        .stratifiedSample(documents, "source",
+          Map("src0" -> 64, "src1" -> 128, "src2" -> 0), 192).count()))
 
     // Query-path entries run once UNTIMED first: they model steady-state
     // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-
