@@ -106,6 +106,15 @@ object GateQueries {
     })
   }
 
+  private val sq8Dirs = scala.collection.mutable.Map.empty[String, String]
+  def sq8IndexDir(spark: SparkSession, dir: String): String = synchronized {
+    sq8Dirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-sq8idx").toString
+      Similarity.sq8Build(embeddings(spark, dir), d, dim = 64)
+      d
+    })
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL shared CTE fragments
   // ------------------------------------------------------------------
@@ -1276,6 +1285,54 @@ object GateQueries {
         Similarity.sq8TopK(
           e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
           e, k = 10, rerank = 30, dim = 64)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |mm AS (
+             |  SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+             |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+             |dq AS (
+             |  SELECT e.vec_id, mm.i,
+             |    CASE WHEN mm.hi = mm.lo THEN mm.lo
+             |         ELSE mm.lo + (least(255, floor((v[mm.i] - mm.lo) / (mm.hi - mm.lo) * 256))::DOUBLE + 0.5)
+             |              * (mm.hi - mm.lo) / 256 END AS xq
+             |  FROM e CROSS JOIN mm),
+             |dqv AS (SELECT vec_id, list(xq ORDER BY i) AS dv FROM dq GROUP BY vec_id),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |approx AS (
+             |  SELECT q.query_id, d.vec_id,
+             |    round(list_sum([qv[i] * dv[i] for i in range(1, len(dv) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in dv]))), 6) AS asim
+             |  FROM dqv d CROSS JOIN q),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, vec_id ASC) AS r
+             |    FROM approx) WHERE r <= 30),
+             |exact AS (
+             |  SELECT c.query_id, c.vec_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS sim
+             |  FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.query_id = c.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+             |  FROM exact)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // The persisted-index twin of q47: identical semantics (and identical
+    // oracle), but candidates are generated from the stored 1-byte codes
+    // and the re-rank reads the survivors through a pushed-down id filter.
+    Gate("q47b_sq8_indexed",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.sq8TopKIndexed(s, sq8IndexDir(s, d),
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          k = 10, rerank = 30)
           .select(col("query_id"), col("vec_id"), col("sim"),
             col("rank").cast("long").as("rank"))
           .orderBy(col("query_id"), col("rank"))

@@ -589,6 +589,133 @@ object Similarity {
     })
   }
 
+  /** The SQ8 bounds commit file — presence marks a [[sq8Build]] index
+    * complete (it is deleted first and written last, atomically).
+    */
+  val Sq8BoundsName = "_sq8.json"
+
+  private def writeSq8Bounds(
+      dir: String, lo: Array[Double], hi: Array[Double]): Unit = {
+    def arr(a: Array[Double]) = a.mkString("[", ",", "]")
+    graft.index.MetaIO.writeAtomic(s"$dir/$Sq8BoundsName",
+      s"""{"nonce":${System.nanoTime()},"dim":${lo.length},"lo":${arr(lo)},"hi":${arr(hi)}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[graft] def readSq8Bounds(dir: String): (Array[Double], Array[Double]) = {
+    val f = s"$dir/$Sq8BoundsName"
+    require(graft.index.MetaIO.exists(f),
+      s"no committed SQ8 index at $dir (missing $Sq8BoundsName — " +
+        "incomplete or absent build)")
+    val s = graft.index.MetaIO.readString(f)
+    def arr(key: String): Array[Double] =
+      s""""$key":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+        .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble))
+        .getOrElse(sys.error(s"malformed $f: no $key"))
+    (arr("lo"), arr("hi"))
+  }
+
+  /** Persist an SQ8 index at `dir`: ONE `vectors` parquet holding
+    * (vec_id, embedding, codes) plus the atomic bounds file. Keeping
+    * codes and vectors as COLUMNS of one table (instead of two tables)
+    * makes the storage contract columnar: the candidate scan prunes to
+    * the 1-byte `codes` column, the re-rank reads `embedding` for the
+    * id-filtered survivors only — parquet column pruning and predicate
+    * pushdown do the work, no duplicate id plumbing. Rows are sorted by
+    * vec_id within partitions so the re-rank's id filter also prunes
+    * row groups via min/max stats.
+    *
+    * Crash discipline (the [[ivfBuild]] rules): the bounds file is
+    * deleted FIRST and rewritten LAST — a kill mid-build leaves an index
+    * that [[sq8TopKIndexed]] refuses loudly, never stale bounds silently
+    * paired with fresh codes.
+    */
+  def sq8Build(
+      corpus: DataFrame, dir: String, dim: Int,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    graft.index.MetaIO.deleteIfExists(s"$dir/$Sq8BoundsName")
+    val (lo, hi) = sq8Train(corpus, dim, vecCol)
+    corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"),
+        sq8Code(col(vecCol), lo, hi).as("codes"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    writeSq8Bounds(dir, lo, hi)
+  }
+
+  /** Candidate generation shared by the in-memory and indexed SQ8 paths:
+    * rank ALL vectors per query by 6dp-rounded asymmetric cosine, keep
+    * `rerank` per query.
+    */
+  private def sq8Candidates(
+      q: DataFrame, coded: DataFrame, rerank: Int): DataFrame = {
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("vec_id").asc)
+    coded.crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__dq")), 6).as("approx_sim"))
+      .withColumn("__r", row_number().over(wA))
+      .where(col("__r") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+  }
+
+  /** Exact re-rank shared by the SQ8 paths: join candidates back to the
+    * float vectors (`vecs`: (vec_id, __cv)) and the broadcast queries,
+    * score exactly, keep top k.
+    */
+  private def sq8Rerank(
+      cand: DataFrame, vecs: DataFrame, q: DataFrame, k: Int): DataFrame = {
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    cand
+      .join(vecs, "vec_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
+      .withColumn("rank", row_number().over(wE))
+      .where(col("rank") <= k)
+  }
+
+  /** SQ8 search against a persisted [[sq8Build]] index. The candidate
+    * scan reads ONLY (vec_id, codes) — 1 byte/dim off disk, 4× less than
+    * float32 — and the exact re-rank reads `embedding` through a
+    * pushed-down id filter over the bounded candidate set
+    * (rerank · |queries| ids, the same bounded-driver contract as the
+    * WAND envelopes), so row-group stats prune the heavy column to the
+    * survivors. Results ≡ [[sq8TopK]] over the same corpus
+    * (spec-asserted).
+    */
+  def sq8TopKIndexed(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      rerank: Int, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    // checkpointed: the candidate pass runs ONCE, serving both the id
+    // collect and the final join (PlanQualitySpec asserts its plan shape
+    // on the un-checkpointed twin below)
+    val cand = sq8IndexedCandidates(spark, dir, q, rerank).localCheckpoint()
+    val ids = cand.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ rerank · |queries|
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("embedding").as("__cv"))
+      .where(col("vec_id").isin(ids: _*))
+    sq8Rerank(cand, vecs, q, k)
+  }
+
+  /** The indexed candidate pass, pre-checkpoint — the plan that proves
+    * the 1-byte contract: its only file scan reads (vec_id, codes),
+    * never `embedding`.
+    */
+  private[graft] def sq8IndexedCandidates(
+      spark: SparkSession, dir: String, q: DataFrame, rerank: Int): DataFrame = {
+    val (lo, hi) = readSq8Bounds(dir)
+    val coded = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), sq8Dequant(col("codes"), lo, hi).as("__dq"))
+    sq8Candidates(q, coded, rerank)
+  }
+
   /** Approximate top-k by int8 scalar quantization with EXACT re-rank —
     * the memory/bandwidth scale path for brute-force-quality search:
     *
@@ -622,27 +749,11 @@ object Similarity {
     val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
       col(vecCol).as("__cv"))
     // the candidate relation is (vec_id, dequant(code)) — in this
-    // self-contained form codes are derived in the same scan, but the
-    // relation a persisted deployment scans is exactly these 1-byte codes
+    // self-contained form codes are derived in the same scan; the
+    // persisted twin ([[sq8TopKIndexed]]) scans the stored 1-byte codes
     val coded = c.select(col("vec_id"),
       sq8Dequant(sq8Code(col("__cv"), lo, hi), lo, hi).as("__dq"))
-    val wA = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_sim").desc, col("vec_id").asc)
-    val cand = coded.crossJoin(broadcast(q))
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("__qv"), col("__dq")), 6).as("approx_sim"))
-      .withColumn("__r", row_number().over(wA))
-      .where(col("__r") <= rerank)
-      .select(col("query_id"), col("vec_id"))
-    val wE = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id").asc)
-    cand
-      .join(c, "vec_id")
-      .join(broadcast(q), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        round(cosine(col("__qv"), col("__cv")), 6).as("sim"))
-      .withColumn("rank", row_number().over(wE))
-      .where(col("rank") <= k)
+    sq8Rerank(sq8Candidates(q, coded, rerank), c, q, k)
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ minSim),

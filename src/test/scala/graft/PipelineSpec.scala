@@ -546,6 +546,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("sq8 persisted index: indexed == in-memory; codes-only candidate scan; pushed id filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sq8").toString
+    Similarity.sq8Build(sqCorpus, dir, dim = 8)
+    val qs = sqCorpus.where(col("vec_id") < 4)
+      .withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val mem = key(Similarity.sq8TopK(qs, sqCorpus, k = 10, rerank = 12, dim = 8))
+    val idxDf = Similarity.sq8TopKIndexed(spark, dir, qs, k = 10, rerank = 12)
+    assert(key(idxDf) == mem)
+    // the physical contract, half 1: the candidate pass's only file scan
+    // reads (vec_id, codes) — the float vectors are column-pruned away
+    val candPlan = Similarity.sq8IndexedCandidates(spark, dir,
+      qs.select(col("query_id"), col("embedding").as("__qv")), rerank = 12)
+      .queryExecution.executedPlan.toString
+    val candScans = candPlan.split("\n").filter(_.contains("ReadSchema"))
+    assert(candScans.nonEmpty && candScans.forall(l =>
+      l.contains("codes") && !l.contains("embedding")),
+      s"candidate scan not codes-only:\n$candPlan")
+    // half 2: the re-rank reads `embedding` through a pushed-down id
+    // filter over the bounded candidate set
+    val plan = idxDf.queryExecution.executedPlan.toString
+    val rerankScan = plan.split("\n").filter(l =>
+      l.contains("ReadSchema") && l.contains("embedding"))
+    assert(rerankScan.exists(_.contains("In(vec_id")),
+      s"candidate id filter not pushed to the embedding scan:\n$plan")
+    // crash discipline: an index without its bounds commit file refuses
+    graft.index.MetaIO.deleteIfExists(s"$dir/${Similarity.Sq8BoundsName}")
+    intercept[IllegalArgumentException] {
+      Similarity.sq8TopKIndexed(spark, dir, qs, k = 5, rerank = 5)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Decontamination + stratified sampling
   // ------------------------------------------------------------------
