@@ -1417,7 +1417,35 @@ object GateQueries {
               |WHERE bucket < CASE WHEN source = 'src0' THEN 64
               |                    WHEN source = 'src1' THEN 128
               |                    WHEN source = 'src2' THEN 0 ELSE 192 END
-              |ORDER BY doc_id""".stripMargin)))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Out-of-vocabulary rate vs the corpus top-20 vocabulary (rare-token
+    // quality filter); the oracle reconstructs the frequency-ranked
+    // vocabulary cutoff (ties → term asc) and the multiplicity-counting
+    // per-doc join.
+    Gate("q50_oov_rate",
+      (s, d) => TextPipeline.oovRate(documents(s, d), "doc_id", "text", v = 20)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("n_oov"),
+          col("oov_frac"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $ToksCte,
+              |tc AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+              |vocab AS (
+              |  SELECT term FROM (
+              |    SELECT term, row_number() OVER (ORDER BY c DESC, term ASC) AS r
+              |    FROM tc) WHERE r <= 20),
+              |per AS (
+              |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+              |    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+              |  FROM toks t LEFT JOIN vocab v ON t.term = v.term
+              |  GROUP BY t.doc_id)
+              |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+              |  coalesce(p.n_oov, 0) AS n_oov,
+              |  CASE WHEN coalesce(p.n_tokens, 0) > 0
+              |       THEN round(p.n_oov::DOUBLE / p.n_tokens::DOUBLE, 6)
+              |       ELSE 0.0 END AS oov_frac
+              |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)

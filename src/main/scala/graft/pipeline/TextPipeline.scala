@@ -336,6 +336,52 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Out-of-vocabulary rate (rare-token quality filtering)
+  // ---------------------------------------------------------------------
+
+  /** The corpus's top-`v` vocabulary by token frequency (ties → term
+    * asc, fully deterministic). One map-combined shuffle to vocab-sized
+    * counts, then TakeOrdered — driver state bounded by `v`, which is a
+    * model property (e.g. 2^16), not a data property.
+    */
+  def topVocab(docs: DataFrame, textCol: String, v: Int): DataFrame =
+    docs.select(explode(Analyzer.tokensCol(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term").asc)
+      .limit(v)
+      .select(col("term"))
+
+  /** Per-document out-of-vocabulary stats against [[topVocab]]: high
+    * OOV fraction marks gibberish, boilerplate markup, or wrong-language
+    * text — a standard rare-token quality filter. Token MULTIPLICITY
+    * counts (a doc repeating one junk token scores high). The vocabulary
+    * is broadcast (bounded by `v`), so the corpus side streams through a
+    * broadcast left join with one map-combined per-doc aggregation —
+    * no big-side shuffle beyond it. Token-free documents score 0.0.
+    *
+    * Output: (id, n_tokens, n_oov, oov_frac).
+    */
+  def oovRate(
+      docs: DataFrame, idCol: String, textCol: String, v: Int): DataFrame = {
+    val vocab = topVocab(docs, textCol, v).withColumn("__in", lit(1))
+    val toks = docs.select(col(idCol).cast("long").as("id"),
+      explode(Analyzer.tokensCol(col(textCol))).as("term"))
+    val per = toks
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          round(col("n_oov").cast("double") / col("n_tokens").cast("double"), 6))
+          .otherwise(0.0).as("oov_frac"))
+  }
+
+  // ---------------------------------------------------------------------
   // Stratified deterministic sampling (source mixing)
   // ---------------------------------------------------------------------
 

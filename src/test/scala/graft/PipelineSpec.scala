@@ -608,6 +608,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == (0L, false))
   }
 
+  test("oov rate: frequency-ranked vocab cutoff, multiplicity counted, empty docs 0") {
+    val sp = spark
+    import sp.implicits._
+    // corpus counts: aa×5, bb×4, cc×2, dd×1 → top-2 vocab = {aa, bb}
+    val corpus = Seq(
+      (1L, "aa aa bb cc"),
+      (2L, "aa bb bb dd"),
+      (3L, "aa aa bb cc aa"), // 1 OOV of 5
+      (4L, ""),
+      (5L, "bb")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.oovRate(corpus, "doc_id", "text", v = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_oov"),
+          r.getAs[Double]("oov_frac"))).toMap
+    assert(out(1L) == (4L, 1L, 0.25))
+    assert(out(2L) == (4L, 1L, 0.25))
+    assert(out(3L) == (5L, 1L, 0.2))
+    assert(out(4L) == (0L, 0L, 0.0)) // token-free doc present, scores 0
+    assert(out(5L) == (1L, 0L, 0.0))
+    // the cutoff moves deterministically: v=3 admits cc (count 2) but
+    // still excludes dd (count 1)
+    val out3 = TextPipeline.oovRate(corpus, "doc_id", "text", v = 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("n_oov")).toMap
+    assert(out3(1L) == 0L && out3(2L) == 1L)
+  }
+
   test("stratified sampling: deterministic, threshold-exact, strata-salted") {
     val sp = spark
     import sp.implicits._
