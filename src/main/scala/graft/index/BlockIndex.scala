@@ -36,9 +36,29 @@ object BlockIndex {
 
   val ManifestName = "_manifest.jsonl"
   val StatsName = "_stats.json"
-  val DocLensName = "_doclens"
+  // Parquet metadata tables carry NON-hidden names: Spark's DataSource
+  // logs a loud "All paths were ignored" warning for every read of an
+  // explicitly-passed path whose leaf starts with '_' (it still reads
+  // it, but the noise lands in benchmark/driver logs). Hidden naming
+  // bought nothing — shard data is read via explicit `shard=N` paths,
+  // never by listing the index root. The JSON sidecars keep their '_'
+  // names (MetaIO reads them directly; Spark never lists them).
+  val DocLensName = "doclens"
   val SegmentsName = "_segments.json"
-  val VocabName = "_vocab"
+  val VocabName = "vocab"
+  // pre-rename hidden spellings, still resolved on read and swept on
+  // delete so indexes written by earlier builds keep working
+  private val LegacyDocLensName = "_doclens"
+  private val LegacyVocabName = "_vocab"
+
+  /** The on-disk path of a parquet metadata table under segment dir `d`,
+    * preferring the current name but resolving the legacy hidden name.
+    */
+  private def metaTablePath(
+      d: String, name: String, legacy: String): Option[String] =
+    if (MetaIO.exists(s"$d/$name")) Some(s"$d/$name")
+    else if (MetaIO.exists(s"$d/$legacy")) Some(s"$d/$legacy")
+    else None
 
   /** Block relation schema (shard partition column excluded). */
   val BlockSchema: org.apache.spark.sql.types.StructType = {
@@ -181,6 +201,8 @@ object BlockIndex {
       MetaIO.deleteIfExists(s"$dir/$SegmentsName")
       MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$LegacyDocLensName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$LegacyVocabName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$ManifestName")
       MetaIO.list(dir)
         .filter(n => n.startsWith("shard=") || n.startsWith("seg-"))
@@ -473,7 +495,7 @@ object BlockIndex {
 
   /** Commit a segment list: combined counts from per-segment stats, exact
     * cross-segment distinct vocabulary, then the atomic `_segments.json`
-    * replace. The vocabulary union reads each segment's `_vocab` table
+    * replace. The vocabulary union reads each segment's `vocab` table
     * (one row per DISTINCT term, written at build completion) — NOT the
     * block-level term column, which carries one entry per (term, blockId)
     * row and made every refresh pay a near-full index metadata scan.
@@ -485,9 +507,9 @@ object BlockIndex {
     val perSeg = dirs.map(readStatsPlain) // NEVER the segmented view of "."
     val vocab = dirs
       .flatMap { d =>
-        if (MetaIO.exists(s"$d/$VocabName"))
-          Some(spark.read.parquet(s"$d/$VocabName").select(col("term")))
-        else plainBlocks(spark, d, layout).map(_.select(col("term")))
+        metaTablePath(d, VocabName, LegacyVocabName)
+          .map(p => spark.read.parquet(p).select(col("term")))
+          .orElse(plainBlocks(spark, d, layout).map(_.select(col("term"))))
       }
       .reduceOption(_ union _)
       .fold(0L)(_.distinct().count())
@@ -550,6 +572,8 @@ object BlockIndex {
       MetaIO.deleteIfExists(s"$dir/$StatsName")
       MetaIO.deleteIfExists(s"$dir/$DocLensName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$VocabName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$LegacyDocLensName", recursive = true)
+      MetaIO.deleteIfExists(s"$dir/$LegacyVocabName", recursive = true)
     }
   }
 
@@ -561,7 +585,8 @@ object BlockIndex {
 
   /** The materialized doc-length relation across all segments. */
   private def readDocLens(spark: SparkSession, dir: String): DataFrame =
-    segDirs(dir).map(d => s"$d/$DocLensName").filter(MetaIO.exists)
+    segDirs(dir)
+      .flatMap(d => metaTablePath(d, DocLensName, LegacyDocLensName))
       .map(p => spark.read.parquet(p).select(col("docId"), col("len")))
       .reduceOption(_ union _)
       .getOrElse {
@@ -618,8 +643,8 @@ object BlockIndex {
     // prefer the materialized doc-length parquet (written at build time);
     // decode-and-distinct over the whole index is only the fallback for
     // pre-doclens indexes
-    val docLensPaths = segDirs(dir).map(d => s"$d/$DocLensName")
-      .filter(MetaIO.exists)
+    val docLensPaths = segDirs(dir)
+      .flatMap(d => metaTablePath(d, DocLensName, LegacyDocLensName))
     val docLens =
       if (docLensPaths.nonEmpty)
         docLensPaths.map(p => spark.read.parquet(p).select(col("docId"), col("len")))

@@ -21,7 +21,7 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *     read-concat-rewrite; an object-store-native layout (per-shard
   *     marker objects) is the documented alternative, out of scope here.
   *
-  * The parquet payloads (shards, _doclens, _vocab) already go through
+  * The parquet payloads (shards, doclens, vocab) already go through
   * Spark's Hadoop readers/writers and need nothing from this object.
   */
 object MetaIO {
