@@ -1445,6 +1445,53 @@ object GateQueries {
               |       THEN round(p.n_oov::DOUBLE / p.n_tokens::DOUBLE, 6)
               |       ELSE 0.0 END AS oov_frac
               |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Context-window chunking (size 16, stride 12 → overlapping
+    // training sequences); the oracle re-derives chunk starts with
+    // range(0, n, stride) and slices the token list directly.
+    Gate("q51_chunk_windows",
+      (s, d) => TextPipeline.chunkTokens(documents(s, d), "doc_id", "text",
+          chunkSize = 16, stride = 12)
+        .select(col("id").as("doc_id"), col("chunk_id"), col("start"),
+          col("n_tokens"), col("chunk_text"))
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some(s"""WITH d AS (
+              |  SELECT doc_id, list_transform(list_filter(
+              |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+              |    x -> x <> ''), x -> lower(x)) AS l
+              |  FROM documents),
+              |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+              |s AS (SELECT doc_id, n, l, unnest(range(0, n, 12)) AS start
+              |      FROM dn WHERE n > 0)
+              |SELECT doc_id, (start // 12)::BIGINT AS chunk_id,
+              |  start::BIGINT AS start,
+              |  least(16, n - start)::BIGINT AS n_tokens,
+              |  array_to_string(l[start+1 : least(start+16, n)], ' ')
+              |    AS chunk_text
+              |FROM s ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    // Unigram-LM negative log-likelihood (perplexity-proxy quality
+    // filter); the oracle recomputes corpus term counts and the
+    // per-token log-likelihood sum.
+    Gate("q52_unigram_nll",
+      (s, d) => TextPipeline.unigramNll(documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_tokens"), col("avg_nll"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $ToksCte,
+              |tc AS (SELECT term, count(*)::BIGINT AS c FROM toks GROUP BY term),
+              |tot AS (SELECT sum(c)::DOUBLE AS total FROM tc),
+              |per AS (
+              |  SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+              |    sum(ln(c.c::DOUBLE)) AS sumlogc
+              |  FROM toks t JOIN tc c ON t.term = c.term
+              |  GROUP BY t.doc_id)
+              |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+              |  CASE WHEN p.doc_id IS NULL THEN 0.0
+              |       ELSE round(ln(tot.total) - p.sumlogc / p.n_tokens::DOUBLE, 6)
+              |       END AS avg_nll
+              |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+              |CROSS JOIN tot
               |ORDER BY d.doc_id""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -382,6 +382,85 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Context-window chunking (training-sequence preparation)
+  // ---------------------------------------------------------------------
+
+  /** Split each document's token stream into fixed-size chunks advanced
+    * by `stride` tokens (stride < chunkSize ⇒ overlapping context
+    * windows, the standard long-document training prep; stride =
+    * chunkSize ⇒ disjoint chunks). Chunk starts are 0, stride, 2·stride,
+    * … < nTokens, so the tail chunk may be short; token-free documents
+    * emit no chunks. Entirely narrow — tokenize, `sequence` of starts,
+    * `posexplode`, `slice` — no shuffle, so it scales with executors
+    * like every other per-row op here. Pairs with
+    * [[Dedup.packAssign]] downstream (pack the emitted chunks into
+    * fixed token budgets).
+    *
+    * Output: (id, chunk_id, start, n_tokens, chunk_text), one row per
+    * chunk; chunk_id = start / stride.
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(stride > 0, s"stride must be positive, got $stride")
+    docs.select(col(idCol).cast("long").as("id"),
+        Analyzer.tokensCol(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+      .where(col("__n") > 0)
+      .select(col("id"), col("__n"), col("__toks"),
+        posexplode(sequence(lit(0L), col("__n") - 1, lit(stride.toLong)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("start"),
+        least(lit(chunkSize.toLong), col("__n") - col("start")).as("n_tokens"),
+        array_join(slice(col("__toks"), col("start") + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Unigram-LM quality score (perplexity-proxy filtering)
+  // ---------------------------------------------------------------------
+
+  /** Per-document average negative log-likelihood under the corpus's own
+    * unigram model — the shuffle-cheap stand-in for the CC-Net-style LM
+    * perplexity filter (Wenzek et al. 2020): documents of rare/garbage
+    * tokens score high, documents of common well-formed text score low.
+    * avg_nll = ln(totalTokens) − (Σ_t tf_t · ln c_t) / nTokens, where c_t
+    * is the corpus frequency of term t.
+    *
+    * Shape at scale: one map-combined (id, term) tf aggregation, one
+    * vocab-sized term-count aggregation, one term-keyed join of the
+    * DISTINCT-term relation (not the raw token stream) against the
+    * counts, one per-doc aggregation. The scalar total rides in via a
+    * broadcast cross join, keeping the op fully lazy. Token-free
+    * documents score 0.0. Rounded to 6 dp for cross-engine determinism.
+    *
+    * Output: (id, n_tokens, avg_nll).
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs.select(col(idCol).cast("long").as("id"),
+        explode(Analyzer.tokensCol(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
+    val totals = counts.agg(sum(col("c")).cast("double").as("__total"))
+    val per = tf.join(counts, Seq("term"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf").cast("double") * log(col("c").cast("double")))
+          .as("__sumlogc"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        when(col("n_tokens").isNull, 0.0)
+          .otherwise(round(
+            log(col("__total")) - col("__sumlogc") / col("n_tokens").cast("double"),
+            6))
+          .as("avg_nll"))
+  }
+
+  // ---------------------------------------------------------------------
   // Stratified deterministic sampling (source mixing)
   // ---------------------------------------------------------------------
 

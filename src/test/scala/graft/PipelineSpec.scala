@@ -665,6 +665,52 @@ class PipelineSpec extends AnyFunSuite {
     assert(buckets.size == 2)
   }
 
+  test("chunkTokens: overlapping windows, short tail, empty docs emit none") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, ""), // token-free → no chunks
+      (3L, "x y") // shorter than one chunk → single short chunk
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("chunk_id")) ->
+        (r.getAs[Long]("start"), r.getAs[Long]("n_tokens"),
+          r.getAs[String]("chunk_text"))).toMap
+    // starts 0,3,6,9; the window at 9 is a 1-token tail
+    assert(out((1L, 0L)) == (0L, 4L, "t0 t1 t2 t3"))
+    assert(out((1L, 1L)) == (3L, 4L, "t3 t4 t5 t6"))
+    assert(out((1L, 2L)) == (6L, 4L, "t6 t7 t8 t9"))
+    assert(out((1L, 3L)) == (9L, 1L, "t9"))
+    assert(!out.keySet.exists(_._1 == 2L))
+    assert(out((3L, 0L)) == (0L, 2L, "x y"))
+    // stride == chunkSize ⇒ disjoint cover: every token exactly once
+    val disjoint = TextPipeline.chunkTokens(docs, "doc_id", "text",
+        chunkSize = 3, stride = 3)
+      .where(col("id") === 1L).orderBy(col("chunk_id"))
+      .collect().map(_.getAs[String]("chunk_text")).mkString(" ")
+    assert(disjoint == "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+  }
+
+  test("unigram NLL: corpus-frequency model, hand-computed, empty docs 0") {
+    val sp = spark
+    import sp.implicits._
+    // corpus counts: aa=3, bb=1, cc=1 → total 5
+    val docs = Seq(
+      (1L, "aa aa bb"), (2L, "aa cc"), (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("avg_nll"))).toMap
+    // ln(5) - (2·ln3 + ln1)/3 = 0.877030 ; ln(5) - ln3/2 = 1.060132
+    assert(out(1L) == (3L, 0.877030))
+    assert(out(2L) == (2L, 1.060132))
+    assert(out(3L) == (0L, 0.0))
+    // rarer tokens ⇒ strictly higher surprise
+    assert(out(2L)._2 > out(1L)._2)
+  }
+
   test("metadata-only scan prunes the payload column (parquet ReadSchema)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString
     Multimodal.syntheticAssets(docs, "doc_id", "text")
