@@ -438,8 +438,16 @@ object TextPipeline {
     * Output: (id, n_tokens, avg_nll).
     */
   def unigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // The explicit isNotNull filters match what the joins below push into
+    // their own branches (the doc left join ⇒ isnotnull(id); the inner
+    // term join ⇒ isnotnull(term)), so all three consumers of `tf`
+    // (per-doc sums, corpus counts, corpus total) canonicalize
+    // identically and exchange reuse computes the tokenize+tf shuffle
+    // ONCE — without them the corpus is tokenized three times (verified
+    // on the executed plan).
     val tf = docs.select(col(idCol).cast("long").as("id"),
         explode(Analyzer.tokensCol(col(textCol))).as("term"))
+      .where(col("id").isNotNull && col("term").isNotNull)
       .groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
     val counts = tf.groupBy(col("term")).agg(sum(col("tf")).as("c"))
     val totals = counts.agg(sum(col("c")).cast("double").as("__total"))

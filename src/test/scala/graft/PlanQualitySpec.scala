@@ -1,7 +1,7 @@
 package graft
 
 import graft.index.BlockIndex
-import graft.pipeline.Similarity
+import graft.pipeline.{Similarity, TextPipeline}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -117,6 +117,21 @@ class PlanQualitySpec extends AnyFunSuite {
     val plan = planOf(df)
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
       s"simhash64 should run inside whole-stage codegen:\n$plan")
+  }
+
+  test("unigram NLL tokenizes the corpus once (exchange reuse across branches)") {
+    // Three logical consumers of the token stream (per-doc sums, corpus
+    // term counts, corpus total); the explicit isNotNull filters in
+    // unigramNll make the branches canonically identical so the
+    // tokenize+tf shuffle is computed once and reused.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = TextPipeline.unigramNll(docs, "doc_id", "text")
+    out.collect() // materialize so AQE's final plan is rendered
+    val plan = planOf(out).split("== Initial Plan ==")(0)
+    val textScans = plan.linesIterator
+      .count(l => l.contains("FileScan") && l.contains("text"))
+    assert(textScans == 1, s"corpus tokenized $textScans times:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
   }
 
   test("whole-stage codegen covers the scoring pipeline") {
