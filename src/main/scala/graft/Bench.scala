@@ -131,7 +131,12 @@ object Bench {
       }),
       "stratified_sample" -> (() => graft.pipeline.TextPipeline
         .stratifiedSample(documents, "source",
-          Map("src0" -> 64, "src1" -> 128, "src2" -> 0), 192).count()))
+          Map("src0" -> 64, "src1" -> 128, "src2" -> 0), 192).count()),
+      "chunk_windows" -> (() => graft.pipeline.TextPipeline
+        .chunkTokens(documents, "doc_id", "text",
+          chunkSize = 128, stride = 96).count()),
+      "unigram_nll" -> (() => graft.pipeline.TextPipeline
+        .unigramNll(documents, "doc_id", "text").count()))
 
     // Query-path entries run once UNTIMED first: they model steady-state
     // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-
