@@ -57,6 +57,7 @@ object Bench {
     val documents = GateQueries.documents(spark, sfDir)
     val embeddings = GateQueries.embeddings(spark, sfDir)
     val ivfDir = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
+    val posDir = java.nio.file.Files.createTempDirectory("graft-bench-pos").toString
 
     val benches: Seq[(String, () => Long)] = Seq(
       "bm25_wand_top10" ->
@@ -132,6 +133,14 @@ object Bench {
       "stratified_sample" -> (() => graft.pipeline.TextPipeline
         .stratifiedSample(documents, "source",
           Map("src0" -> 64, "src1" -> 128, "src2" -> 0), 192).count()),
+      // positional sidecar: build is a one-off artifact (cold, like
+      // ivf_build); phrase search reads only the phrase terms' shards
+      "pos_index_build" -> (() => {
+        graft.index.PositionalIndex.build(docs, posDir, nShards = 8)
+        1L
+      }),
+      "phrase_search_top10" -> (() => graft.index.PositionalIndex
+        .phraseSearch(spark, posDir, "order fast", 10).count()),
       "chunk_windows" -> (() => graft.pipeline.TextPipeline
         .chunkTokens(documents, "doc_id", "text",
           chunkSize = 128, stride = 96).count()),
@@ -143,7 +152,7 @@ object Bench {
     // cache warmth is the realistic regime — and cold first-runs swing
     // ±20% on this VM, which round 2 showed misattributes regressions.
     // Build entries stay cold/single-run: a batch build IS a cold job.
-    val warmupSkip = Set("ivf_build")
+    val warmupSkip = Set("ivf_build", "pos_index_build")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:

@@ -91,6 +91,19 @@ object GateQueries {
     })
   }
 
+  /** Persistent positional sidecar ([[graft.index.PositionalIndex]])
+    * built once per corpus directory — q53b's phrase search runs against
+    * the sharded on-disk artifact, not an in-memory relation.
+    */
+  private val posDirs = scala.collection.mutable.Map.empty[String, String]
+  def posIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    posDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-posidx").toString
+      graft.index.PositionalIndex.build(docsAsModel(spark, dir), d, nShards = 8)
+      d
+    })
+  }
+
   /** Persistent IVF ANN index ([[graft.pipeline.Similarity.ivfBuild]])
     * built once per corpus directory. iters = 0 → centroids are the K
     * smallest-id embedding vectors verbatim, which the DuckDB oracle
@@ -1492,7 +1505,64 @@ object GateQueries {
               |       END AS avg_nll
               |FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
               |CROSS JOIN tot
-              |ORDER BY d.doc_id""".stripMargin)))
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Exact phrase matching over token positions (logical path): docs
+    // containing "table scan" contiguously, with occurrence counts. The
+    // oracle re-derives token positions with range() indexing and mirrors
+    // the vote-count formulation (a start matching all m pattern indices
+    // is an occurrence).
+    Gate("q53_phrase_hits",
+      (s, d) => graft.index.PositionalIndex.phraseHits(
+          graft.index.PositionalIndex.textPositions(
+            documents(s, d), "doc_id", "text"),
+          Seq("table", "scan"))
+        .select(col("docId").as("doc_id"), col("phrase_tf"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |phrase(i, term) AS (
+             |  SELECT * FROM (VALUES (0, 'table'), (1, 'scan')) v(i, term)),
+             |m AS (SELECT t.doc_id, t.pos - p.i AS start
+             |      FROM tokpos t JOIN phrase p ON t.term = p.term
+             |      GROUP BY t.doc_id, t.pos - p.i
+             |      HAVING count(DISTINCT p.i) = 2)
+             |SELECT doc_id, count(*)::BIGINT AS phrase_tf
+             |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Top-k phrase search against the PERSISTED positional sidecar
+    // (sharded parquet, driver-local shard routing, pushed In(term)
+    // filter) — same oracle arithmetic, ranked (phrase_tf desc, doc_id).
+    Gate("q53b_phrase_search",
+      (s, d) => graft.index.PositionalIndex.phraseSearch(
+          s, posIndexDir(s, d), "table scan", 20)
+        .select(col("docId").as("doc_id"), col("phrase_tf"))
+        .orderBy(col("phrase_tf").desc, col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |phrase(i, term) AS (
+             |  SELECT * FROM (VALUES (0, 'table'), (1, 'scan')) v(i, term)),
+             |m AS (SELECT t.doc_id, t.pos - p.i AS start
+             |      FROM tokpos t JOIN phrase p ON t.term = p.term
+             |      GROUP BY t.doc_id, t.pos - p.i
+             |      HAVING count(DISTINCT p.i) = 2)
+             |SELECT doc_id, count(*)::BIGINT AS phrase_tf
+             |FROM m GROUP BY doc_id
+             |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)

@@ -1,0 +1,150 @@
+package graft.index
+
+import graft.analysis.Analyzer
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional postings + phrase queries — the fulltext capability the
+  * tf-only inverted index cannot express ("exact phrase" matching needs
+  * token ADJACENCY, not just co-occurrence). The reference engine has no
+  * positional index; this is a Spark-first extension layered NEXT TO the
+  * block index as an independent sidecar artifact, so the compressed
+  * block format, segments, refresh and compaction stay untouched.
+  *
+  * Phrase evaluation is a single-shuffle dataflow, not an m-way join:
+  * each posting of phrase term i at position p is a vote for a phrase
+  * occurrence starting at p − i; a start that collects all m distinct
+  * vote indices is a match. This folds the classic positional-intersect
+  * loop (e.g. Manning/Raghavan/Schütze IIR §2.4.2) into
+  * union → one exchange on docId → two co-partitioned aggregations,
+  * which scales with executors and has no driver-side state.
+  *
+  * Physical sidecar layout (mirrors the block index's routing so query
+  * planning stays driver-local): parquet partitioned by
+  * `shard = pmod(xxhash64(term), nShards)`, rows
+  * (term, docId, positions array<long> ascending), sorted by (term,
+  * docId) within files so parquet row-group stats serve the pushed
+  * `In(term, …)` filter. Position lists ride parquet's delta-packed
+  * integer encoding — the same gap-compression role varbyte plays for
+  * the block index's docId stream.
+  */
+object PositionalIndex {
+
+  /** Tokens are lowercase alphanumeric, so a NUL "token" can never occur
+    * in real content — it marks the title/body boundary below.
+    */
+  private val FieldGap = "\u0000"
+
+  /** (term, docId, pos) over the engine's document model — title tokens
+    * then body tokens (the same stream [[IndexBuilder.tokenStream]]
+    * indexes, so phrase semantics agree with what the tf index matched),
+    * with ONE position of gap between the fields (the Lucene
+    * position-increment idiom): a phrase must not match across the
+    * title→body boundary, where the tokens are not actually adjacent
+    * prose. The gap is a filtered sentinel token, so the whole op stays
+    * narrow: no shuffle.
+    */
+  def positionsStream(docs: DataFrame): DataFrame =
+    docs.select(col("docId"),
+        posexplode(concat(Analyzer.tokensCol(col("title")),
+          array(lit(FieldGap)),
+          Analyzer.tokensCol(col("body")))).as(Seq("pos", "term")))
+      .where(col("term") =!= FieldGap)
+      .select(col("term"), col("docId"), col("pos").cast("long").as("pos"))
+
+  /** Positions over an arbitrary (id, text) relation — the pipeline-side
+    * twin of [[positionsStream]] for tables without the document model.
+    */
+  def textPositions(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).cast("long").as("docId"),
+        posexplode(Analyzer.tokensCol(col(textCol))).as(Seq("pos", "term")))
+      .select(col("term"), col("docId"), col("pos").cast("long").as("pos"))
+
+  /** Documents containing `phrase` contiguously, with the number of
+    * occurrences: (docId, phrase_tf). Overlapping occurrences count
+    * ("a a" occurs twice in "a a a"), matching position arithmetic
+    * rather than substring search. A repeated term in the phrase is
+    * handled by the distinct-vote count (its postings vote at every i
+    * where it appears). Empty phrase ⇒ empty result.
+    *
+    * Shape at scale: broadcast the m-row phrase pattern, ONE exchange of
+    * the matched postings on docId; both aggregations (per-start vote
+    * count, per-doc occurrence count) then run co-partitioned with no
+    * further shuffle.
+    */
+  def phraseHits(positions: DataFrame, phrase: Seq[String]): DataFrame = {
+    val sp = positions.sparkSession
+    import sp.implicits._
+    if (phrase.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    val pattern = phrase.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("i", "term")
+    positions
+      .join(broadcast(pattern), "term")
+      .select(col("docId"), (col("pos") - col("i")).as("start"), col("i"))
+      .repartition(col("docId"))
+      .groupBy(col("docId"), col("start"))
+      .agg(countDistinct(col("i")).as("nhit"))
+      .where(col("nhit") === phrase.size)
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("phrase_tf"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted sidecar
+  // ---------------------------------------------------------------------
+
+  private def metaPath(dir: String) = s"$dir/_posmeta.json"
+
+  /** Build the positional sidecar for a model-form corpus. One shuffle
+    * (the (term, docId) position aggregation); the shard repartition
+    * rides the same exchange count because the write clusters by the
+    * derived shard column before `partitionBy`, giving one file per
+    * (shard, write-task) instead of nShards files per task.
+    */
+  def build(docs: DataFrame, dir: String, nShards: Int = 8): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    MetaIO.deleteIfExists(dir, recursive = true)
+    positionsStream(docs)
+      .groupBy(col("term"), col("docId"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("shard",
+        pmod(xxhash64(col("term")), lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("term"), col("docId"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    MetaIO.writeAtomic(metaPath(dir),
+      s"""{"nShards":$nShards}""".getBytes("UTF-8"))
+  }
+
+  def readNShards(dir: String): Int = {
+    val s = MetaIO.readString(metaPath(dir))
+    """"nShards"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"malformed ${metaPath(dir)}: $s"))
+  }
+
+  /** Top-k phrase search against a persisted sidecar: driver-local shard
+    * routing (no job) → pushed `In(term, …)` over only the phrase terms'
+    * shard directories → [[phraseHits]] → TakeOrdered top-k by
+    * (phrase_tf desc, docId asc). Output: (docId, phrase_tf).
+    */
+  def phraseSearch(spark: SparkSession, dir: String, phrase: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = Analyzer.tokenize(phrase)
+    if (terms.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    val nShards = readNShards(dir)
+    val shards = terms.map(BlockIndex.shardOf(_, nShards)).distinct.sorted
+    val paths = shards.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
+    if (paths.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    val positions = spark.read.option("basePath", dir).parquet(paths: _*)
+      .where(col("term").isin(terms.distinct: _*))
+      .select(col("term"), col("docId"), explode(col("positions")).as("pos"))
+    phraseHits(positions, terms)
+      .orderBy(col("phrase_tf").desc, col("docId").asc)
+      .limit(k)
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.index.PositionalIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Positional index + phrase matching: adjacency semantics (overlaps,
+  * repeated phrase terms, field boundaries), persisted-sidecar parity
+  * with the logical path, and shard-pruned query planning.
+  */
+class PositionalIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private def modelDocs(rows: Seq[(Long, String, String)]): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    rows.map { case (id, t, b) => (id, t, b, "") }
+      .toDF("docId", "title", "body", "url")
+  }
+
+  private def hits(docs: DataFrame, phrase: String*): Map[Long, Long] =
+    PositionalIndex.phraseHits(
+        PositionalIndex.positionsStream(docs), phrase)
+      .collect().map(r => r.getAs[Long]("docId") -> r.getAs[Long]("phrase_tf"))
+      .toMap
+
+  test("phrase matching: adjacency, overlap counting, repeated terms") {
+    val docs = modelDocs(Seq(
+      (1L, "", "the quick brown fox jumps"),
+      (2L, "", "quick fox brown the"), // all terms, never adjacent pair
+      (3L, "", "a a a"), // overlapping "a a" occurs twice
+      (4L, "", "x b x b x"), // "x b x" at 0 and 2 (overlap, repeated term)
+      (5L, "", "")))
+    assert(hits(docs, "quick", "brown") == Map(1L -> 1L))
+    assert(hits(docs, "quick", "brown", "fox") == Map(1L -> 1L))
+    assert(hits(docs, "brown", "quick") == Map.empty[Long, Long])
+    assert(hits(docs, "a", "a") == Map(3L -> 2L))
+    assert(hits(docs, "x", "b", "x") == Map(4L -> 2L))
+    // single-term phrase degenerates to term tf
+    assert(hits(docs, "a") == Map(3L -> 3L))
+    // empty phrase and unknown term → empty
+    assert(hits(docs) == Map.empty[Long, Long])
+    assert(hits(docs, "zebra", "fox") == Map.empty[Long, Long])
+  }
+
+  test("phrases match within fields but not across the title/body boundary") {
+    val docs = modelDocs(Seq(
+      (1L, "alpha beta", "gamma delta"),
+      (2L, "", "alpha beta gamma delta")))
+    assert(hits(docs, "alpha", "beta") == Map(1L -> 1L, 2L -> 1L))
+    assert(hits(docs, "gamma", "delta") == Map(1L -> 1L, 2L -> 1L))
+    // adjacent in the concatenated stream, but split across fields in doc 1
+    assert(hits(docs, "beta", "gamma") == Map(2L -> 1L))
+  }
+
+  test("persisted sidecar: phraseSearch ≡ logical phraseHits, ranked top-k") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("join", "scan", "table", "merge", "sort", "hash")
+    val docs = modelDocs((1L to 60L).map { id =>
+      (id, "", Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    })
+    val dir = Files.createTempDirectory("graft-positional").toString
+    PositionalIndex.build(docs, dir, nShards = 4)
+    for (phrase <- Seq("table scan", "sort merge join", "hash")) {
+      val terms = graft.analysis.Analyzer.tokenize(phrase)
+      val expected = PositionalIndex.phraseHits(
+          PositionalIndex.positionsStream(docs), terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val top = PositionalIndex.phraseSearch(spark, dir, phrase, k = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(top.toSet == expected, s"phrase '$phrase'")
+      // ranked (phrase_tf desc, docId asc)
+      assert(top.sortBy { case (id, tf) => (-tf, id) }.toSeq == top.toSeq)
+      // top-k truncation keeps the rank order prefix
+      val k3 = PositionalIndex.phraseSearch(spark, dir, phrase, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(k3 == top.toSeq.take(3), s"phrase '$phrase' k=3")
+    }
+  }
+
+  test("phraseSearch plan: pushed In(term) filter, only the terms' shards scanned") {
+    val docs = modelDocs((1L to 40L).map { id =>
+      (id, "", s"alpha bravo charlie delta echo doc$id")
+    })
+    val dir = Files.createTempDirectory("graft-positional-plan").toString
+    PositionalIndex.build(docs, dir, nShards = 8)
+    val q = PositionalIndex.phraseSearch(spark, dir, "alpha bravo", k = 10)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$plan")
+    val wanted = Seq("alpha", "bravo")
+      .map(s => s"shard=${graft.index.BlockIndex.shardOf(s, 8)}").toSet
+    // root paths off the relation (the plan string elides long file lists)
+    val scanned = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.rootPaths.map(_.getName)
+          case _ => Seq.empty[String]
+        }
+    }.flatten.toSet
+    assert(scanned == wanted, s"scanned shards $scanned, wanted $wanted")
+    // and a phrase whose terms' shards are absent returns empty, no error
+    assert(PositionalIndex.phraseSearch(spark, dir, "", 10).count() == 0)
+  }
+}
