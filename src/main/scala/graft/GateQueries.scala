@@ -1562,7 +1562,62 @@ object GateQueries {
              |      HAVING count(DISTINCT p.i) = 2)
              |SELECT doc_id, count(*)::BIGINT AS phrase_tf
              |FROM m GROUP BY doc_id
-             |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)))
+             |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Code-identifier subtokenization (camelCase / acronym / digit
+    // boundaries). The corpus is lowercase prose, so each side
+    // deterministically CONSTRUCTS mixed-case identifiers from the
+    // document's first two tokens (camel = t1·Cap(t2), acro =
+    // UPPER(t1)·Cap(t2), digit = t1·"2"·Cap(t2)) and subtokenizes them —
+    // a cross-engine differential test of the analyzer itself (the
+    // DuckDB side uses the regex formulation the scanner must match).
+    Gate("q54_code_subtokens",
+      (s, d) => {
+        val t1 = element_at(col("l"), 1)
+        val t2 = element_at(col("l"), 2)
+        val capT2 = concat(upper(t2.substr(1, 1)), t2.substr(lit(2), length(t2)))
+        documents(s, d)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            Analyzer.tokensCol(col("text")).as("l"))
+          .where(size(col("l")) >= 2)
+          .select(col("doc_id"),
+            explode(array(
+              struct(lit("acro").as("kind"),
+                concat(upper(t1), capT2).as("ident")),
+              struct(lit("camel").as("kind"),
+                concat(t1, capT2).as("ident")),
+              struct(lit("digit").as("kind"),
+                concat(t1, lit("2"), capT2).as("ident")))).as("e"))
+          .select(col("doc_id"), col("e.kind").as("kind"),
+            col("e.ident").as("ident"),
+            array_join(Analyzer.subtokensCol(col("e.ident")), " ")
+              .as("subtokens"))
+          .orderBy(col("doc_id"), col("kind"))
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |i AS (
+             |  SELECT doc_id,
+             |    l[1] AS t1, upper((l[2])[1]) || (l[2])[2:] AS cap2
+             |  FROM d WHERE len(l) >= 2),
+             |u AS (
+             |  SELECT doc_id, 'camel' AS kind, t1 || cap2 AS ident FROM i
+             |  UNION ALL
+             |  SELECT doc_id, 'acro', upper(t1) || cap2 FROM i
+             |  UNION ALL
+             |  SELECT doc_id, 'digit', t1 || '2' || cap2 FROM i)
+             |SELECT doc_id, kind, ident,
+             |  array_to_string(list_transform(list_filter(
+             |    regexp_split_to_array(
+             |      regexp_replace(regexp_replace(ident,
+             |        '([a-z0-9])([A-Z])', '\1 \2', 'g'),
+             |        '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+             |      '[^a-zA-Z0-9]+'), y -> y <> ''), y -> lower(y)), ' ')
+             |    AS subtokens
+             |FROM u ORDER BY doc_id, kind""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)

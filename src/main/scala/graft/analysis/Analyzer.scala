@@ -135,8 +135,78 @@ object Analyzer {
     out.toSeq
   }
 
+  /** Code-identifier subtokenization: the base alnum-run split PLUS
+    * case-transition splits inside identifiers — `getFooBar` → get, foo,
+    * bar; `XMLHttpRequest` → xml, http, request; `parseHTTPResponse2Code`
+    * → parse, http, response2, code (the classic code-search analyzer
+    * rule set: lower/digit→Upper boundary, and an upper RUN yields its
+    * last letter to a following lowercase word). Letter↔digit transitions
+    * do NOT split (utf8 stays whole). Lowercasing happens after
+    * splitting, like the base analyzer. Single pass, no java.util.regex
+    * (process-capped on this JVM — see the scanner note above);
+    * [[subtokenizeRegex]] is the semantics-defining twin, equivalence
+    * spec-asserted with a seeded property sweep.
+    */
+  def subtokenizeFast(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder(16)
+    def flush(): Unit = if (sb.length > 0) {
+      var j = 0
+      while (j < sb.length) {
+        val c = sb.charAt(j)
+        if (c >= 'A' && c <= 'Z') sb.setCharAt(j, (c + 32).toChar)
+        j += 1
+      }
+      out += sb.toString; sb.setLength(0)
+    }
+    val n = text.length
+    var i = 0
+    var prevKind = 0 // 0 none, 1 lower, 2 upper, 3 digit
+    var upperRun = 0
+    while (i < n) {
+      val c = text.charAt(i)
+      val kind =
+        if (c >= 'a' && c <= 'z') 1
+        else if (c >= 'A' && c <= 'Z') 2
+        else if (c >= '0' && c <= '9') 3 else 0
+      if (kind == 0) { flush(); upperRun = 0 }
+      else if (kind == 2) {
+        if (prevKind == 1 || prevKind == 3) { flush(); upperRun = 0 }
+        sb.append(c); upperRun += 1
+      } else {
+        if (kind == 1 && prevKind == 2 && upperRun >= 2) {
+          // ABc: the run's last upper starts the new word (acronym rule)
+          val last = sb.charAt(sb.length - 1)
+          sb.setLength(sb.length - 1)
+          flush()
+          sb.append(last)
+        }
+        sb.append(c); upperRun = 0
+      }
+      prevKind = kind
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** Regex twin of [[subtokenizeFast]] — defines the semantics (the same
+    * two-replace formulation the DuckDB oracle uses), kept for the
+    * equivalence spec, never on a hot path.
+    */
+  def subtokenizeRegex(text: String): Seq[String] = {
+    if (text == null) return Seq.empty
+    text
+      .replaceAll("([a-z0-9])([A-Z])", "$1 $2")
+      .replaceAll("([A-Z]+)([A-Z][a-z])", "$1 $2")
+      .split(TokenPattern).toSeq.filter(_.nonEmpty).map(_.toLowerCase)
+  }
+
   private val tokensUdf =
     org.apache.spark.sql.functions.udf((s: String) => tokenizeFast(s))
+  private val subtokensUdf =
+    org.apache.spark.sql.functions.udf((s: String) => subtokenizeFast(s))
   private val wordCountUdf =
     org.apache.spark.sql.functions.udf((s: String) => wordCountFast(s))
   private val tokenTfUdf =
@@ -151,6 +221,16 @@ object Analyzer {
 
   /** tokens of a string column, duplicates and order preserved. */
   def tokensCol(c: Column): Column = tokensUdf(c)
+
+  /** code-identifier subtokens of a string column ([[subtokenizeFast]]). */
+  def subtokensCol(c: Column): Column = subtokensUdf(c)
+
+  /** Column regex twin of [[subtokensCol]] (equivalence tests only). */
+  def subtokensColRegex(c: Column): Column =
+    tokensColRegex(
+      regexp_replace(
+        regexp_replace(c, "([a-z0-9])([A-Z])", "$1 $2"),
+        "([A-Z]+)([A-Z][a-z])", "$1 $2"))
 
   /** regex formulation of [[tokensCol]] — semantics reference; kept for
     * the scanner-vs-regex equivalence tests. Split FIRST, lowercase the

@@ -193,6 +193,57 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1) == "Shared BODY Words"))
   }
 
+  test("subtokenize goldens: case transitions, acronyms, digits, snake_case") {
+    val cases = Seq(
+      "getFooBar" -> Seq("get", "foo", "bar"),
+      "HTTPServer" -> Seq("http", "server"),
+      "XMLHttpRequest" -> Seq("xml", "http", "request"),
+      "parseHTTPResponse2Code" -> Seq("parse", "http", "response2", "code"),
+      "snake_case_name" -> Seq("snake", "case", "name"),
+      "order2Fast" -> Seq("order2", "fast"),
+      "utf8String" -> Seq("utf8", "string"), // letter↔digit does NOT split
+      "aABc" -> Seq("a", "a", "bc"),
+      "ABCDef" -> Seq("abc", "def"),
+      "a1A" -> Seq("a1", "a"),
+      "ABC" -> Seq("abc"),
+      "x" -> Seq("x"),
+      "" -> Seq.empty,
+      "__" -> Seq.empty)
+    for ((in, want) <- cases) {
+      assert(Analyzer.subtokenizeFast(in) == want, s"fast('$in')")
+      assert(Analyzer.subtokenizeRegex(in) == want, s"regex('$in')")
+    }
+    assert(Analyzer.subtokenizeFast(null) == Seq.empty)
+  }
+
+  test("subtokenize scanner ≡ regex twin (seeded property sweep, 2000 cases)") {
+    val rnd = new scala.util.Random(99)
+    val classes = "abcXYZ09_ ._Aa"
+    (1 to 2000).foreach { i =>
+      val s = Seq.fill(rnd.nextInt(24))(classes(rnd.nextInt(classes.length)))
+        .mkString
+      assert(Analyzer.subtokenizeFast(s) == Analyzer.subtokenizeRegex(s),
+        s"case $i: '$s'")
+    }
+  }
+
+  test("subtokensCol ≡ subtokensColRegex ≡ driver mirror") {
+    import org.apache.spark.sql.functions.col
+    val sp = SparkSessionFixture.spark
+    import sp.implicits._
+    val rows = Seq("getFooBar x_y", "the XMLHttpRequest API",
+      "ORDERFast utf8String", "")
+    val out = rows.toDF("s")
+      .select(col("s"), Analyzer.subtokensCol(col("s")).as("fast"),
+        Analyzer.subtokensColRegex(col("s")).as("re"))
+      .collect()
+    out.foreach { r =>
+      val want = Analyzer.subtokenizeFast(r.getString(0))
+      assert(r.getSeq[String](1) == want, s"col('${r.getString(0)}')")
+      assert(r.getSeq[String](2) == want, s"regexCol('${r.getString(0)}')")
+    }
+  }
+
   test("lowerBoundKGramOverlap (reference index_kgram.go:94-96)") {
     assert(Analyzer.lowerBoundKGramOverlap(5, 5, 1, 3) == 4)
     // maxED=0: bound = max - 1 + k, passable only by near-exact strings
