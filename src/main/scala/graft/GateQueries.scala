@@ -1617,7 +1617,22 @@ object GateQueries {
              |        '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
              |      '[^a-zA-Z0-9]+'), y -> y <> ''), y -> lower(y)), ' ')
              |    AS subtokens
-             |FROM u ORDER BY doc_id, kind""".stripMargin)))
+             |FROM u ORDER BY doc_id, kind""".stripMargin)),
+
+    // Per-domain cap: at most 10 docs per source, chosen by content-hash
+    // order (unbiased) with doc_id tie-break. The engine's two-phase
+    // skew-proof cut must equal the oracle's single window exactly.
+    Gate("q55_domain_cap",
+      (s, d) => TextPipeline.capPerGroup(documents(s, d), "source", "doc_id",
+          Seq(md5(col("text")), col("doc_id")), n = 10)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""WITH r AS (
+             |  SELECT doc_id, source, row_number() OVER (
+             |    PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+             |  FROM documents)
+             |SELECT doc_id, source FROM r WHERE rn <= 10
+             |ORDER BY doc_id""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)

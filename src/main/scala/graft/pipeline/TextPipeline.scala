@@ -506,4 +506,38 @@ object TextPipeline {
     docs.withColumn("sample_bucket", bucket.cast("long"))
       .where(col("sample_bucket") < cutoff)
   }
+
+  // ---------------------------------------------------------------------
+  // Per-group caps (domain balancing)
+  // ---------------------------------------------------------------------
+
+  /** Keep at most `n` rows per group, chosen by `order` — the per-domain
+    * cap of web-corpus curation (a handful of giant domains otherwise
+    * dominate the token budget). `order` must end in a unique tie-break
+    * (an id column) for a deterministic cut; make the head of `order` a
+    * content hash for an unbiased sample, or quality-desc for keep-best.
+    *
+    * Exact AND skew-proof: a single `row_number` window would funnel a
+    * giant domain through one partition, so the cap runs in two phases —
+    * phase 1 ranks within (group, salt-of-id) and keeps `n` per salt
+    * cell, bounding every phase-2 window partition to ≤ salts·n rows
+    * regardless of group size; phase 2 re-ranks the survivors per group.
+    * The global per-group top-n is contained in the union of per-salt
+    * top-n's, so the two-phase result is EXACTLY the single-window
+    * result (spec-asserted).
+    */
+  def capPerGroup(docs: DataFrame, groupCol: String, idCol: String,
+      order: Seq[Column], n: Int, salts: Int = 32): DataFrame = {
+    require(n > 0, s"cap must be positive, got $n")
+    require(salts > 0, s"salts must be positive, got $salts")
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col(groupCol), col("__salt"))
+      .orderBy(order: _*)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(order: _*)
+    docs
+      .withColumn("__salt", pmod(xxhash64(col(idCol)), lit(salts.toLong)))
+      .withColumn("__r", row_number().over(w1)).where(col("__r") <= n)
+      .withColumn("__r2", row_number().over(w2)).where(col("__r2") <= n)
+      .drop("__salt", "__r", "__r2")
+  }
 }

@@ -711,6 +711,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("capPerGroup: exact vs single window, skew-proof phases, keep-best") {
+    val sp = spark
+    import sp.implicits._
+    val rows = ((1 to 100).map(i => (i.toLong, "big", i % 7 + 0.1)) ++
+      (101 to 103).map(i => (i.toLong, "tiny", 1.0)))
+      .toDF("doc_id", "domain", "quality")
+    val order = Seq(md5(concat(col("domain"), col("doc_id"))), col("doc_id"))
+    val capped = TextPipeline.capPerGroup(rows, "domain", "doc_id", order,
+      n = 5, salts = 4)
+    // naive single-window reference
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain")).orderBy(order: _*)
+    val naive = rows.withColumn("r", row_number().over(w))
+      .where(col("r") <= 5).drop("r")
+    assert(capped.collect().map(_.getLong(0)).sorted.toSeq ==
+      naive.collect().map(_.getLong(0)).sorted.toSeq)
+    val bySize = capped.groupBy(col("domain")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySize == Map("big" -> 5L, "tiny" -> 3L)) // under-cap group intact
+    // schema passes through unchanged
+    assert(capped.columns.toSeq == rows.columns.toSeq)
+    // keep-best: quality-desc order keeps the max-quality rows
+    val best = TextPipeline.capPerGroup(rows, "domain", "doc_id",
+        Seq(col("quality").desc, col("doc_id")), n = 3, salts = 4)
+      .where(col("domain") === "big")
+      .collect().map(_.getDouble(2)).toSeq
+    assert(best.forall(_ > 6.0), s"keep-best picked $best")
+  }
+
   test("metadata-only scan prunes the payload column (parquet ReadSchema)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString
     Multimodal.syntheticAssets(docs, "doc_id", "text")
