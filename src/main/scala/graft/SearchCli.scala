@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
   * that do not fit an interactive rebuild.
   *
   * `algorithm` ∈ BM25 | "Classic TF-IDF" | Boolean | Terms | Fuzzy |
-  * Wildcard (unknown → BM25, like the reference's registry server.go:39-53).
+  * Wildcard | Phrase (the last an extension mode; unknown → BM25, like
+  * the reference's registry server.go:39-53).
   * A path ending in .csv is read as the reference's id,title,body,URL CSV;
   * otherwise it is read as the Iceberg-shaped source-file Parquet corpus.
   */
@@ -61,9 +62,15 @@ object SearchCli {
             raw("title"), raw("body"), raw("url"))
         else CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, corpusPath))
       }
+    // Phrase mode reads positions straight off the corpus relation
+    // (lazy plan; a deployment with a persisted sidecar queries
+    // PositionalIndex.phraseSearch directly instead)
+    val positions = Some(graft.index.PositionalIndex.positionsStream(docs))
     val engine = idxDir match {
-      case Some(d) => new QueryEngine(BlockIndex.asBundle(spark, d, k))
-      case None => new QueryEngine(IndexBuilder.build(docs, k = k))
+      case Some(d) =>
+        new QueryEngine(BlockIndex.asBundle(spark, d, k), positions = positions)
+      case None =>
+        new QueryEngine(IndexBuilder.build(docs, k = k), positions = positions)
     }
     (engine, docs)
   }

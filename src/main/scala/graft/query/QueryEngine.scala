@@ -18,7 +18,14 @@ import org.apache.spark.sql.functions._
 final class QueryEngine(
     val index: IndexBundle,
     val k1: Double = 0.9, // reference searcher.go:246
-    val b: Double = 0.4 // reference searcher.go:247
+    val b: Double = 0.4, // reference searcher.go:247
+    /** (term, docId, pos) relation for the Phrase extension mode —
+      * [[graft.index.PositionalIndex.positionsStream]] over the corpus
+      * (plan construction is lazy; nothing runs unless a phrase query
+      * does). None ⇒ [[phraseQuery]] fails loudly instead of returning
+      * silently-empty results.
+      */
+    val positions: Option[DataFrame] = None
 ) extends Serializable {
 
   private def spark = index.postings.sparkSession
@@ -285,8 +292,26 @@ final class QueryEngine(
       .orderBy(col("query"), col("rank"))
   }
 
+  /** Exact-phrase mode — an EXTENSION beyond the reference's six
+    * algorithms (a tf-only index cannot express adjacency): documents
+    * containing the query tokens contiguously, ranked by occurrence
+    * count (ties by docId). Fails loudly when the engine was built
+    * without a positional relation rather than answering empty.
+    */
+  def phraseQuery(query: String): DataFrame = {
+    val pos = positions.getOrElse(throw new IllegalStateException(
+      "phrase queries need a positional relation — construct QueryEngine " +
+        "with positions = Some(PositionalIndex.positionsStream(docs))"))
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty) scoredEmpty
+    else graft.index.PositionalIndex.phraseHits(pos, toks)
+      .select(col("docId"), col("phrase_tf").cast("double").as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
-    * back to BM25.
+    * back to BM25. "Phrase" is this engine's extension mode — every
+    * reference name resolves exactly as the reference's registry does.
     */
   def byName(name: String): String => DataFrame = name match {
     case "Classic TF-IDF" => vectorSpaceQuery
@@ -294,6 +319,7 @@ final class QueryEngine(
     case "Terms" => termsQuery
     case "Fuzzy" => fuzzyQuery
     case "Wildcard" => wildcardQuery
+    case "Phrase" => phraseQuery
     case _ => q => bm25Query(q)
   }
 

@@ -213,6 +213,29 @@ class SearcherSpec extends AnyFunSuite {
     e.index.unpersist()
   }
 
+  test("Phrase mode: adjacency-ranked, dispatched by name, loud without positions") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "merge sort is a sort then merge kind of thing", ""),
+      (2L, "", "sort then merge then sort", ""), // terms present, not adjacent
+      (3L, "", "merge sort merge sort", "")
+    ).toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false),
+      positions = Some(graft.index.PositionalIndex.positionsStream(docs)))
+    val got = e.byName("Phrase")("merge sort").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((3L, 2.0), (1L, 1.0)))
+    // empty query → empty scored result, no job explosion
+    assert(e.phraseQuery("").count() == 0)
+    // reference names keep their registry semantics; unknown → BM25
+    assert(e.byName("NoSuchAlg")("merge sort").collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L))
+    // an engine without positions fails loudly, not silently-empty
+    val bare = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    intercept[IllegalStateException] { bare.phraseQuery("merge sort") }
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
