@@ -96,11 +96,20 @@ object PositionalIndex {
 
   private def metaPath(dir: String) = s"$dir/_posmeta.json"
 
+  /** The per-term document-frequency table (vocab-sized, same shard
+    * routing as the postings) — [[phraseSearch]]'s selectivity probe
+    * reads a handful of its rows with a pushed `In(term)` instead of
+    * counting posting rows per query.
+    */
+  private def dfStatsDir(dir: String) = s"$dir/dfstats"
+
   /** Build the positional sidecar for a model-form corpus. One shuffle
     * (the (term, docId) position aggregation); the shard repartition
     * rides the same exchange count because the write clusters by the
     * derived shard column before `partitionBy`, giving one file per
-    * (shard, write-task) instead of nShards files per task.
+    * (shard, write-task) instead of nShards files per task. The df table
+    * derives from a read-back of the written postings column-pruned to
+    * `term` — it never touches the positions payload.
     */
   def build(docs: DataFrame, dir: String, nShards: Int = 8): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
@@ -113,6 +122,17 @@ object PositionalIndex {
       .repartition(col("shard"))
       .sortWithinPartitions(col("term"), col("docId"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val shardPaths = (0 until nShards).map(s => s"$dir/shard=$s")
+      .filter(MetaIO.exists)
+    if (shardPaths.nonEmpty)
+      docs.sparkSession.read.option("basePath", dir).parquet(shardPaths: _*)
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .withColumn("shard",
+          pmod(xxhash64(col("term")), lit(nShards.toLong)).cast("int"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").partitionBy("shard")
+        .parquet(dfStatsDir(dir))
     MetaIO.writeAtomic(metaPath(dir),
       s"""{"nShards":$nShards}""".getBytes("UTF-8"))
   }
@@ -124,9 +144,23 @@ object PositionalIndex {
       .getOrElse(sys.error(s"malformed ${metaPath(dir)}: $s"))
   }
 
+  /** Every phrase match lies in the rarest term's document set, so when
+    * term selectivities are skewed (a tail identifier next to stop-word-
+    * grade keywords — the common code-search phrase), semi-joining the
+    * scan on that set BEFORE positions explode keeps the head terms'
+    * position streams off the shuffle entirely. The probe costs one
+    * row-count job over the term-filtered scan (positions column
+    * pruned), so it only runs when it can pay: dfs within `SkewRatio`
+    * of each other skip it. Broadcast under `BroadcastDf` candidate
+    * docs, shuffle semi-join above.
+    */
+  private val SkewRatio = 8L
+  private val BroadcastDf = 500000L
+
   /** Top-k phrase search against a persisted sidecar: driver-local shard
     * routing (no job) → pushed `In(term, …)` over only the phrase terms'
-    * shard directories → [[phraseHits]] → TakeOrdered top-k by
+    * shard directories → rarest-term semi-join when selectivities are
+    * skewed (see above) → [[phraseHits]] → TakeOrdered top-k by
     * (phrase_tf desc, docId asc). Output: (docId, phrase_tf).
     */
   def phraseSearch(spark: SparkSession, dir: String, phrase: String,
@@ -140,8 +174,29 @@ object PositionalIndex {
     val paths = shards.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
     if (paths.isEmpty)
       return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
-    val positions = spark.read.option("basePath", dir).parquet(paths: _*)
+    val rows = spark.read.option("basePath", dir).parquet(paths: _*)
       .where(col("term").isin(terms.distinct: _*))
+    // df probe: a few pushed-In(term) rows of the vocab-sized df table
+    // when the sidecar has one; else count posting rows (compat)
+    val statsPaths = shards.map(s => s"${dfStatsDir(dir)}/shard=$s")
+      .filter(MetaIO.exists)
+    val dfs =
+      (if (statsPaths.nonEmpty)
+        spark.read.option("basePath", dfStatsDir(dir)).parquet(statsPaths: _*)
+          .where(col("term").isin(terms.distinct: _*))
+      else rows.groupBy(col("term")).agg(count(lit(1)).as("df")))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    if (terms.distinct.exists(t => dfs.getOrElse(t, 0L) == 0L))
+      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    val (rareTerm, rareDf) = dfs.minBy(_._2)
+    val filtered =
+      if (dfs.values.max / math.max(rareDf, 1L) < SkewRatio) rows
+      else {
+        val cand = rows.where(col("term") === rareTerm).select(col("docId"))
+        val candSide = if (rareDf <= BroadcastDf) broadcast(cand) else cand
+        rows.join(candSide, Seq("docId"), "leftsemi")
+      }
+    val positions = filtered
       .select(col("term"), col("docId"), explode(col("positions")).as("pos"))
     phraseHits(positions, terms)
       .orderBy(col("phrase_tf").desc, col("docId").asc)

@@ -1,0 +1,60 @@
+package graft.tools
+
+import graft.index.PositionalIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Positional sidecar at 2M documents: build cost, sidecar size, and
+  * phrase-query latency across selectivity regimes (head phrases whose
+  * terms appear in ~every doc, and digit-suffixed tail phrases) — the
+  * evidence that the single-shuffle phrase plan holds beyond gate scale.
+  * Reuses the ScalingBench corpus (`CorpusGen <n> /tmp/graft-corpus2m`).
+  */
+object PhraseBench2M {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus2m"
+    val posDir = "/tmp/graft-posidx2m"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"),
+        concat_ws("/", col("repo"), col("path")).as("title"),
+        col("content").as("body"), lit("").as("url"))
+    val needBuild = !java.nio.file.Files.exists(
+      java.nio.file.Paths.get(posDir, "_posmeta.json"))
+    if (needBuild) {
+      val t0 = System.nanoTime()
+      PositionalIndex.build(docs, posDir, nShards = 32)
+      println(f"[p2m] sidecar_build           ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    }
+    val bytes = {
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+      size(new java.io.File(posDir))
+    }
+    println(f"[p2m] sidecar_bytes           ${bytes / 1e9}%7.2f GB")
+    val queries = Seq(
+      "def val" -> "head-head",
+      "select from where" -> "head3",
+      "class object extends" -> "head3",
+      "val7 def12" -> "tail-tail",
+      "val7 def" -> "tail-head",
+      "def val7" -> "head-tail",
+      "string type" -> "head-head")
+    // cold first
+    val tc = System.nanoTime()
+    PositionalIndex.phraseSearch(spark, posDir, queries.head._1, 10).count()
+    println(f"[p2m] first_query_cold        ${(System.nanoTime() - tc) / 1e9}%7.2f s")
+    val tw = System.nanoTime()
+    queries.foreach { case (q, tag) =>
+      val t1 = System.nanoTime()
+      val n = PositionalIndex.phraseSearch(spark, posDir, q, 10).count()
+      println(f"[p2m]   '$q%-22s' ($tag%-9s) ${(System.nanoTime() - t1) / 1e9}%6.2f s  hits<=10: $n")
+    }
+    println(f"[p2m] warm_5_sequential       ${(System.nanoTime() - tw) / 1e9}%7.2f s")
+    spark.stop()
+  }
+}

@@ -61,10 +61,14 @@ class PositionalIndexSpec extends AnyFunSuite {
     val vocab = Vector("join", "scan", "table", "merge", "sort", "hash")
     val docs = modelDocs((1L to 60L).map { id =>
       (id, "", Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
-    })
+    } ++ Seq( // df-skewed tail term → phraseSearch takes the rarest-term
+      //         semi-join path; parity must hold there too
+      (61L, "", "rareterm scan table join rareterm scan"),
+      (62L, "", "scan rareterm table")))
     val dir = Files.createTempDirectory("graft-positional").toString
     PositionalIndex.build(docs, dir, nShards = 4)
-    for (phrase <- Seq("table scan", "sort merge join", "hash")) {
+    for (phrase <- Seq("table scan", "sort merge join", "hash",
+        "rareterm scan", "scan rareterm")) {
       val terms = graft.analysis.Analyzer.tokenize(phrase)
       val expected = PositionalIndex.phraseHits(
           PositionalIndex.positionsStream(docs), terms)
