@@ -110,6 +110,12 @@ object PositionalIndex {
     * (shard, write-task) instead of nShards files per task. The df table
     * derives from a read-back of the written postings column-pruned to
     * `term` — it never touches the positions payload.
+    *
+    * Crash discipline: the build deletes the target first and writes
+    * `_posmeta.json` LAST, so the metadata file is the commit marker — a
+    * killed build leaves a directory that [[phraseSearch]] REFUSES
+    * loudly (readNShards throws on the missing marker) and the next
+    * build() heals by starting clean.
     */
   def build(docs: DataFrame, dir: String, nShards: Int = 8): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
