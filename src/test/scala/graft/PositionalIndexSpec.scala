@@ -85,6 +85,20 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("phraseHits plan: ONE data exchange (votes co-partitioned by docId)") {
+    val docs = modelDocs((1L to 30L).map(id =>
+      (id, "", s"alpha beta gamma alpha beta doc$id")))
+    val q = PositionalIndex.phraseHits(
+      PositionalIndex.positionsStream(docs), Seq("alpha", "beta"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1,
+      s"expected the single docId repartition, got $exchanges:\n$plan")
+  }
+
   test("phraseSearch plan: pushed In(term) filter, only the terms' shards scanned") {
     val docs = modelDocs((1L to 40L).map { id =>
       (id, "", s"alpha bravo charlie delta echo doc$id")
