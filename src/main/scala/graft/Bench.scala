@@ -141,6 +141,8 @@ object Bench {
       }),
       "phrase_search_top10" -> (() => graft.index.PositionalIndex
         .phraseSearch(spark, posDir, "order fast", 10).count()),
+      "proximity_search_top10" -> (() => graft.index.PositionalIndex
+        .proximitySearch(spark, posDir, "order fast window", 10).count()),
       "chunk_windows" -> (() => graft.pipeline.TextPipeline
         .chunkTokens(documents, "doc_id", "text",
           chunkSize = 128, stride = 96).count()),

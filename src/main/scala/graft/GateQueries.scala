@@ -1632,7 +1632,114 @@ object GateQueries {
              |    PARTITION BY source ORDER BY md5(text), doc_id) AS rn
              |  FROM documents)
              |SELECT doc_id, source FROM r WHERE rn <= 10
-             |ORDER BY doc_id""".stripMargin)))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Proximity ranking (minimal covering window over token positions):
+    // per doc, the smallest span containing both "table" and "scan" —
+    // the oracle mirrors the running-conditional-max window formulation.
+    Gate("q56_proximity",
+      (s, d) => graft.index.PositionalIndex.proximityHits(
+          graft.index.PositionalIndex.textPositions(
+            documents(s, d), "doc_id", "text"),
+          Seq("table", "scan"))
+        .select(col("docId").as("doc_id"), col("min_span"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |r AS (SELECT doc_id, pos, term FROM tokpos
+             |      WHERE term IN ('table', 'scan')),
+             |wnd AS (SELECT doc_id, pos,
+             |  max(CASE WHEN term = 'table' THEN pos END) OVER
+             |    (PARTITION BY doc_id ORDER BY pos
+             |     ROWS UNBOUNDED PRECEDING) AS l0,
+             |  max(CASE WHEN term = 'scan' THEN pos END) OVER
+             |    (PARTITION BY doc_id ORDER BY pos
+             |     ROWS UNBOUNDED PRECEDING) AS l1
+             |  FROM r)
+             |SELECT doc_id, min(pos - least(l0, l1) + 1)::BIGINT AS min_span
+             |FROM wnd WHERE l0 IS NOT NULL AND l1 IS NOT NULL
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Same ranking against the PERSISTED sidecar (shard routing, pushed
+    // In(term), rarest-term prefilter shared with q53b's path), top-20
+    // tightest docs.
+    Gate("q56b_proximity_search",
+      (s, d) => graft.index.PositionalIndex.proximitySearch(
+          s, posIndexDir(s, d), "table scan", 20)
+        .select(col("docId").as("doc_id"), col("min_span"))
+        .orderBy(col("min_span"), col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |r AS (SELECT doc_id, pos, term FROM tokpos
+             |      WHERE term IN ('table', 'scan')),
+             |wnd AS (SELECT doc_id, pos,
+             |  max(CASE WHEN term = 'table' THEN pos END) OVER
+             |    (PARTITION BY doc_id ORDER BY pos
+             |     ROWS UNBOUNDED PRECEDING) AS l0,
+             |  max(CASE WHEN term = 'scan' THEN pos END) OVER
+             |    (PARTITION BY doc_id ORDER BY pos
+             |     ROWS UNBOUNDED PRECEDING) AS l1
+             |  FROM r)
+             |SELECT doc_id, min(pos - least(l0, l1) + 1)::BIGINT AS min_span
+             |FROM wnd WHERE l0 IS NOT NULL AND l1 IS NOT NULL
+             |GROUP BY doc_id
+             |ORDER BY min_span, doc_id LIMIT 20""".stripMargin)),
+
+    // KWIC snippets: best covering window per doc (tightest, ties →
+    // earliest), rendered ±2 tokens of context with query terms
+    // bracketed — the SERP preview as a deterministic relational op.
+    Gate("q57_snippets",
+      (s, d) => graft.index.PositionalIndex.snippets(
+          documents(s, d), "doc_id", "text", Seq("table", "scan"), ctx = 2)
+        .select(col("docId").as("doc_id"), col("snippet"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |r AS (SELECT doc_id, pos, term FROM tokpos
+             |      WHERE term IN ('table', 'scan')),
+             |wnd AS (SELECT doc_id, pos,
+             |  max(CASE WHEN term = 'table' THEN pos END) OVER
+             |    (PARTITION BY doc_id ORDER BY pos
+             |     ROWS UNBOUNDED PRECEDING) AS l0,
+             |  max(CASE WHEN term = 'scan' THEN pos END) OVER
+             |    (PARTITION BY doc_id ORDER BY pos
+             |     ROWS UNBOUNDED PRECEDING) AS l1
+             |  FROM r),
+             |spans AS (SELECT doc_id, pos, pos - least(l0, l1) + 1 AS span
+             |          FROM wnd WHERE l0 IS NOT NULL AND l1 IS NOT NULL),
+             |best AS (SELECT doc_id, pos - span + 1 AS ws, pos AS we,
+             |           row_number() OVER (PARTITION BY doc_id
+             |             ORDER BY span, pos) AS rn
+             |         FROM spans),
+             |sel AS (SELECT doc_id, ws, we FROM best WHERE rn = 1),
+             |snip AS (SELECT t.doc_id, t.pos,
+             |           CASE WHEN t.term IN ('table', 'scan')
+             |                THEN '[' || t.term || ']' ELSE t.term END AS word
+             |         FROM tokpos t JOIN sel USING (doc_id)
+             |         WHERE t.pos BETWEEN sel.ws - 2 AND sel.we + 2)
+             |SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS snippet
+             |FROM snip GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)

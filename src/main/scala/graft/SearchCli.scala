@@ -21,8 +21,8 @@ import org.apache.spark.sql.SparkSession
   * that do not fit an interactive rebuild.
   *
   * `algorithm` ∈ BM25 | "Classic TF-IDF" | Boolean | Terms | Fuzzy |
-  * Wildcard | Phrase (the last an extension mode; unknown → BM25, like
-  * the reference's registry server.go:39-53).
+  * Wildcard | Phrase | Proximity (the last two extension modes; unknown
+  * → BM25, like the reference's registry server.go:39-53).
   * A path ending in .csv is read as the reference's id,title,body,URL CSV;
   * otherwise it is read as the Iceberg-shaped source-file Parquet corpus.
   */
@@ -62,9 +62,9 @@ object SearchCli {
             raw("title"), raw("body"), raw("url"))
         else CorpusSource.sourceFilesToDocs(CorpusSource.readSourceFiles(spark, corpusPath))
       }
-    // Phrase mode reads positions straight off the corpus relation
-    // (lazy plan; a deployment with a persisted sidecar queries
-    // PositionalIndex.phraseSearch directly instead)
+    // Phrase/Proximity modes read positions straight off the corpus
+    // relation (lazy plan; a deployment with a persisted sidecar queries
+    // PositionalIndex.phraseSearch/proximitySearch directly instead)
     val positions = Some(graft.index.PositionalIndex.positionsStream(docs))
     val engine = idxDir match {
       case Some(d) =>

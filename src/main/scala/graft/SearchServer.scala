@@ -19,7 +19,8 @@ import java.nio.charset.StandardCharsets
   */
 class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
 
-  final case class Hit(docId: Long, title: String, url: String)
+  final case class Hit(docId: Long, title: String, url: String,
+      snippet: String)
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -66,9 +67,23 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
       val total = ranked.count()
       val rows = engine.materialize(engine.paginate(ranked, page), docs)
         .select("docId", "title", "url").collect()
-        .map(r => Hit(r.getAs[Long]("docId"),
-          r.getAs[String]("title"), r.getAs[String]("url")))
-      (rows.toSeq, total)
+      // KWIC previews for the ≤5 page hits only: best covering window
+      // when a hit contains every query term, lead tokens otherwise
+      // (PositionalIndex.previewSnippets) — one bounded job per request
+      val terms = graft.analysis.Analyzer.tokenize(query)
+      val ids = rows.map(_.getAs[Long]("docId"))
+      val snippets: Map[Long, String] =
+        if (ids.isEmpty || terms.isEmpty) Map.empty
+        else graft.index.PositionalIndex.previewSnippets(
+            docs.where(org.apache.spark.sql.functions.col("docId")
+              .isin(ids.map(Long.box): _*)), terms, ctx = 3)
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val hits = rows.map { r =>
+        val id = r.getAs[Long]("docId")
+        Hit(id, r.getAs[String]("title"), r.getAs[String]("url"),
+          snippets.getOrElse(id, ""))
+      }
+      (hits.toSeq, total)
     } finally ranked.unpersist()
   }
 
@@ -95,9 +110,11 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
     */
   private def html(q: String, alg: String, page: Int,
       hits: Seq[Hit], total: Long): String = {
-    val items = hits.map(h =>
-      s"""  <li><a href="${esc(h.url)}">${esc(h.title)}</a> <small>#${h.docId}</small></li>""")
-      .mkString("\n")
+    val items = hits.map { h =>
+      val snip = if (h.snippet.isEmpty) ""
+        else s"""<br/><small class="snippet">${esc(h.snippet)}</small>"""
+      s"""  <li><a href="${esc(h.url)}">${esc(h.title)}</a> <small>#${h.docId}</small>$snip</li>"""
+    }.mkString("\n")
     val prev = if (page > 1)
       s"""<a id="prev" href="${pageUrl(q, alg, page - 1)}">prev</a>""" else ""
     val next = if (page.toLong * 5 < total)

@@ -90,6 +90,158 @@ object PositionalIndex {
       .agg(count(lit(1)).as("phrase_tf"))
   }
 
+  /** Proximity ranking: the smallest position window containing ALL the
+    * (distinct) query terms, per document — the classic minimal-cover
+    * primitive behind "sloppy phrase" / proximity-boosted retrieval
+    * (IIR §2.4; an adjacent pair scores span 2, scattered terms score
+    * wide). Pure window dataflow: sort each document's matching
+    * positions; at every occurrence, the best cover ENDING there spans
+    * from the latest prior position of each term (a running
+    * conditional max per term) to the current position; the document's
+    * score is the minimum over its occurrences. One column per distinct
+    * query term — queries are a handful of terms, so the width is
+    * bounded — and the window partitions by docId whose row count is
+    * bounded by document length, so no skew hazard.
+    *
+    * Output: (docId, min_span), only documents containing every term;
+    * min_span = 1 for a single-term query.
+    */
+  def proximityHits(positions: DataFrame, terms: Seq[String]): DataFrame = {
+    val sp = positions.sparkSession
+    import sp.implicits._
+    if (terms.distinct.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("docId", "min_span")
+    coverSpans(positions, terms.distinct)
+      .groupBy(col("docId")).agg(min(col("__span")).as("min_span"))
+  }
+
+  /** Per matching occurrence, the tightest cover ENDING at it:
+    * (docId, pos, __span) — the shared core of [[proximityHits]] and
+    * [[bestWindows]]. `distinctTerms` must be non-empty and distinct.
+    */
+  private def coverSpans(positions: DataFrame,
+      distinctTerms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("docId")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastCols = distinctTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("pos"))).over(w).as(s"__last$i")
+    }
+    val idx = distinctTerms.indices
+    positions.where(col("term").isin(distinctTerms: _*))
+      .select(Seq(col("docId"), col("pos")) ++ lastCols: _*)
+      .where(idx.map(i => col(s"__last$i").isNotNull).reduce(_ && _))
+      .select(col("docId"), col("pos"),
+        (col("pos") - (if (idx.size == 1) col("__last0")
+                       else least(idx.map(i => col(s"__last$i")): _*)) + 1)
+          .as("__span"))
+  }
+
+  /** The single best (tightest; ties → earliest) covering window per
+    * document: (docId, win_start, win_end), position-inclusive. This is
+    * the anchor for result snippets — deterministic, so the serving
+    * layer and the SQL oracle agree on WHICH window gets rendered.
+    */
+  def bestWindows(positions: DataFrame, terms: Seq[String]): DataFrame = {
+    val sp = positions.sparkSession
+    import sp.implicits._
+    val distinctTerms = terms.distinct
+    if (distinctTerms.isEmpty)
+      return Seq.empty[(Long, Long, Long)].toDF("docId", "win_start", "win_end")
+    coverSpans(positions, distinctTerms)
+      .groupBy(col("docId"))
+      .agg(min(struct(col("__span"), col("pos"))).as("__best"))
+      .select(col("docId"),
+        (col("__best.pos") - col("__best.__span") + 1).as("win_start"),
+        col("__best.pos").as("win_end"))
+  }
+
+  /** KWIC snippets: for every document containing ALL query terms, the
+    * tokens of its best covering window (see [[bestWindows]]) expanded by
+    * `ctx` tokens of context either side, query terms bracketed
+    * (`[term]`) — the search-result preview a SERP renders under each
+    * hit. Token-level by design: the snippet is the analyzer's view of
+    * the document (lowercased terms), so what is highlighted is exactly
+    * what matched.
+    *
+    * Shape at scale: one token-position stream feeds both the window
+    * search and the render join, co-partitioned on docId; the window
+    * relation is one row per matching doc. Clamping at the document tail
+    * is implicit (positions past the end simply don't exist). Output:
+    * (docId, snippet).
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], ctx: Int = 2): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val distinctTerms = terms.distinct
+    if (distinctTerms.isEmpty)
+      return Seq.empty[(Long, String)].toDF("docId", "snippet")
+    val toks = textPositions(docs, idCol, textCol)
+    renderWindows(toks, bestWindows(toks, distinctTerms), distinctTerms, ctx)
+  }
+
+  /** The render join shared by [[snippets]] and [[previewSnippets]]:
+    * expand each document's (win_start, win_end) by `ctx` positions,
+    * bracket the query terms, reassemble in position order.
+    */
+  private def renderWindows(toks: DataFrame, wins: DataFrame,
+      distinctTerms: Seq[String], ctx: Int): DataFrame = {
+    val marked =
+      (if (distinctTerms.isEmpty) col("term")
+       else when(col("term").isin(distinctTerms: _*),
+           concat(lit("["), col("term"), lit("]")))
+         .otherwise(col("term"))).as("word")
+    toks.join(wins, "docId")
+      .where(col("pos").between(
+        col("win_start") - ctx, col("win_end") + ctx))
+      .select(col("docId"), col("pos"), marked)
+      .groupBy(col("docId"))
+      .agg(array_join(
+        transform(
+          sort_array(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")),
+        " ").as("snippet"))
+  }
+
+  /** Serving-layer previews over MODEL-FORM documents (docId, title,
+    * body, …): every input doc gets a snippet, by a three-step fallback —
+    * the best covering window when the doc contains ALL query terms
+    * ([[bestWindows]]); else the FIRST occurrence of any query term
+    * (a BM25/fuzzy hit need not contain every term, but a snippet should
+    * still show what matched); else the document's LEAD tokens. Query
+    * terms inside the rendered window are bracketed. The gated
+    * [[snippets]] op is deliberately partial (all-terms docs only); this
+    * is its total serving twin. Meant for page-sized `docs` relations
+    * (the ≤5 hits of a results page); token-free docs emit no row
+    * (render as no preview). Output: (docId, snippet).
+    */
+  def previewSnippets(docs: DataFrame, terms: Seq[String],
+      ctx: Int = 2): DataFrame = {
+    val distinctTerms = terms.distinct
+    val toks = positionsStream(docs)
+    // lead anchor = the doc's FIRST actual token (an empty title shifts
+    // body positions past the field gap, so lit(0) would miss it)
+    val lead = toks.groupBy(col("docId")).agg(min(col("pos")).as("__lead"))
+    val base = docs.select(col("docId")).join(lead, Seq("docId"), "left")
+    val wins =
+      if (distinctTerms.isEmpty)
+        base.select(col("docId"),
+          col("__lead").as("win_start"), col("__lead").as("win_end"))
+      else {
+        val anyFirst = toks.where(col("term").isin(distinctTerms: _*))
+          .groupBy(col("docId")).agg(min(col("pos")).as("__first"))
+        base.join(bestWindows(toks, distinctTerms), Seq("docId"), "left")
+          .join(anyFirst, Seq("docId"), "left")
+          .select(col("docId"),
+            coalesce(col("win_start"), col("__first"), col("__lead"))
+              .as("win_start"),
+            coalesce(col("win_end"), col("__first"), col("__lead"))
+              .as("win_end"))
+      }
+    renderWindows(toks, wins, distinctTerms, ctx)
+  }
+
   // ---------------------------------------------------------------------
   // Persisted sidecar
   // ---------------------------------------------------------------------
@@ -169,17 +321,17 @@ object PositionalIndex {
     * skewed (see above) → [[phraseHits]] → TakeOrdered top-k by
     * (phrase_tf desc, docId asc). Output: (docId, phrase_tf).
     */
-  def phraseSearch(spark: SparkSession, dir: String, phrase: String,
-      k: Int): DataFrame = {
-    import spark.implicits._
-    val terms = Analyzer.tokenize(phrase)
-    if (terms.isEmpty)
-      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+  /** Shard-routed, term-filtered, rarest-term-prefiltered position rows
+    * of a persisted sidecar for a query's terms — the shared scan under
+    * [[phraseSearch]] and [[proximitySearch]]. None ⇔ some query term
+    * has no postings (no result can exist).
+    */
+  private def queryPositions(spark: SparkSession, dir: String,
+      terms: Seq[String]): Option[DataFrame] = {
     val nShards = readNShards(dir)
     val shards = terms.map(BlockIndex.shardOf(_, nShards)).distinct.sorted
     val paths = shards.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
-    if (paths.isEmpty)
-      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    if (paths.isEmpty) return None
     val rows = spark.read.option("basePath", dir).parquet(paths: _*)
       .where(col("term").isin(terms.distinct: _*))
     // df probe: a few pushed-In(term) rows of the vocab-sized df table
@@ -192,8 +344,7 @@ object PositionalIndex {
           .where(col("term").isin(terms.distinct: _*))
       else rows.groupBy(col("term")).agg(count(lit(1)).as("df")))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
-    if (terms.distinct.exists(t => dfs.getOrElse(t, 0L) == 0L))
-      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    if (terms.distinct.exists(t => dfs.getOrElse(t, 0L) == 0L)) return None
     val (rareTerm, rareDf) = dfs.minBy(_._2)
     val filtered =
       if (dfs.values.max / math.max(rareDf, 1L) < SkewRatio) rows
@@ -202,10 +353,38 @@ object PositionalIndex {
         val candSide = if (rareDf <= BroadcastDf) broadcast(cand) else cand
         rows.join(candSide, Seq("docId"), "leftsemi")
       }
-    val positions = filtered
-      .select(col("term"), col("docId"), explode(col("positions")).as("pos"))
-    phraseHits(positions, terms)
-      .orderBy(col("phrase_tf").desc, col("docId").asc)
-      .limit(k)
+    Some(filtered
+      .select(col("term"), col("docId"), explode(col("positions")).as("pos")))
+  }
+
+  def phraseSearch(spark: SparkSession, dir: String, phrase: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = Analyzer.tokenize(phrase)
+    val empty = Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    if (terms.isEmpty) return empty
+    queryPositions(spark, dir, terms).fold(empty) { positions =>
+      phraseHits(positions, terms)
+        .orderBy(col("phrase_tf").desc, col("docId").asc)
+        .limit(k)
+    }
+  }
+
+  /** Top-k proximity search against a persisted sidecar: same scan as
+    * [[phraseSearch]], ranked by the minimal covering window
+    * (min_span asc — tightest co-occurrence first — then docId).
+    * Output: (docId, min_span).
+    */
+  def proximitySearch(spark: SparkSession, dir: String, query: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = Analyzer.tokenize(query)
+    val empty = Seq.empty[(Long, Long)].toDF("docId", "min_span")
+    if (terms.isEmpty) return empty
+    queryPositions(spark, dir, terms).fold(empty) { positions =>
+      proximityHits(positions, terms)
+        .orderBy(col("min_span").asc, col("docId").asc)
+        .limit(k)
+    }
   }
 }

@@ -309,9 +309,27 @@ final class QueryEngine(
       .orderBy(col("score").desc, col("docId").asc)
   }
 
+  /** Proximity mode — the second positional extension: documents
+    * containing ALL query terms, ranked by the tightness of their best
+    * covering window (score = 1/min_span, so an adjacent pair scores 0.5
+    * and scattered terms decay; ties by docId). Same loud-failure
+    * contract as [[phraseQuery]] when no positional relation exists.
+    */
+  def proximityQuery(query: String): DataFrame = {
+    val pos = positions.getOrElse(throw new IllegalStateException(
+      "proximity queries need a positional relation — construct " +
+        "QueryEngine with positions = Some(PositionalIndex.positionsStream(docs))"))
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty) scoredEmpty
+    else graft.index.PositionalIndex.proximityHits(pos, toks)
+      .select(col("docId"), (lit(1.0) / col("min_span")).as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
-    * back to BM25. "Phrase" is this engine's extension mode — every
-    * reference name resolves exactly as the reference's registry does.
+    * back to BM25. "Phrase" and "Proximity" are this engine's extension
+    * modes — every reference name resolves exactly as the reference's
+    * registry does.
     */
   def byName(name: String): String => DataFrame = name match {
     case "Classic TF-IDF" => vectorSpaceQuery
@@ -320,6 +338,7 @@ final class QueryEngine(
     case "Fuzzy" => fuzzyQuery
     case "Wildcard" => wildcardQuery
     case "Phrase" => phraseQuery
+    case "Proximity" => proximityQuery
     case _ => q => bm25Query(q)
   }
 

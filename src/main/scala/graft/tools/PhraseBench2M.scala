@@ -55,6 +55,12 @@ object PhraseBench2M {
       println(f"[p2m]   '$q%-22s' ($tag%-9s) ${(System.nanoTime() - t1) / 1e9}%6.2f s  hits<=10: $n")
     }
     println(f"[p2m] warm_5_sequential       ${(System.nanoTime() - tw) / 1e9}%7.2f s")
+    for ((q, tag) <- Seq("def val return" -> "prox-head3",
+        "val7 class" -> "prox-mixed")) {
+      val t1 = System.nanoTime()
+      val n = PositionalIndex.proximitySearch(spark, posDir, q, 10).count()
+      println(f"[p2m]   prox '$q%-17s' ($tag%-10s) ${(System.nanoTime() - t1) / 1e9}%6.2f s  hits<=10: $n")
+    }
     spark.stop()
   }
 }

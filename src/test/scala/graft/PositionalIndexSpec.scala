@@ -85,6 +85,108 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("proximityHits: minimal covering window, order-free, single term, absent term") {
+    val docs = modelDocs(Seq(
+      (1L, "", "table big scan"), // cover spans positions 0..2
+      (2L, "", "table x y z scan"),
+      (3L, "", "scan table"), // order-free: reversed pair still span 2
+      (4L, "", "table only here"), // missing "scan" → excluded
+      (5L, "", "scan scan table scan"))) // best cover is (table,scan) = 2
+    def prox(terms: String*): Map[Long, Long] =
+      PositionalIndex.proximityHits(
+          PositionalIndex.positionsStream(docs), terms)
+        .collect().map(r => r.getAs[Long]("docId") -> r.getAs[Long]("min_span"))
+        .toMap
+    assert(prox("table", "scan") ==
+      Map(1L -> 3L, 2L -> 5L, 3L -> 2L, 5L -> 2L))
+    // duplicate query terms collapse to the distinct set
+    assert(prox("table", "scan", "table") == prox("table", "scan"))
+    // single term: every containing doc covers with span 1
+    assert(prox("table") == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+    assert(prox("zebra", "table") == Map.empty[Long, Long])
+    assert(prox() == Map.empty[Long, Long])
+  }
+
+  test("persisted proximitySearch ≡ logical proximityHits, ranked by span") {
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("join", "scan", "table", "merge", "sort", "hash")
+    val docs = modelDocs((1L to 50L).map { id =>
+      (id, "", Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq((51L, "", "needle sort hash needle"))) // skewed df → semi-join path
+    val dir = Files.createTempDirectory("graft-proximity").toString
+    PositionalIndex.build(docs, dir, nShards = 4)
+    for (query <- Seq("table scan", "sort merge join", "needle sort")) {
+      val terms = graft.analysis.Analyzer.tokenize(query)
+      val expected = PositionalIndex.proximityHits(
+          PositionalIndex.positionsStream(docs), terms)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = PositionalIndex.proximitySearch(spark, dir, query, k = 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSet == expected, s"query '$query'")
+      assert(got.sortBy { case (id, sp) => (sp, id) }.toSeq == got.toSeq)
+    }
+  }
+
+  test("bestWindows: tightest cover, ties → earliest, single term") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a b table scan c"),
+      (2L, "scan x table y z scan table"), // tightest is the trailing pair
+      (3L, "table scan x table scan"), // two span-2 covers → earliest wins
+      (4L, "table only")).toDF("doc_id", "text")
+    val toks = PositionalIndex.textPositions(docs, "doc_id", "text")
+    val wins = PositionalIndex.bestWindows(toks, Seq("table", "scan"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(wins == Map(1L -> (2L, 3L), 2L -> (5L, 6L), 3L -> (0L, 1L)))
+    val single = PositionalIndex.bestWindows(toks, Seq("table"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(single == Map(1L -> (2L, 2L), 2L -> (2L, 2L),
+      3L -> (0L, 0L), 4L -> (0L, 0L)))
+  }
+
+  test("snippets: KWIC render of the best window, terms bracketed, edges clamped") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "aa bb table scan cc dd"),
+      (2L, "scan xx table yy zz scan table"), // window at the doc tail
+      (3L, "table scan xx"), // window at the doc head
+      (4L, "table only here")).toDF("doc_id", "text")
+    def snip(ctx: Int): Map[Long, String] =
+      PositionalIndex.snippets(docs, "doc_id", "text",
+          Seq("table", "scan"), ctx)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(snip(2) == Map(
+      1L -> "aa bb [table] [scan] cc dd",
+      2L -> "yy zz [scan] [table]",
+      3L -> "[table] [scan] xx"))
+    assert(snip(0) == Map(
+      1L -> "[table] [scan]",
+      2L -> "[scan] [table]",
+      3L -> "[table] [scan]"))
+    assert(PositionalIndex.snippets(docs, "doc_id", "text", Seq.empty)
+      .count() == 0)
+  }
+
+  test("previewSnippets: cover → first-match → lead fallback tiers, total over hits") {
+    val docs = modelDocs(Seq(
+      (1L, "", "aa table scan bb"), // full cover → best window
+      (2L, "", "xx yy scan zz ww"), // partial match → first occurrence
+      (3L, "", "pp qq rr"), // no query terms → lead tokens
+      (4L, "", ""))) // token-free → no snippet row
+    val got = PositionalIndex.previewSnippets(docs, Seq("table", "scan"), ctx = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(
+      1L -> "aa [table] [scan] bb",
+      2L -> "yy [scan] zz",
+      3L -> "pp qq"))
+    // empty query: lead tokens, nothing bracketed
+    val lead = PositionalIndex.previewSnippets(docs, Seq.empty, ctx = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lead == Map(1L -> "aa table", 2L -> "xx yy", 3L -> "pp qq"))
+  }
+
   test("phraseHits plan: ONE data exchange (votes co-partitioned by docId)") {
     val docs = modelDocs((1L to 30L).map(id =>
       (id, "", s"alpha beta gamma alpha beta doc$id")))

@@ -17,7 +17,8 @@ class SearchServerSpec extends AnyFunSuite {
 
   private lazy val docs = CorpusSource.readDocsCsv(
     spark, SparkSessionFixture.resourcePath("example.csv"))
-  private lazy val engine = new QueryEngine(IndexBuilder.build(docs, k = 3))
+  private lazy val engine = new QueryEngine(IndexBuilder.build(docs, k = 3),
+    positions = Some(graft.index.PositionalIndex.positionsStream(docs)))
 
   private lazy val server: SearchServer = {
     val s = new SearchServer(engine, docs, port = 0)
@@ -80,6 +81,25 @@ class SearchServerSpec extends AnyFunSuite {
         assert(s2.search(q, alg, 1) == server.search(q, alg, 1), s"alg=$alg")
       }
     } finally s2.stop()
+  }
+
+  test("SERP snippets: each hit previews its match with terms bracketed") {
+    val (code, body) = get("?q=matrix+communication+channel&alg=BM25")
+    assert(code == 200)
+    assert(body.contains("class=\"snippet\""))
+    // doc 3 (communication+channel, no matrix) falls back to its first
+    // matching term; doc 2 brackets its lone 'matrix' occurrence
+    assert(body.contains("[channel]"), body)
+    assert(body.contains("[matrix]"), body)
+  }
+
+  test("Proximity algorithm over HTTP: tightest window first, pair bracketed") {
+    val (code, body) = get("?q=communication+channel&alg=Proximity")
+    assert(code == 200)
+    assert(body.contains("results=1"), body)
+    assert(body.contains("Code-division multiple access"))
+    // the adjacent pair is the best covering window → rendered together
+    assert(body.contains("[communication] [channel]"), body)
   }
 
   test("server.search == the CLI query path (byName + paginate + materialize)") {

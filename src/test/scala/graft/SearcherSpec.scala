@@ -236,6 +236,25 @@ class SearcherSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bare.phraseQuery("merge sort") }
   }
 
+  test("Proximity mode: window-tightness-ranked, dispatched by name, loud without positions") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "merge x y z sort", ""), // span 5 → score 0.2
+      (2L, "", "sort then merge", ""), // order-free span 3
+      (3L, "", "merge sort stuff", ""), // adjacent, span 2
+      (4L, "", "merge only here", "") // missing a term → excluded
+    ).toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false),
+      positions = Some(graft.index.PositionalIndex.positionsStream(docs)))
+    val got = e.byName("Proximity")("merge sort").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((3L, 0.5), (2L, 1.0 / 3), (1L, 0.2)))
+    assert(e.proximityQuery("").count() == 0)
+    val bare = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    intercept[IllegalStateException] { bare.proximityQuery("merge sort") }
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
