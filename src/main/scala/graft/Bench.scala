@@ -58,6 +58,12 @@ object Bench {
     val embeddings = GateQueries.embeddings(spark, sfDir)
     val ivfDir = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
     val posDir = java.nio.file.Files.createTempDirectory("graft-bench-pos").toString
+    // 90% base sidecar prepared untimed; pos_refresh_10pct times ONLY the
+    // incremental commit of the remaining docs as a second segment
+    val posSegDir = java.nio.file.Files.createTempDirectory("graft-bench-posseg").toString
+    val posCut = (docs.agg(max(col("docId"))).head().getLong(0) * 0.9).toLong
+    graft.index.PositionalIndex.build(
+      docs.where(col("docId") <= posCut), posSegDir, nShards = 8)
 
     val benches: Seq[(String, () => Long)] = Seq(
       "bm25_wand_top10" ->
@@ -143,6 +149,15 @@ object Bench {
         .phraseSearch(spark, posDir, "order fast", 10).count()),
       "proximity_search_top10" -> (() => graft.index.PositionalIndex
         .proximitySearch(spark, posDir, "order fast window", 10).count()),
+      "pos_refresh_10pct" -> (() => {
+        graft.index.PositionalIndex.refresh(
+          docs.where(col("docId") > posCut), posSegDir)
+        1L
+      }),
+      // query overhead of the two-segment layout (vs phrase_search_top10
+      // on the single-segment sidecar)
+      "phrase_search_segmented" -> (() => graft.index.PositionalIndex
+        .phraseSearch(spark, posSegDir, "order fast", 10).count()),
       "chunk_windows" -> (() => graft.pipeline.TextPipeline
         .chunkTokens(documents, "doc_id", "text",
           chunkSize = 128, stride = 96).count()),
@@ -154,7 +169,7 @@ object Bench {
     // cache warmth is the realistic regime — and cold first-runs swing
     // ±20% on this VM, which round 2 showed misattributes regressions.
     // Build entries stay cold/single-run: a batch build IS a cold job.
-    val warmupSkip = Set("ivf_build", "pos_index_build")
+    val warmupSkip = Set("ivf_build", "pos_index_build", "pos_refresh_10pct")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:

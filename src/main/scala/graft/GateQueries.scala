@@ -1741,11 +1741,51 @@ object GateQueries {
              |SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS snippet
              |FROM snip GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
 
+  /** Segmented positional sidecar: half the corpus cold-built, the other
+    * half committed via [[graft.index.PositionalIndex.refresh]] — one
+    * per corpus directory (the positional twin of [[segIndexDir]]).
+    */
+  private val posSegDirs = scala.collection.mutable.Map.empty[String, String]
+  def posSegIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    posSegDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-posidx-seg").toString
+      val docs = docsAsModel(spark, dir)
+      val mid = docs.agg(
+          org.apache.spark.sql.functions.max(col("docId")) / 2)
+        .head().getDouble(0).toLong
+      graft.index.PositionalIndex.build(
+        docs.where(col("docId") <= mid), d, nShards = 8)
+      graft.index.PositionalIndex.refresh(docs.where(col("docId") > mid), d)
+      d
+    })
+  }
+
+  /** Incremental positional refresh: a two-segment sidecar must answer
+    * phrase AND proximity searches exactly like a cold build of the whole
+    * corpus — gated against the SAME oracles as q53b/q56b.
+    */
+  val posSegEntries: Seq[Gate] = Seq(
+    Gate("q58_pos_refresh_phrase_search",
+      (s, d) => graft.index.PositionalIndex.phraseSearch(
+          s, posSegIndexDir(s, d), "table scan", 20)
+        .select(col("docId").as("doc_id"), col("phrase_tf"))
+        .orderBy(col("phrase_tf").desc, col("doc_id")),
+      pipelineEntries.find(_.name == "q53b_phrase_search").get.oracle),
+    Gate("q58b_pos_refresh_proximity_search",
+      (s, d) => graft.index.PositionalIndex.proximitySearch(
+          s, posSegIndexDir(s, d), "table scan", 20)
+        .select(col("docId").as("doc_id"), col("min_span"))
+        .orderBy(col("min_span"), col("doc_id")),
+      pipelineEntries.find(_.name == "q56b_proximity_search").get.oracle))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)
+    (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries ++
+      posSegEntries)
       .map(g => g.name -> g.run).toMap
 
   def oracleSql: Map[String, String] =
-    (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries)
+    (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries ++
+      posSegEntries)
       .flatMap(g => g.oracle.map(g.name -> _)).toMap
 }

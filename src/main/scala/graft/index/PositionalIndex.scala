@@ -269,30 +269,48 @@ object PositionalIndex {
     * loudly (readNShards throws on the missing marker) and the next
     * build() heals by starting clean.
     */
-  def build(docs: DataFrame, dir: String, nShards: Int = 8): Unit = {
+  def build(docs: DataFrame, dir: String, nShards: Int = 8): Unit =
+    buildFromRows(
+      positionsStream(docs)
+        .groupBy(col("term"), col("docId"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions")),
+      dir, nShards)
+
+  /** The write half of [[build]] over already-aggregated
+    * (term, docId, positions) rows — also the engine of [[compact]],
+    * which re-segments WITHOUT re-tokenizing. The read-back that derives
+    * the df table also supplies the segment's maxDocId (recorded in the
+    * meta commit marker — [[refresh]]'s disjointness floor) from
+    * column-pruned scans of the written postings.
+    */
+  private def buildFromRows(rows: DataFrame, dir: String,
+      nShards: Int): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     MetaIO.deleteIfExists(dir, recursive = true)
-    positionsStream(docs)
-      .groupBy(col("term"), col("docId"))
-      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+    rows
       .withColumn("shard",
         pmod(xxhash64(col("term")), lit(nShards.toLong)).cast("int"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("term"), col("docId"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val spark = rows.sparkSession
     val shardPaths = (0 until nShards).map(s => s"$dir/shard=$s")
       .filter(MetaIO.exists)
-    if (shardPaths.nonEmpty)
-      docs.sparkSession.read.option("basePath", dir).parquet(shardPaths: _*)
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .withColumn("shard",
-          pmod(xxhash64(col("term")), lit(nShards.toLong)).cast("int"))
-        .repartition(col("shard"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").partitionBy("shard")
-        .parquet(dfStatsDir(dir))
+    val maxDocId =
+      if (shardPaths.isEmpty) -1L
+      else {
+        val back = spark.read.option("basePath", dir).parquet(shardPaths: _*)
+        back.groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .withColumn("shard",
+            pmod(xxhash64(col("term")), lit(nShards.toLong)).cast("int"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").partitionBy("shard")
+          .parquet(dfStatsDir(dir))
+        back.agg(max(col("docId"))).head().getLong(0)
+      }
     MetaIO.writeAtomic(metaPath(dir),
-      s"""{"nShards":$nShards}""".getBytes("UTF-8"))
+      s"""{"nShards":$nShards,"maxDocId":$maxDocId}""".getBytes("UTF-8"))
   }
 
   def readNShards(dir: String): Int = {
@@ -300,6 +318,159 @@ object PositionalIndex {
     """"nShards"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
       .map(_.group(1).toInt)
       .getOrElse(sys.error(s"malformed ${metaPath(dir)}: $s"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Segments: incremental refresh without re-tokenizing the committed
+  // corpus (the same Lucene/LSM segment model as BlockIndex, sidecar-
+  // sized: each segment is a complete plain sidecar; `_possegments.json`
+  // is the atomically-replaced commit point)
+  // ---------------------------------------------------------------------
+
+  val PosSegmentsName = "_possegments.json"
+
+  /** Committed state of a segmented sidecar root: ordered segment
+    * directory names (`"."` = the root itself — the in-place conversion
+    * of a plain sidecar), the uniform shard count, and the highest
+    * committed docId (the floor for the next refresh — segments must
+    * partition the corpus by docId range so a doc's positions live in
+    * exactly one segment).
+    */
+  final case class PosSegmentsMeta(
+      segs: Seq[String], nShards: Int, maxDocId: Long)
+
+  def isSegmented(dir: String): Boolean =
+    MetaIO.exists(s"$dir/$PosSegmentsName")
+
+  private def segDirs(dir: String): Seq[String] =
+    if (!isSegmented(dir)) Seq(dir)
+    else readSegments(dir).segs.map(s => if (s == ".") dir else s"$dir/$s")
+
+  def readSegments(dir: String): PosSegmentsMeta = {
+    val s = MetaIO.readString(s"$dir/$PosSegmentsName")
+    val kv = """"(\w+)":(-?\d+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val segs = """"segs":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse("").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    PosSegmentsMeta(segs, kv("nShards").toInt, kv("maxDocId"))
+  }
+
+  private def writeSegments(dir: String, m: PosSegmentsMeta): Unit = {
+    val segsJson = m.segs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    MetaIO.writeAtomic(s"$dir/$PosSegmentsName",
+      s"""{"nShards":${m.nShards},"maxDocId":${m.maxDocId},"nonce":${System.nanoTime()},"segs":$segsJson}"""
+        .getBytes("UTF-8"))
+  }
+
+  /** Current metadata whether segmented or plain; plain sidecars read
+    * the maxDocId recorded at build completion (pre-maxDocId metas fall
+    * back to one column-pruned max scan).
+    */
+  private def segMeta(spark: SparkSession, dir: String): PosSegmentsMeta =
+    if (isSegmented(dir)) readSegments(dir)
+    else {
+      val nShards = readNShards(dir)
+      val maxDoc = """"maxDocId":(-?\d+)""".r
+        .findFirstMatchIn(MetaIO.readString(metaPath(dir)))
+        .map(_.group(1).toLong)
+        .getOrElse {
+          val paths = (0 until nShards).map(s => s"$dir/shard=$s")
+            .filter(MetaIO.exists)
+          if (paths.isEmpty) -1L
+          else spark.read.option("basePath", dir).parquet(paths: _*)
+            .agg(max(col("docId"))).head().getLong(0)
+        }
+      PosSegmentsMeta(Seq("."), nShards, maxDoc)
+    }
+
+  /** Incrementally add `newDocs`' positions WITHOUT touching committed
+    * data: the delta is tokenized and built as a brand-new immutable
+    * segment (reusing [[build]], whose meta file is its commit marker),
+    * then committed by atomically replacing `_possegments.json`. Readers
+    * see the old sidecar until the commit instant; a kill before it
+    * leaves the old sidecar intact and the half-built segment invisible.
+    *
+    * `newDocs.docId` must all exceed the committed maxDocId (checked
+    * with one tiny aggregation). A caller-keyed `genName` (e.g. a
+    * streaming micro-batch id) makes replay a detectable no-op before
+    * any work, as in [[BlockIndex.refresh]]; the default name is the
+    * delta's docId range, so re-running the same refresh after a kill
+    * rebuilds the same directory and an abandoned different delta gets
+    * a fresh one.
+    */
+  def refresh(newDocs: DataFrame, dir: String,
+      genName: Option[String] = None): PosSegmentsMeta = {
+    val spark = newDocs.sparkSession
+    val meta = segMeta(spark, dir)
+    genName.map(g => s"pseg-$g").foreach { gen =>
+      if (isSegmented(dir) && readSegments(dir).segs.contains(gen))
+        return readSegments(dir)
+    }
+    val bounds = newDocs.agg(
+      min(col("docId")), max(col("docId")), count(lit(1))).head()
+    if (bounds.getLong(2) == 0L) { // empty delta: commit = current state
+      if (!isSegmented(dir)) writeSegments(dir, meta)
+      return readSegments(dir)
+    }
+    val (minNew, maxNew) = (bounds.getLong(0), bounds.getLong(1))
+    val gen = genName.map(g => s"pseg-$g").getOrElse(s"pseg-$minNew-$maxNew")
+    if (isSegmented(dir) && readSegments(dir).segs.contains(gen))
+      return readSegments(dir)
+    require(minNew > meta.maxDocId,
+      s"refresh docIds must exceed committed maxDocId=${meta.maxDocId}, got min=$minNew")
+    build(newDocs, s"$dir/$gen", meta.nShards)
+    val m = PosSegmentsMeta(meta.segs :+ gen, meta.nShards, maxNew)
+    writeSegments(dir, m)
+    m
+  }
+
+  /** Fold all committed segments back into ONE — built from the stored
+    * (term, docId, positions) rows, no re-tokenization — then commit the
+    * singleton list and sweep unreferenced segment data (including any
+    * leftovers of an earlier kill between commit and cleanup). Single-
+    * writer maintenance op, like [[BlockIndex.compact]].
+    */
+  def compact(dir: String): PosSegmentsMeta = {
+    require(isSegmented(dir), s"$dir is not a segmented positional sidecar")
+    val meta = readSegments(dir)
+    if (meta.segs.size == 1 && meta.segs.head != ".") {
+      sweepUnreferenced(dir, meta)
+      return meta
+    }
+    val spark = SparkSession.active
+    // named by corpus identity (append-only ⇒ (maxDocId, segment count)
+    // pins the fold): a killed compaction re-runs its own directory
+    val gen = s"pseg-compact-${meta.maxDocId}-${meta.segs.size}"
+    val rows = segDirs(dir).flatMap { seg =>
+      val paths = (0 until readNShards(seg)).map(s => s"$seg/shard=$s")
+        .filter(MetaIO.exists)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", seg).parquet(paths: _*)
+        .select(col("term"), col("docId"), col("positions")))
+    }.reduceOption(_ union _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Seq[Long])].toDF("term", "docId", "positions")
+    }
+    buildFromRows(rows, s"$dir/$gen", meta.nShards)
+    val m = PosSegmentsMeta(Seq(gen), meta.nShards, meta.maxDocId)
+    writeSegments(dir, m)
+    sweepUnreferenced(dir, m)
+    m
+  }
+
+  private def sweepUnreferenced(dir: String,
+      committed: PosSegmentsMeta): Unit = {
+    val referenced = committed.segs.toSet
+    MetaIO.list(dir)
+      .filter(n => n.startsWith("pseg-") && !referenced.contains(n))
+      .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+    if (!referenced.contains(".")) {
+      MetaIO.list(dir).filter(_.startsWith("shard="))
+        .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+      MetaIO.deleteIfExists(dfStatsDir(dir), recursive = true)
+      MetaIO.deleteIfExists(metaPath(dir))
+    }
   }
 
   /** Every phrase match lies in the rarest term's document set, so when
@@ -321,30 +492,47 @@ object PositionalIndex {
     * skewed (see above) → [[phraseHits]] → TakeOrdered top-k by
     * (phrase_tf desc, docId asc). Output: (docId, phrase_tf).
     */
-  /** Shard-routed, term-filtered, rarest-term-prefiltered position rows
-    * of a persisted sidecar for a query's terms — the shared scan under
-    * [[phraseSearch]] and [[proximitySearch]]. None ⇔ some query term
-    * has no postings (no result can exist).
+  /** Shard-routed, term-filtered position rows of ONE plain sidecar
+    * (a root or a segment) plus its per-term dfs — the df probe reads a
+    * few pushed-In(term) rows of the vocab-sized df table when the
+    * sidecar has one, else counts posting rows (compat).
     */
-  private def queryPositions(spark: SparkSession, dir: String,
-      terms: Seq[String]): Option[DataFrame] = {
+  private def segScan(spark: SparkSession, dir: String,
+      qTerms: Seq[String]): Option[(DataFrame, Map[String, Long])] = {
     val nShards = readNShards(dir)
-    val shards = terms.map(BlockIndex.shardOf(_, nShards)).distinct.sorted
+    val shards = qTerms.map(BlockIndex.shardOf(_, nShards)).distinct.sorted
     val paths = shards.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
     if (paths.isEmpty) return None
     val rows = spark.read.option("basePath", dir).parquet(paths: _*)
-      .where(col("term").isin(terms.distinct: _*))
-    // df probe: a few pushed-In(term) rows of the vocab-sized df table
-    // when the sidecar has one; else count posting rows (compat)
+      .where(col("term").isin(qTerms: _*))
+      .select(col("term"), col("docId"), col("positions"))
     val statsPaths = shards.map(s => s"${dfStatsDir(dir)}/shard=$s")
       .filter(MetaIO.exists)
     val dfs =
       (if (statsPaths.nonEmpty)
         spark.read.option("basePath", dfStatsDir(dir)).parquet(statsPaths: _*)
-          .where(col("term").isin(terms.distinct: _*))
+          .where(col("term").isin(qTerms: _*))
+          .select(col("term"), col("df"))
       else rows.groupBy(col("term")).agg(count(lit(1)).as("df")))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
-    if (terms.distinct.exists(t => dfs.getOrElse(t, 0L) == 0L)) return None
+    Some((rows, dfs))
+  }
+
+  /** Shard-routed, term-filtered, rarest-term-prefiltered position rows
+    * of a persisted sidecar (plain or segmented — segments' scans union;
+    * dfs sum across segments) for a query's terms — the shared scan
+    * under [[phraseSearch]] and [[proximitySearch]]. None ⇔ some query
+    * term has no postings anywhere (no result can exist).
+    */
+  private def queryPositions(spark: SparkSession, dir: String,
+      terms: Seq[String]): Option[DataFrame] = {
+    val qTerms = terms.distinct
+    val perSeg = segDirs(dir).flatMap(seg => segScan(spark, seg, qTerms))
+    if (perSeg.isEmpty) return None
+    val dfs = perSeg.flatMap(_._2.toSeq)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    if (qTerms.exists(t => dfs.getOrElse(t, 0L) == 0L)) return None
+    val rows = perSeg.map(_._1).reduce(_ union _)
     val (rareTerm, rareDf) = dfs.minBy(_._2)
     val filtered =
       if (dfs.values.max / math.max(rareDf, 1L) < SkewRatio) rows

@@ -169,6 +169,52 @@ class PositionalIndexSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("segmented sidecar: refresh ≡ cold rebuild, replay no-op, compact folds + sweeps") {
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("join", "scan", "table", "merge", "sort", "hash", "needle")
+    val all = (1L to 80L).map { id =>
+      (id, "", Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val cold = Files.createTempDirectory("graft-pos-cold").toString
+    val seg = Files.createTempDirectory("graft-pos-seg").toString
+    PositionalIndex.build(modelDocs(all), cold, nShards = 4)
+    PositionalIndex.build(modelDocs(all.filter(_._1 <= 50)), seg, nShards = 4)
+    val delta = modelDocs(all.filter(_._1 > 50))
+    val m1 = PositionalIndex.refresh(delta, seg)
+    assert(m1.segs == Seq(".", "pseg-51-80") && m1.maxDocId == 80L)
+    def results(dir: String, q: String) = (
+      PositionalIndex.phraseSearch(spark, dir, q, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      PositionalIndex.proximitySearch(spark, dir, q, 1000)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    for (q <- Seq("table scan", "sort merge", "needle hash"))
+      assert(results(seg, q) == results(cold, q), s"refreshed vs cold: '$q'")
+    // re-running the same refresh is a no-op commit (default range name)
+    assert(PositionalIndex.refresh(delta, seg).segs == m1.segs)
+    // non-disjoint docIds are refused loudly
+    intercept[IllegalArgumentException] {
+      PositionalIndex.refresh(modelDocs(all.take(3)), seg)
+    }
+    // compaction folds to one segment, answers identically, sweeps the
+    // root-held base's artifacts
+    val m3 = PositionalIndex.compact(seg)
+    assert(m3.segs.size == 1 && m3.segs.head.startsWith("pseg-compact-"))
+    for (q <- Seq("table scan", "sort merge", "needle hash"))
+      assert(results(seg, q) == results(cold, q), s"post-compact: '$q'")
+    import java.nio.file.{Files => JF, Paths}
+    assert(!JF.exists(Paths.get(seg, "_posmeta.json")))
+    assert(!JF.exists(Paths.get(seg, "dfstats")))
+    // caller-keyed generation: replay is a detectable no-op before work
+    val delta2 = modelDocs((81L to 90L).map(id => (id, "", "needle table x")))
+    val m4 = PositionalIndex.refresh(delta2, seg, genName = Some("b7"))
+    assert(m4.segs.last == "pseg-b7" && m4.maxDocId == 90L)
+    assert(PositionalIndex.refresh(delta2, seg, genName = Some("b7")).segs
+      == m4.segs)
+    val hits = PositionalIndex.phraseSearch(spark, seg, "needle table", 1000)
+      .collect().map(_.getLong(0)).toSet
+    assert((81L to 90L).toSet.subsetOf(hits))
+  }
+
   test("previewSnippets: cover → first-match → lead fallback tiers, total over hits") {
     val docs = modelDocs(Seq(
       (1L, "", "aa table scan bb"), // full cover → best window
