@@ -1739,7 +1739,101 @@ object GateQueries {
              |         FROM tokpos t JOIN sel USING (doc_id)
              |         WHERE t.pos BETWEEN sel.ws - 2 AND sel.we + 2)
              |SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS snippet
-             |FROM snip GROUP BY doc_id ORDER BY doc_id""".stripMargin)))
+             |FROM snip GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // PMI collocation mining over adjacent bigrams (Church & Hanks):
+    // pmi = ln((c_ab/B) / ((c_a/T)(c_b/T))), cnt >= 5. Both sides build
+    // the identical ratio expression before one 6dp rounding.
+    Gate("q59_collocations",
+      (s, d) => graft.pipeline.TextPipeline.collocations(
+          documents(s, d), "text", minCount = 5L)
+        .select(col("a"), col("b"), col("cnt"),
+          round(col("pmi"), 6).as("pmi"))
+        .orderBy(col("a"), col("b")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |s AS (SELECT doc_id, l, unnest(range(0, len(l))) AS pos
+             |      FROM d WHERE len(l) > 0),
+             |tok AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |bg AS (SELECT t1.term AS a, t2.term AS b
+             |       FROM tok t1 JOIN tok t2
+             |         ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1),
+             |cab AS (SELECT a, b, count(*)::BIGINT AS cnt FROM bg
+             |        GROUP BY a, b),
+             |uni AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+             |tt AS (SELECT sum(c)::DOUBLE AS tot_t FROM uni),
+             |tb AS (SELECT sum(cnt)::DOUBLE AS tot_b FROM cab)
+             |SELECT cab.a, cab.b, cab.cnt,
+             |  round(ln((cab.cnt::DOUBLE / tot_b) /
+             |    ((ua.c::DOUBLE / tot_t) * (ub.c::DOUBLE / tot_t))), 6) AS pmi
+             |FROM cab
+             |JOIN uni ua ON cab.a = ua.term
+             |JOIN uni ub ON cab.b = ub.term
+             |CROSS JOIN tt CROSS JOIN tb
+             |WHERE cab.cnt >= 5
+             |ORDER BY cab.a, cab.b""".stripMargin)),
+
+    // Symmetric ±2-window co-occurrence counts (the word2vec/GloVe
+    // context matrix); the oracle's |pos diff| self-join IS the directed
+    // both-ways count the narrow offset-zip formulation produces.
+    Gate("q60_cooccurrence",
+      (s, d) => graft.pipeline.TextPipeline.cooccurrence(
+          documents(s, d), "text", window = 2, minCount = 20L)
+        .orderBy(col("a"), col("b")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |s AS (SELECT doc_id, l, unnest(range(0, len(l))) AS pos
+             |      FROM d WHERE len(l) > 0),
+             |tok AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |bg AS (SELECT t1.term AS a, t2.term AS b
+             |       FROM tok t1 JOIN tok t2
+             |         ON t1.doc_id = t2.doc_id
+             |        AND abs(t2.pos - t1.pos) BETWEEN 1 AND 2)
+             |SELECT a, b, count(*)::BIGINT AS cnt FROM bg
+             |GROUP BY a, b HAVING count(*) >= 20
+             |ORDER BY a, b""".stripMargin)),
+
+    // More-like-this: seed doc 42's top-5 tf·idf terms (6dp-rounded
+    // weights so the cutoff reproduces), BM25-scored, seed excluded —
+    // the related-documents query as one relational derivation.
+    Gate("q61_more_like_this",
+      (s, d) => engine(s, d).moreLikeThis(42L, m = 5)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some(s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+              |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+              |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+              |q AS (
+              |  SELECT term, 1::DOUBLE AS qcnt FROM (
+              |    SELECT p.term,
+              |      row_number() OVER (ORDER BY
+              |        round(p.tf::DOUBLE * log10(vocab.n / t.df::DOUBLE), 6) DESC,
+              |        p.term ASC) AS rn
+              |    FROM postings p
+              |    JOIN tstats t ON p.term = t.term
+              |    CROSS JOIN vocab
+              |    WHERE p.doc_id = 42)
+              |  WHERE rn <= 5),
+              |scored AS (
+              |  SELECT p.doc_id,
+              |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+              |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+              |  FROM postings p
+              |  JOIN q ON p.term = q.term
+              |  JOIN tstats t ON p.term = t.term
+              |  JOIN dl d ON p.doc_id = d.doc_id
+              |  CROSS JOIN vocab CROSS JOIN avg_dl
+              |  GROUP BY p.doc_id)
+              |SELECT doc_id, round(raw, 6) AS score FROM scored
+              |WHERE doc_id <> 42
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)))
 
   /** Segmented positional sidecar: half the corpus cold-built, the other
     * half committed via [[graft.index.PositionalIndex.refresh]] — one

@@ -342,6 +342,10 @@ object PositionalIndex {
   def isSegmented(dir: String): Boolean =
     MetaIO.exists(s"$dir/$PosSegmentsName")
 
+  /** True iff `dir` holds a committed sidecar (plain or segmented). */
+  def exists(dir: String): Boolean =
+    MetaIO.exists(metaPath(dir)) || isSegmented(dir)
+
   private def segDirs(dir: String): Seq[String] =
     if (!isSegmented(dir)) Seq(dir)
     else readSegments(dir).segs.map(s => if (s == ".") dir else s"$dir/$s")

@@ -469,6 +469,98 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Collocation mining (PMI over adjacent bigrams)
+  // ---------------------------------------------------------------------
+
+  /** Corpus collocations: adjacent bigrams ranked by pointwise mutual
+    * information — the classic phrase-mining primitive (Church & Hanks
+    * 1990; word2vec's phrase pass uses the same shape) a training
+    * pipeline runs to decide which token pairs to glue ("new york",
+    * "machine learning") before tokenizer training.
+    * pmi = ln( (c_ab / B) / ((c_a / T) · (c_b / T)) ), where B is the
+    * corpus bigram total and T the token total; `minCount` drops the
+    * unstable low-frequency tail BEFORE the joins.
+    *
+    * Shape at scale: bigram extraction is NARROW — zip_with over each
+    * doc's token array pairs neighbors with no shuffle — so the op costs
+    * two map-combined count aggregations (bigrams, unigrams) and two
+    * vocab-sized term-keyed joins of the already-minCount-filtered pair
+    * relation. Both scalar totals are post-aggregation reductions of
+    * those counts (no third pass over the corpus) and ride in via
+    * broadcast cross joins, keeping the op fully lazy. Tokenization runs
+    * twice (bigram + unigram branches) by choice: a shared positions
+    * stream would need an extra full-token exchange to pair neighbors,
+    * which costs more than re-running the narrow tokenizer.
+    *
+    * Output: (a, b, cnt, pmi), cnt ≥ minCount.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val toks = docs.select(Analyzer.tokensCol(col(textCol)).as("__t"))
+    val bigrams = toks
+      .where(size(col("__t")) >= 2)
+      .select(explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("bg"))
+      .select(col("bg.a").as("a"), col("bg.b").as("b"))
+    val cab = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val uni = toks.select(explode(col("__t")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val totT = uni.agg(sum(col("c")).cast("double").as("__T"))
+    val totB = cab.agg(sum(col("cnt")).cast("double").as("__B"))
+    cab.where(col("cnt") >= minCount)
+      .join(uni.select(col("term").as("a"), col("c").as("__ca")), Seq("a"))
+      .join(uni.select(col("term").as("b"), col("c").as("__cb")), Seq("b"))
+      .crossJoin(broadcast(totT))
+      .crossJoin(broadcast(totB))
+      .select(col("a"), col("b"), col("cnt"),
+        log((col("cnt").cast("double") / col("__B")) /
+          ((col("__ca").cast("double") / col("__T")) *
+            (col("__cb").cast("double") / col("__T"))))
+          .as("pmi"))
+  }
+
+  /** Symmetric term co-occurrence counts within a ±`window` token
+    * context — the (center, context) count matrix word2vec/GloVe-style
+    * embedding training consumes. Each unordered neighbor pair
+    * contributes to BOTH directed cells, so row `a` is term a's full
+    * context distribution.
+    *
+    * Shape at scale: ONE tokenize pass and fully narrow until the final
+    * count aggregation — per document, a `transform` over the offsets
+    * 1..window zips the token array against itself shifted by d and
+    * `flatten` concatenates the offset arrays, so no positions relation
+    * is ever shuffled (the self-join formulation would exchange every
+    * token ×2·window). The only wide op is the map-combined
+    * (a, b) count. `minCount` drops the unstable tail at the end.
+    *
+    * Output: (a, b, cnt), cnt ≥ minCount, both directions present.
+    */
+  def cooccurrence(docs: DataFrame, textCol: String, window: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val n = size(col("__t"))
+    docs.select(Analyzer.tokensCol(col(textCol)).as("__t"))
+      .where(n >= 2) // guarantees least(window, n-1) >= 1 below
+      .select(explode(flatten(transform(
+        sequence(lit(1), least(lit(window), n - 1)),
+        d => zip_with(
+          slice(col("__t"), lit(1), n - d),
+          slice(col("__t"), d + 1, n - d),
+          (a, b) => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(explode(array(
+        struct(col("p.a").as("a"), col("p.b").as("b")),
+        struct(col("p.b").as("a"), col("p.a").as("b")))).as("q"))
+      .select(col("q.a").as("a"), col("q.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
+  }
+
+  // ---------------------------------------------------------------------
   // Stratified deterministic sampling (source mixing)
   // ---------------------------------------------------------------------
 

@@ -326,6 +326,35 @@ final class QueryEngine(
       .orderBy(col("score").desc, col("docId").asc)
   }
 
+  /** "More like this": related documents for a seed document — the query
+    * is the seed's top-`m` terms by tf·idf (weight desc, term asc;
+    * weights rounded to 6 dp before ranking so the cutoff is
+    * reproducible across engines), scored with the standard BM25 plan,
+    * the seed itself excluded. The m seed terms are a bounded
+    * driver-side collect (m is a handful); everything else is the
+    * distributed scoring dataflow. Unknown seed ⇒ empty result.
+    */
+  def moreLikeThis(seedDocId: Long, m: Int = 5,
+      topK: Option[Int] = None): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val seedTerms = postings.where(col("docId") === seedDocId)
+      .join(index.termStats, "term")
+      .select(col("term"),
+        round(col("tf").cast("double") * index.idfCol(col("df")), 6).as("__w"))
+      .orderBy(col("__w").desc, col("term").asc)
+      .limit(m)
+      .collect().map(_.getString(0)).toSeq
+    if (seedTerms.isEmpty) scoredEmpty
+    else {
+      // seed terms are analyzer tokens (lowercase alnum), so the joined
+      // string round-trips through tokenize exactly
+      val ranked = bm25Query(seedTerms.mkString(" "))
+        .where(col("docId") =!= seedDocId)
+        .orderBy(col("score").desc, col("docId").asc)
+      topK.fold(ranked)(ranked.limit)
+    }
+  }
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
     * back to BM25. "Phrase" and "Proximity" are this engine's extension
     * modes — every reference name resolves exactly as the reference's

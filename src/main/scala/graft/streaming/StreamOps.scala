@@ -123,8 +123,10 @@ object StreamOps {
       layout: graft.index.BlockIndex.Layout,
       idSortCols: Seq[String],
       compactEvery: Int = 0,
-      genTag: String = ""): Unit = {
-    import graft.index.BlockIndex
+      genTag: String = "",
+      posDir: Option[String] = None,
+      posShards: Int = 8): Unit = {
+    import graft.index.{BlockIndex, PositionalIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
       col("title").cast("string"), col("body").cast("string"),
@@ -133,6 +135,17 @@ object StreamOps {
         !graft.index.MetaIO.exists(s"$dir/${BlockIndex.StatsName}")) {
       BlockIndex.build(
         corpusCols.withColumn("docId", lit(0L)).limit(0), dir, layout)
+    }
+    // the optional positional sidecar commits the SAME batch under the
+    // SAME marker, BEFORE the block index: block-committed ⇒ positional-
+    // committed, so the block marker check below safely gates both, and
+    // a crash between the two replays into a positional genName no-op
+    // followed by the block commit (ids re-derive identically because
+    // the block maxDocId is still the pre-crash value)
+    posDir.foreach { pd =>
+      if (!PositionalIndex.exists(pd))
+        PositionalIndex.build(
+          corpusCols.withColumn("docId", lit(0L)).limit(0), pd, posShards)
     }
     if (BlockIndex.isSegmented(dir)) {
       val segs = graft.index.BlockIndex.readSegments(dir).segs
@@ -154,10 +167,16 @@ object StreamOps {
     if (compactEvery > 0 && BlockIndex.isSegmented(dir) &&
         BlockIndex.readSegments(dir).segs.size >= compactEvery)
       BlockIndex.compact(dir)
+    if (compactEvery > 0) posDir.foreach { pd =>
+      if (PositionalIndex.isSegmented(pd) &&
+          PositionalIndex.readSegments(pd).segs.size >= compactEvery)
+        PositionalIndex.compact(pd)
+    }
     val start =
       math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
     val docs = graft.sources.CorpusSource.withDenseDocIds(
       corpusCols, idSortCols.map(col), firstId = start)
+    posDir.foreach(pd => PositionalIndex.refresh(docs, pd, Some(marker)))
     BlockIndex.refresh(docs, dir, genName = Some(marker))
   }
 
@@ -174,12 +193,14 @@ object StreamOps {
       layout: graft.index.BlockIndex.Layout,
       checkpointDir: String,
       idSortCols: Seq[String],
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      posDir: Option[String] = None,
+      posShards: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery,
-          genTag = runTag(checkpointDir))
+          genTag = runTag(checkpointDir), posDir = posDir, posShards = posShards)
       }
       .start()
 

@@ -711,6 +711,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L)._2 > out(1L)._2)
   }
 
+  test("collocations: hand-computed PMI, minCount prunes, narrow bigram extraction") {
+    val sp = spark
+    import sp.implicits._
+    // doc1 tokens a b a b (bigrams ab, ba, ab), doc2 b a (bigram ba),
+    // doc3 empty → T=6, B=4, c_a=3, c_b=3, cnt(ab)=2, cnt(ba)=2
+    val docs = Seq((1L, "a b a b"), (2L, "b a"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.collocations(docs, "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("cnt"), r.getAs[Double]("pmi"))).toMap
+    // pmi = ln((2/4) / ((3/6)(3/6))) = ln 2 for both pairs
+    assert(out.keySet == Set(("a", "b"), ("b", "a")))
+    assert(out(("a", "b"))._1 == 2L && out(("b", "a"))._1 == 2L)
+    assert(math.abs(out(("a", "b"))._2 - math.log(2)) < 1e-12)
+    assert(math.abs(out(("b", "a"))._2 - math.log(2)) < 1e-12)
+    // minCount prunes the low-frequency tail before the joins
+    val pruned = TextPipeline.collocations(docs, "text", minCount = 3L)
+    assert(pruned.count() == 0)
+    // bigram extraction is narrow: no exchange below the pair count agg
+    val plan = TextPipeline.collocations(docs, "text", 1L)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("window"),
+      s"bigram pairing must not need a window/exchange:\n$plan")
+  }
+
+  test("cooccurrence: ±window directed counts, hand-computed, window clamps") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "x y z"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    def counts(w: Int): Map[(String, String), Long] =
+      TextPipeline.cooccurrence(docs, "text", window = w)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getAs[Long]("cnt")).toMap
+    // window 1: adjacent pairs only, both directions
+    assert(counts(1) == Map(("x", "y") -> 1L, ("y", "x") -> 1L,
+      ("y", "z") -> 1L, ("z", "y") -> 1L))
+    // window 2 adds the (x,z) pair; window 5 clamps at doc length
+    val w2 = counts(1) ++ Map(("x", "z") -> 1L, ("z", "x") -> 1L)
+    assert(counts(2) == w2)
+    assert(counts(5) == w2)
+    // repeated terms accumulate: "a b a" has (a,a) at distance 2
+    val rep = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val c = TextPipeline.cooccurrence(rep, "text", window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("cnt")).toMap
+    assert(c == Map(("a", "b") -> 2L, ("b", "a") -> 2L, ("a", "a") -> 2L))
+  }
+
   test("capPerGroup: exact vs single window, skew-proof phases, keep-best") {
     val sp = spark
     import sp.implicits._

@@ -255,6 +255,27 @@ class SearcherSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bare.proximityQuery("merge sort") }
   }
 
+  test("moreLikeThis: seed's top tf·idf terms drive BM25, seed excluded") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "apple banana apple cherry", ""),
+      (2L, "", "apple banana apple", ""), // shares the seed's top terms
+      (3L, "", "cherry cherry date", ""), // shares only the cut term
+      (4L, "", "unrelated words here", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    // seed 1 top-2 terms: apple (tf 2), then banana over cherry by the
+    // term-asc tie-break — so only doc 2 matches, and the seed is absent
+    val got = e.moreLikeThis(1L, m = 2).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+    // m covering all terms pulls in the cherry-sharing doc too
+    val wide = e.moreLikeThis(1L, m = 3).collect().map(_.getLong(0)).toSeq
+    assert(wide.toSet == Set(2L, 3L) && !wide.contains(1L))
+    // unknown seed → empty, no error
+    assert(e.moreLikeThis(99L).count() == 0)
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))

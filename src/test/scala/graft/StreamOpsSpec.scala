@@ -91,6 +91,52 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(BlockIndex.readStats(dir)._1.nDocs == nBefore + 1)
   }
 
+  test("streaming sink with posDir: positional sidecar commits per batch, replay no-op") {
+    import graft.index.{BlockIndex, PositionalIndex}
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-idx-p").toString
+    val pd = java.nio.file.Files.createTempDirectory("stream-pos").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-ckpt-p").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val b1 = Seq(("Alpha doc", "spark shuffles data fast", "u1"),
+      ("Beta doc", "tables join on keys", "u2"))
+    val b2 = Seq(("Gamma doc", "spark tables stream quickly", "u3"))
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.indexRefreshSink(
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"),
+      posDir = Some(pd), posShards = 4)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // the streamed sidecar answers phrase + proximity exactly like the
+    // logical path over the cold twin corpus (same id assignment)
+    val coldDocs = (b1.sortBy(_._1).zipWithIndex.map { case ((t, b, u), i) =>
+      (i + 1L, t, b, u)
+    } ++ b2.sortBy(_._1).zipWithIndex.map { case ((t, b, u), i) =>
+      (i + 3L, t, b, u)
+    }).toDF("docId", "title", "body", "url")
+    for (phrase <- Seq("spark tables", "tables join", "spark")) {
+      val expected = PositionalIndex.phraseHits(
+          PositionalIndex.positionsStream(coldDocs),
+          graft.analysis.Analyzer.tokenize(phrase))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = PositionalIndex.phraseSearch(spark, pd, phrase, 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected, s"phrase '$phrase'")
+    }
+    // redelivered micro-batch: neither index double-commits
+    val posSegs = PositionalIndex.readSegments(pd).segs
+    val idxSegs = BlockIndex.readSegments(dir).segs
+    StreamOps.indexRefreshBatch(
+      b2.toDF("title", "body", "url"), batchId = 1L, dir, layout, Seq("title"),
+      genTag = StreamOps.runTag(ckpt), posDir = Some(pd))
+    assert(PositionalIndex.readSegments(pd).segs == posSegs)
+    assert(BlockIndex.readSegments(dir).segs == idxSegs)
+  }
+
   test("streaming sink with compactEvery: maintenance folds old segments, index stays correct") {
     import graft.index.BlockIndex
     val sp = spark
