@@ -1833,7 +1833,68 @@ object GateQueries {
               |  GROUP BY p.doc_id)
               |SELECT doc_id, round(raw, 6) AS score FROM scored
               |WHERE doc_id <> 42
-              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)))
+              |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
+    // "Did you mean": per-token best close vocabulary term by
+    // (edit distance, df desc, term) within the length-scaled budget —
+    // the q14 candidate arithmetic plus a ranked pick and a self
+    // fallback for tokens with no candidates.
+    Gate("q62_did_you_mean",
+      (s, d) => engine(s, d).didYouMean("tble windw zzzzqqq")
+        .orderBy(col("pos")),
+      Some {
+        val toks = Analyzer.tokenize("tble windw zzzzqqq")
+        val tokCtes = toks.zipWithIndex.map { case (t, i) =>
+          val qg = valuesOf(withMult(Analyzer.kgrams(t, 3)))
+          val ed = Analyzer.getFuzziness(t)
+          s"""cand$i AS (
+             |  SELECT k.term FROM kgrams k
+             |  JOIN (SELECT * FROM (VALUES $qg) v(gram, qcnt)) q ON k.gram = q.gram
+             |  GROUP BY k.term
+             |  HAVING sum(q.qcnt) >= greatest(${t.length}, length(k.term)) - 1 - ${(ed - 1) * 3}
+             |     AND levenshtein('$t', k.term) <= $ed),
+             |best$i AS (
+             |  SELECT term, row_number() OVER (ORDER BY
+             |    levenshtein('$t', term) ASC, ts.df DESC, term ASC) AS rn
+             |  FROM cand$i JOIN tstats ts USING (term)),
+             |sel$i AS (SELECT $i AS pos, '$t' AS token,
+             |  coalesce((SELECT term FROM best$i WHERE rn = 1), '$t')
+             |    AS suggestion)""".stripMargin
+        }.mkString(",\n")
+        val un = toks.indices.map(i => s"SELECT * FROM sel$i")
+          .mkString("\nUNION ALL\n")
+        s"""WITH $ToksCte, $PostingsCte, $TstatsCte, $KgramsCte,
+           |$tokCtes
+           |SELECT pos, token, suggestion FROM ($un) ORDER BY pos""".stripMargin
+      }),
+
+    // Prefix typeahead: top-10 completions of "s" by (df desc, term) —
+    // the autocomplete box over the vocab-sized term stats.
+    Gate("q63_typeahead",
+      (s, d) => engine(s, d).typeahead("s", 10),
+      Some(s"""WITH $ToksCte, $PostingsCte, $TstatsCte
+              |SELECT term, df FROM tstats WHERE term LIKE 's%'
+              |ORDER BY df DESC, term ASC LIMIT 10""".stripMargin)),
+
+    // Facet counts: the Terms-query result set joined back to the corpus
+    // and counted per source — the SERP sidebar aggregation.
+    Gate("q64_facet_counts",
+      (s, d) => engine(s, d).facetCounts(
+          engine(s, d).termsQuery(TermsQ),
+          documents(s, d).select(col("doc_id").cast("long").as("docId"),
+            col("source")), "source")
+        .orderBy(col("source")),
+      Some {
+        val ts = Analyzer.tokenize(TermsQ).distinct
+        val in = ts.map(t => s"'$t'").mkString(", ")
+        s"""WITH $ToksCte, $PostingsCte,
+           |hits AS (
+           |  SELECT doc_id FROM postings WHERE term IN ($in)
+           |  GROUP BY doc_id HAVING count(*) = ${ts.size})
+           |SELECT d.source, count(*)::BIGINT AS cnt
+           |FROM hits JOIN documents d USING (doc_id)
+           |GROUP BY d.source ORDER BY d.source""".stripMargin
+      }))
 
   /** Segmented positional sidecar: half the corpus cold-built, the other
     * half committed via [[graft.index.PositionalIndex.refresh]] — one

@@ -32,7 +32,12 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
         val alg = p.getOrElse("alg", "BM25")
         val page = p.get("page").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
         val (hits, total) = search(q, alg, page)
-        val body = html(q, alg, page, hits, total).getBytes(StandardCharsets.UTF_8)
+        // zero results + a fixable typo → "did you mean" link (a bounded
+        // vocab-sized candidate job, only on the empty-SERP path)
+        val didYouMean =
+          if (total == 0 && q.nonEmpty) engine.suggestQuery(q) else None
+        val body = html(q, alg, page, hits, total, didYouMean)
+          .getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
         ex.sendResponseHeaders(200, body.length)
         ex.getResponseBody.write(body)
@@ -43,6 +48,31 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
           // mask the original failure
           try {
             val msg = s"internal error: ${e.getMessage}".getBytes(StandardCharsets.UTF_8)
+            ex.sendResponseHeaders(500, msg.length)
+            ex.getResponseBody.write(msg)
+          } catch { case _: Throwable => () }
+      } finally ex.close()
+  })
+
+  // autocomplete endpoint: GET /suggest?p=<prefix> → one completion per
+  // line, df-ranked (QueryEngine.typeahead) — the vocab-sized query an
+  // autocomplete box fires on every keystroke
+  server.createContext("/suggest", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit =
+      try {
+        val p = params(Option(ex.getRequestURI.getRawQuery).getOrElse(""))
+          .getOrElse("p", "")
+        val terms = engine.typeahead(p, 8).collect()
+          .map(_.getString(0)).mkString("\n")
+        val body = terms.getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.set("Content-Type", "text/plain; charset=utf-8")
+        ex.sendResponseHeaders(200, if (body.isEmpty) -1 else body.length)
+        if (body.nonEmpty) ex.getResponseBody.write(body)
+      } catch {
+        case e: Throwable =>
+          try {
+            val msg = s"internal error: ${e.getMessage}"
+              .getBytes(StandardCharsets.UTF_8)
             ex.sendResponseHeaders(500, msg.length)
             ex.getResponseBody.write(msg)
           } catch { case _: Throwable => () }
@@ -109,7 +139,11 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
     * Results, Algorithm, NextURL, PrevURL — reference server.go:13-20).
     */
   private def html(q: String, alg: String, page: Int,
-      hits: Seq[Hit], total: Long): String = {
+      hits: Seq[Hit], total: Long,
+      didYouMean: Option[String] = None): String = {
+    val suggest = didYouMean.fold("") { s =>
+      s"""<p id="didyoumean">did you mean <a href="${pageUrl(s, alg, 1)}">${esc(s)}</a>?</p>"""
+    }
     val items = hits.map { h =>
       val snip = if (h.snippet.isEmpty) ""
         else s"""<br/><small class="snippet">${esc(h.snippet)}</small>"""
@@ -125,6 +159,7 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
        |<input type="hidden" name="alg" value="${esc(alg)}"/>
        |<button>Search</button></form>
        |<p>query='${esc(q)}' algorithm=${esc(alg)} page=$page results=$total</p>
+       |$suggest
        |<ol start="${(page - 1) * 5 + 1}">
        |$items
        |</ol>

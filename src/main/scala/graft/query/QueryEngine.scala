@@ -355,6 +355,72 @@ final class QueryEngine(
     }
   }
 
+  /** "Did you mean": deterministic per-token spelling suggestion over the
+    * index vocabulary — each token's best close term by (edit distance
+    * asc, df desc, term asc) within its length-scaled edit budget
+    * ([[Analyzer.getFuzziness]]), using the same k-gram-prefiltered
+    * candidate generation as [[fuzzyQuery]]. A token present in the
+    * vocabulary is its own unique distance-0 candidate, so it suggests
+    * itself; a token with NO candidate (garbage, or the reference's
+    * short-token overlap-bound quirk) falls back to itself via the left
+    * join. Output: (pos, token, suggestion), one row per query token.
+    */
+  def didYouMean(query: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty)
+      return Seq.empty[(Int, String, String)].toDF("pos", "token", "suggestion")
+    toks.zipWithIndex.map { case (t, i) =>
+      val best = closeTerms(t, Analyzer.getFuzziness(t))
+        .join(index.termStats, "term")
+        .orderBy(levenshtein(lit(t), col("term")).asc,
+          col("df").desc, col("term").asc)
+        .limit(1)
+        .select(lit(i).as("pos"), lit(t).as("token"),
+          col("term").as("suggestion"))
+      Seq((i, t)).toDF("pos", "token")
+        .join(best, Seq("pos", "token"), "left")
+        .select(col("pos"), col("token"),
+          coalesce(col("suggestion"), col("token")).as("suggestion"))
+    }.reduce(_ union _)
+  }
+
+  /** [[didYouMean]] folded back into a query string (driver-side, bounded
+    * by the token count); None when no token changed.
+    */
+  def suggestQuery(query: String): Option[String] = {
+    val rows = didYouMean(query).orderBy(col("pos")).collect()
+    val suggested = rows.map(_.getAs[String]("suggestion"))
+    if (rows.exists(r => r.getAs[String]("token") != r.getAs[String]("suggestion")))
+      Some(suggested.mkString(" "))
+    else None
+  }
+
+  /** Prefix typeahead: top-k vocabulary completions of the LAST typed
+    * token by (df desc, term asc) — the autocomplete box served from the
+    * index's own term statistics. A vocab-sized relation scan; postings
+    * are never touched. Output: (term, df).
+    */
+  def typeahead(prefix: String, k: Int = 10): DataFrame = {
+    val norm = Analyzer.tokenize(prefix).lastOption.getOrElse("")
+    val base = index.termStats.select(col("term"), col("df"))
+    if (norm.isEmpty) base.where(lit(false))
+    else base.where(col("term").startsWith(norm))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
+  /** Facet counts for a result set: the hits joined back to the corpus
+    * and counted per facet value — the SERP sidebar aggregation. One
+    * docId join (result-sized, so typically broadcast) + a map-combined
+    * count. Output: (facetCol, cnt).
+    */
+  def facetCounts(ranked: DataFrame, docs: DataFrame,
+      facetCol: String): DataFrame =
+    ranked.select(col("docId")).join(docs, "docId")
+      .groupBy(col(facetCol)).agg(count(lit(1)).as("cnt"))
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
     * back to BM25. "Phrase" and "Proximity" are this engine's extension
     * modes — every reference name resolves exactly as the reference's

@@ -102,6 +102,25 @@ class SearchServerSpec extends AnyFunSuite {
     assert(body.contains("[communication] [channel]"), body)
   }
 
+  test("zero-result typo query renders a did-you-mean link; hits never do") {
+    val (code, body) = get("?q=matrx+comunication&alg=BM25")
+    assert(code == 200 && body.contains("results=0"))
+    assert(body.contains("id=\"didyoumean\""), body)
+    assert(body.contains(">matrix communication</a>"), body)
+    // a query with results shows no suggestion block
+    val (_, ok) = get("?q=matrix+communication+channel&alg=BM25")
+    assert(!ok.contains("didyoumean"))
+  }
+
+  test("/suggest endpoint: df-ranked prefix completions, empty prefix empty body") {
+    val (code, body) = get("suggest?p=sem")
+    assert(code == 200)
+    assert(body.linesIterator.toSeq.headOption.exists(_.startsWith("sem")), body)
+    assert(body.contains("semantic"), body)
+    assert(get("suggest?p=")._2.isEmpty)
+    assert(get("suggest?p=zzzz")._2.isEmpty)
+  }
+
   test("server.search == the CLI query path (byName + paginate + materialize)") {
     val (hits, total) = server.search("matrix communication channel", "BM25", 1)
     assert(total == 2)

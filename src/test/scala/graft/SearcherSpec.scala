@@ -276,6 +276,54 @@ class SearcherSpec extends AnyFunSuite {
     assert(e.moreLikeThis(99L).count() == 0)
   }
 
+  test("didYouMean: self for vocab terms, distance then df tie-break, garbage falls back") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "semantic semantics analysis cat", ""),
+      (2L, "", "semantic query cat car", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    def sug(q: String): Seq[(String, String)] =
+      e.didYouMean(q).orderBy("pos").collect()
+        .map(r => r.getAs[String]("token") -> r.getAs[String]("suggestion")).toSeq
+    // distance decides first: semantic (d=1) beats semantics (d=2)
+    assert(sug("semantc") == Seq("semantc" -> "semantic"))
+    // a vocabulary token is its own distance-0 candidate
+    assert(sug("semantic") == Seq("semantic" -> "semantic"))
+    // equal distance → higher df wins: cat (df 2) over car (df 1)
+    assert(sug("caz") == Seq("caz" -> "cat"))
+    // garbage with no candidate in budget falls back to itself
+    assert(sug("zzzzqqq") == Seq("zzzzqqq" -> "zzzzqqq"))
+    assert(e.suggestQuery("semantc query") == Some("semantic query"))
+    assert(e.suggestQuery("semantic query") == None)
+    assert(e.didYouMean("").count() == 0)
+  }
+
+  test("typeahead + facetCounts: df-ranked completions, per-facet hit counts") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "spark sparse spark", ""),
+      (2L, "", "spark spline table", ""),
+      (3L, "", "table only", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    // df: spark 2 docs, sparse 1, spline 1 → df desc, term asc
+    val top = e.typeahead("sp", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top == Seq(("spark", 2L), ("sparse", 1L), ("spline", 1L)))
+    assert(e.typeahead("sp", 2).count() == 2)
+    assert(e.typeahead("", 5).count() == 0)
+    assert(e.typeahead("zz", 5).count() == 0)
+    // facet counts over a result set
+    val meta = Seq((1L, "web"), (2L, "code"), (3L, "code"))
+      .toDF("docId", "source")
+    val fc = e.facetCounts(e.termsQuery("spark"), meta, "source")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fc == Map("web" -> 1L, "code" -> 1L))
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
