@@ -1894,7 +1894,59 @@ object GateQueries {
            |SELECT d.source, count(*)::BIGINT AS cnt
            |FROM hits JOIN documents d USING (doc_id)
            |GROUP BY d.source ORDER BY d.source""".stripMargin
-      }))
+      }),
+
+    // Incremental-snapshot dedup: new docs (upper half by id) that
+    // near-duplicate the existing corpus (lower half) — cross-relation
+    // MinHash-LSH band collisions, exact-Jaccard verified. The oracle
+    // reconstructs the band arithmetic (q22's formulation) on BOTH
+    // sides of the split, so candidate generation — not just the
+    // similarity — is checked.
+    Gate("q65_minhash_against",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val mid = docsDf.agg(max(col("doc_id")) / 2).head().getDouble(0).toLong
+        Dedup.minhashLshAgainst(
+          docsDf.where(col("doc_id") > mid),
+          docsDf.where(col("doc_id") <= mid),
+          "doc_id", "text", n = 3, numHashes = 8, bands = 4,
+          minJaccard = 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some(s"""WITH ${shingleIdxCte(3)},
+              |mh AS (
+              |  SELECT doc_id, h, min(md5(h::VARCHAR || ':' || shingle)) AS v
+              |  FROM sidx CROSS JOIN (SELECT unnest(range(0, 8)) AS h) hs
+              |  GROUP BY doc_id, h),
+              |bnd AS (
+              |  SELECT doc_id, (h // 2)::INT AS band,
+              |    md5(string_agg(v, '' ORDER BY h)) AS band_key
+              |  FROM mh GROUP BY doc_id, h // 2),
+              |mid AS (SELECT (max(doc_id) // 2)::BIGINT AS m FROM documents),
+              |cand AS (
+              |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+              |  FROM bnd l JOIN bnd r
+              |    ON l.band = r.band AND l.band_key = r.band_key
+              |  CROSS JOIN mid
+              |  WHERE l.doc_id > mid.m AND r.doc_id <= mid.m),
+              |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz
+              |          FROM sidx GROUP BY doc_id),
+              |inter AS (
+              |  SELECT c.id_a, c.id_b, count(*)::BIGINT AS n
+              |  FROM cand c
+              |  JOIN sidx a ON a.doc_id = c.id_a
+              |  JOIN sidx b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              |  GROUP BY 1, 2),
+              |scored AS (
+              |  SELECT c.id_a, c.id_b,
+              |    round(coalesce(i.n, 0)::DOUBLE /
+              |      (sa.sz + sb.sz - coalesce(i.n, 0))::DOUBLE, 6) AS jaccard
+              |  FROM cand c
+              |  LEFT JOIN inter i ON c.id_a = i.id_a AND c.id_b = i.id_b
+              |  JOIN sizes sa ON c.id_a = sa.doc_id
+              |  JOIN sizes sb ON c.id_b = sb.doc_id)
+              |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+              |ORDER BY id_a, id_b""".stripMargin)))
 
   /** Segmented positional sidecar: half the corpus cold-built, the other
     * half committed via [[graft.index.PositionalIndex.refresh]] — one

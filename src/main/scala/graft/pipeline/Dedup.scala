@@ -203,6 +203,42 @@ object Dedup {
     } finally { bandsDf.unpersist(); idx.unpersist() }
   }
 
+  /** Incremental-snapshot near-dedup: new documents that near-duplicate
+    * an EXISTING corpus — the crawl-refresh question ("is this page
+    * already in the training set?") as a cross-relation MinHash-LSH
+    * join instead of a self-join. Candidates = (new, corpus) band
+    * collisions; verification is the same exact-Jaccard
+    * [[minhashVerify]] over the unioned shingle indexes, so reported
+    * similarities carry no approximation. Ids must be globally distinct
+    * across the two relations (they share one id space downstream).
+    *
+    * Shape at scale: the corpus side's bands and shingle index are pure
+    * functions of the corpus — a deployment persists them once as build
+    * artifacts (exactly like the block index's sidecars) and the per-
+    * snapshot cost is bands(new) + one band-keyed join + candidate-only
+    * verification. Output: (id_a = new, id_b = corpus, jaccard).
+    */
+  def minhashLshAgainst(
+      newDocs: DataFrame, corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      minJaccard: Double = 0.5): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nb = lshBands(newDocs, idCol, textCol, n, numHashes, bands).persist(lvl)
+    val cb = lshBands(corpus, idCol, textCol, n, numHashes, bands).persist(lvl)
+    val idx = shingleIndex(newDocs, idCol, textCol, n)
+      .union(shingleIndex(corpus, idCol, textCol, n)).persist(lvl)
+    try {
+      val cands = nb.as("l")
+        .join(cb.as("r"),
+          col("l.band") === col("r.band") &&
+            col("l.band_key") === col("r.band_key"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      minhashVerify(cands, idx, sizes, minJaccard).localCheckpoint()
+    } finally { nb.unpersist(); cb.unpersist(); idx.unpersist() }
+  }
+
   /** Exact-Jaccard verification of a candidate pair relation against the
     * shingle index. Kept separate so SimHash / embedding blockers can
     * reuse it.

@@ -759,6 +759,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(c == Map(("a", "b") -> 2L, ("b", "a") -> 2L, ("a", "a") -> 2L))
   }
 
+  test("minhashLshAgainst: new-vs-corpus near-dups, direction fixed, exact verify") {
+    val sp = spark
+    import sp.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about spark dataframes here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base), // exact dup of corpus doc 1
+      (11L, "unrelated new arrival text nothing shared with anyone here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.minhashLshAgainst(fresh, corpus, "doc_id", "text",
+        n = 3, numHashes = 8, bands = 4, minJaccard = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Double]("jaccard")).toMap
+    // identical text collides in every band and verifies at 1.0; the
+    // direction is (new, corpus) — never (corpus, new)
+    assert(out == Map((10L, 1L) -> 1.0))
+  }
+
   test("capPerGroup: exact vs single window, skew-proof phases, keep-best") {
     val sp = spark
     import sp.implicits._
