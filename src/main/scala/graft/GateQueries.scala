@@ -1946,7 +1946,50 @@ object GateQueries {
               |  JOIN sizes sa ON c.id_a = sa.doc_id
               |  JOIN sizes sb ON c.id_b = sb.doc_id)
               |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
-              |ORDER BY id_a, id_b""".stripMargin)))
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // BM25F over TPC-H part (title = p_name at weight 2, body = p_type
+    // at 1): weighted tf/length combined BEFORE saturation — the field-
+    // boost scoring the flat single-stream index cannot express.
+    Gate("q66_bm25f_part",
+      (s, d) => graft.query.QueryEngine.bm25F(
+          partDocs(s, d), "small blue bolt", wTitle = 2.0, wBody = 1.0)
+        .select(col("docId").as("p_partkey"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("p_partkey").asc)
+        .limit(20),
+      Some("""WITH tt AS (
+             |  SELECT p_partkey AS doc_id, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(p_name, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x))) AS term, 2.0 AS w
+             |  FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(p_type, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x))), 1.0
+             |  FROM part),
+             |wtf AS (SELECT doc_id, term, sum(w) AS wtf FROM tt GROUP BY 1, 2),
+             |dfr AS (SELECT term, count(*)::BIGINT AS df FROM wtf GROUP BY term),
+             |voc AS (SELECT count(*)::DOUBLE AS v FROM dfr),
+             |wdl AS (SELECT p_partkey AS doc_id,
+             |  2.0 * len(list_filter(regexp_split_to_array(p_name, '[^a-zA-Z0-9]+'),
+             |        x -> x <> '')) +
+             |  1.0 * len(list_filter(regexp_split_to_array(p_type, '[^a-zA-Z0-9]+'),
+             |        x -> x <> '')) AS wdl
+             |  FROM part),
+             |avgl AS (SELECT sum(wdl) / count(*) AS a FROM wdl),
+             |q(term, qcnt) AS (VALUES ('small', 1.0), ('blue', 1.0), ('bolt', 1.0)),
+             |scored AS (
+             |  SELECT w.doc_id,
+             |    sum(q.qcnt * log10(voc.v / d.df::DOUBLE) * (w.wtf * 1.9) /
+             |        (0.9 * (0.6 + 0.4 * l.wdl / avgl.a) + w.wtf)) AS raw
+             |  FROM wtf w
+             |  JOIN q ON w.term = q.term
+             |  JOIN dfr d ON w.term = d.term
+             |  JOIN wdl l ON w.doc_id = l.doc_id
+             |  CROSS JOIN voc CROSS JOIN avgl
+             |  GROUP BY w.doc_id)
+             |SELECT doc_id AS p_partkey, round(raw, 6) AS score FROM scored
+             |ORDER BY score DESC, p_partkey ASC LIMIT 20""".stripMargin)))
 
   /** Segmented positional sidecar: half the corpus cold-built, the other
     * half committed via [[graft.index.PositionalIndex.refresh]] — one

@@ -467,3 +467,68 @@ final class QueryEngine(
   def paginate(ranked: DataFrame, page: Int, perPage: Int = 5): DataFrame =
     ranked.offset((page - 1) * perPage).limit(perPage)
 }
+
+object QueryEngine {
+
+  /** Simple BM25F (Robertson & Zaragoza 2004/2009 §3.3, the "weighted
+    * field concatenation" variant): per-field term frequencies and
+    * lengths are combined with field weights BEFORE the BM25 saturation,
+    * so a title hit saturates like `wTitle` body hits —
+    *   wtf_t,d = Σ_f w_f · tf_f,  wdl_d = Σ_f w_f · len_f,
+    *   score   = Σ_t qcnt · idf_t · wtf·(k1+1) / (k1·(1−b+b·wdl/avgwdl) + wtf).
+    * The flat engine indexes title and body as one undifferentiated
+    * stream (reference searcher.go:272-286), so field boosts are
+    * inexpressible there; this extension derives fielded stats straight
+    * from the corpus relation. idf keeps the engine's vocabulary-size
+    * convention (log10(V/df), [[graft.index.IndexBundle.idfCol]]) so the
+    * two scorers agree on term rarity.
+    *
+    * Shape at scale: ONE map-combined (docId, term) aggregation over the
+    * weight-tagged union of the two token streams produces wtf; df and
+    * V are post-agg reductions of it; wdl is a narrow per-doc column;
+    * the scalar avgwdl/V ride in via broadcast cross joins. Output:
+    * (docId, score) ordered (score desc, docId asc).
+    */
+  def bm25F(docs: DataFrame, query: String,
+      wTitle: Double = 2.0, wBody: Double = 1.0,
+      k1: Double = 0.9, b: Double = 0.4,
+      topK: Option[Int] = None): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty)
+      return Seq.empty[(Long, Double)].toDF("docId", "score")
+    val qdf = toks.groupBy(identity).view.mapValues(_.size).toSeq
+      .toDF("term", "qcnt")
+    val stream = docs.select(col("docId"),
+        explode(Analyzer.tokensCol(col("title"))).as("term"),
+        lit(wTitle).as("__w"))
+      .union(docs.select(col("docId"),
+        explode(Analyzer.tokensCol(col("body"))).as("term"),
+        lit(wBody).as("__w")))
+    val wtf = stream.groupBy(col("docId"), col("term"))
+      .agg(sum(col("__w")).as("wtf"))
+    val dfRel = wtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val vocab = dfRel.agg(count(lit(1)).cast("double").as("__v"))
+    val wdl = docs.select(col("docId"),
+      (lit(wTitle) * size(Analyzer.tokensCol(col("title"))) +
+        lit(wBody) * size(Analyzer.tokensCol(col("body"))))
+        .cast("double").as("wdl"))
+    val avg = wdl.agg((sum(col("wdl")) / count(lit(1))).as("__avgwdl"))
+    val idf = when(col("df") > 0 && col("__v") > 0,
+      log(10.0, col("__v") / col("df"))).otherwise(0.0)
+    val partial = idf * (col("wtf") * (k1 + 1)) /
+      (lit(k1) * (lit(1 - b) + lit(b) * col("wdl") / col("__avgwdl")) +
+        col("wtf"))
+    val scored = wtf
+      .join(broadcast(qdf), "term")
+      .join(dfRel, "term")
+      .join(wdl, "docId")
+      .crossJoin(broadcast(vocab))
+      .crossJoin(broadcast(avg))
+      .groupBy(col("docId"))
+      .agg(sum(col("qcnt") * partial).as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+    topK.fold(scored)(scored.limit)
+  }
+}

@@ -324,6 +324,29 @@ class SearcherSpec extends AnyFunSuite {
     assert(fc == Map("web" -> 1L, "code" -> 1L))
   }
 
+  test("bm25F: field weights boost title hits before saturation, hand-checked") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha", "beta gamma", ""), // query term in the TITLE
+      (2L, "beta", "alpha gamma", "")) // query term in the body
+      .toDF("docId", "title", "body", "url")
+    val got = QueryEngine.bm25F(docs, "alpha", wTitle = 2.0, wBody = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // V=3 (alpha beta gamma), df(alpha)=2, wdl=4 for both → norm=0.9;
+    // wtf: doc1=2 (title), doc2=1 (body)
+    val idf = math.log10(3.0 / 2.0)
+    val e1 = idf * (2.0 * 1.9) / (0.9 + 2.0)
+    val e2 = idf * (1.0 * 1.9) / (0.9 + 1.0)
+    assert(got.map(_._1) == Seq(1L, 2L))
+    assert(math.abs(got(0)._2 - e1) < 1e-12 && math.abs(got(1)._2 - e2) < 1e-12)
+    // equal weights make the two symmetric docs tie (docId breaks it)
+    val eq = QueryEngine.bm25F(docs, "alpha", wTitle = 1.0, wBody = 1.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(eq.map(_._1) == Seq(1L, 2L) && eq(0)._2 == eq(1)._2)
+    assert(QueryEngine.bm25F(docs, "").count() == 0)
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
