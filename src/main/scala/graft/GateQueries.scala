@@ -1989,7 +1989,61 @@ object GateQueries {
              |  CROSS JOIN voc CROSS JOIN avgl
              |  GROUP BY w.doc_id)
              |SELECT doc_id AS p_partkey, round(raw, 6) AS score FROM scored
-             |ORDER BY score DESC, p_partkey ASC LIMIT 20""".stripMargin)))
+             |ORDER BY score DESC, p_partkey ASC LIMIT 20""".stripMargin)),
+
+    // PageRank over q37's deterministic link DAG (all four outlinks —
+    // ranking weighs the whole graph, unlike the crawl's first-3 rule).
+    // The oracle unrolls the 5 power iterations as chained CTEs; both
+    // sides round(rank*1000, 6) so only sub-1e-9 FP sum-order noise is
+    // discarded. Dangling pages (the corpus tail, whose d+1..d+4 targets
+    // don't exist) exercise the dangling-mass redistribution.
+    Gate("q67_pagerank",
+      (s, d) => {
+        val nodes = documents(s, d).select(col("doc_id").as("page"))
+        val links = nodes.select(col("page").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+          .withColumn("dst", col("src") + col("j"))
+          .join(nodes.select(col("page").as("dst")), "dst")
+          .select(col("src"), col("dst"))
+        graft.pipeline.GraphOps.pageRank(nodes, links, iters = 5)
+          .select(col("page").as("doc_id"),
+            round(col("rank") * 1000, 6).as("rank_x1000"))
+          .orderBy(col("doc_id"))
+      },
+      Some(pageRankOracleSql(5))))
+
+  /** DuckDB oracle for q67: the same 5 PageRank power iterations,
+    * unrolled as chained CTEs (standard SQL forbids aggregation in a
+    * recursive term, so a fixed iteration count unrolls instead). Every
+    * arithmetic shape mirrors [[graft.pipeline.GraphOps.pageRank]]:
+    * `(1 - 0.85)` is COMPUTED (not written 0.15) so both engines hold the
+    * identical IEEE double, contributions divide by ::DOUBLE outdeg, and
+    * dangling mass is the rank sum over pages absent from `src`.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""d$k AS (SELECT coalesce(sum(p.r), 0) AS m FROM it${k - 1} p
+         |  WHERE p.page NOT IN (SELECT src FROM links)),
+         |c$k AS (SELECT l.dst AS page, sum(p.r / g.outdeg) AS contrib
+         |  FROM links l JOIN it${k - 1} p ON p.page = l.src
+         |  JOIN deg g ON g.src = l.src GROUP BY l.dst),
+         |it$k AS (SELECT nd.page,
+         |  (1 - 0.85) / nn.n + 0.85 * (coalesce(c.contrib, 0) + d$k.m / nn.n) AS r
+         |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$k
+         |  LEFT JOIN c$k c ON c.page = nd.page)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS page FROM documents),
+       |links AS (
+       |  SELECT d.doc_id AS src, d.doc_id + j AS dst
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS j) js
+       |  WHERE d.doc_id + j IN (SELECT doc_id FROM documents)),
+       |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM links GROUP BY src),
+       |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       |it0 AS (SELECT page, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
+       |$steps
+       |SELECT page AS doc_id, round(r * 1000, 6) AS rank_x1000
+       |FROM it$iters ORDER BY doc_id""".stripMargin
+  }
 
   /** Segmented positional sidecar: half the corpus cold-built, the other
     * half committed via [[graft.index.PositionalIndex.refresh]] — one

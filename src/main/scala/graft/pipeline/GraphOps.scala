@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over the crawl's link table
+  * (reference crawler.go:181-205 produces exactly this src→dst relation;
+  * [[graft.sources.LinkCrawl.bfs]] consumes it for frontier expansion).
+  * PageRank is the canonical "what do I do with a crawled web graph"
+  * operator (Brin & Page 1998) — at 10^12-edge scale it is the textbook
+  * iterative-shuffle workload, so the shape matters as much as the math.
+  *
+  * Shape at scale, per iteration:
+  *   - ONE shuffle that matters: contributions aggregate by `dst`
+  *     (map-combined `sum`, so the exchange carries partial sums);
+  *   - the rank→link join shuffles on `src` — a co-partitioned /
+  *     bucketed link table makes it exchange-free on the link side,
+  *     and the link relation is the loop invariant (persisted once);
+  *   - dangling mass and N are scalar aggregates broadcast back in
+  *     (`crossJoin(broadcast(...))` — no driver round-trip in the plan);
+  *   - `localCheckpoint` per iteration truncates lineage (same hygiene
+  *     as LinkCrawl.bfs — without it Catalyst re-plans k nested joins).
+  *
+  * Determinism: pure dataflow — no sampling, no convergence test (fixed
+  * iteration count, the distributed-friendly formulation); FP sums are
+  * order-dependent only below the 6-decimal rounding the gate applies.
+  */
+object GraphOps {
+
+  /** Power-iteration PageRank with uniform teleport and dangling-mass
+    * redistribution:
+    *
+    *   r₀(p)    = 1/N
+    *   rₖ(p)    = (1−d)/N + d·( Σ_{q→p} rₖ₋₁(q)/outdeg(q) + mₖ₋₁/N )
+    *   mₖ₋₁     = Σ_{q: outdeg(q)=0} rₖ₋₁(q)      (dangling mass)
+    *
+    * Σ r stays 1 every iteration (spec-asserted). Edges are de-duplicated
+    * (a page linking twice to the same target votes once — the crawl
+    * seen-set semantics); nodes with no in-links still receive teleport +
+    * dangling shares.
+    *
+    * @param nodes (page) — the full vertex set (isolated vertices included)
+    * @param links (src, dst) — directed edges; extra columns ignored
+    * @return (page, rank) — Σ rank = 1
+    */
+  def pageRank(
+      nodes: DataFrame,
+      links: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    // restrict edges to the vertex set (a crawl frontier can reference
+    // pages never fetched); broadcast choice is left to AQE — a 10^12-page
+    // vertex set must not be force-broadcast
+    val edges = links.select(col("src"), col("dst")).distinct()
+      .join(nodes.select(col("page").as("dst")), "dst")
+      .join(nodes.select(col("page").as("src")), "src")
+      .persist()
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+      .persist()
+    val n = nodes.count().toDouble
+    var ranks = nodes.select(col("page"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val withDeg = ranks.join(outdeg, col("page") === col("src"), "left")
+      // dangling mass: total rank parked on pages with no outlinks
+      val dangling = withDeg.agg(coalesce(
+        sum(when(col("outdeg").isNull, col("rank"))), lit(0.0)).as("__m"))
+      val contrib = edges
+        .join(ranks.withColumnRenamed("page", "src"), "src")
+        .join(outdeg, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") / col("outdeg")).as("contrib"))
+      ranks = nodes
+        .join(contrib, col("page") === col("dst"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("page"),
+          (lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
+              col("__m") / n)).as("rank"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    outdeg.unpersist()
+    ranks
+  }
+}

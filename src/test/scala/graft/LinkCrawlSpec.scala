@@ -55,4 +55,47 @@ class LinkCrawlSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(out == Map("F" -> 0, "ZZZ" -> 0, "G" -> 1))
   }
+
+  // ------------------------- PageRank -------------------------
+
+  private def pr(nodes: Seq[String], edges: Seq[(String, String)],
+      iters: Int): Map[String, Double] = {
+    val sp = spark
+    import sp.implicits._
+    graft.pipeline.GraphOps.pageRank(
+        nodes.toDF("page"), edges.toDF("src", "dst"), iters)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRank: one hand-checked iteration on A→B with B dangling") {
+    val got = pr(Seq("A", "B"), Seq("A" -> "B"), iters = 1)
+    // m = r(B) = 0.5;  r'(A) = 0.15/2 + 0.85·(0 + 0.5/2)      = 0.2875
+    //                  r'(B) = 0.15/2 + 0.85·(0.5 + 0.5/2)    = 0.7125
+    assert(math.abs(got("A") - 0.2875) < 1e-12)
+    assert(math.abs(got("B") - 0.7125) < 1e-12)
+  }
+
+  test("pageRank: mass conserved, duplicate edges vote once, isolated node") {
+    val nodes = Seq("A", "B", "C", "D") // D isolated
+    val edges = Seq("A" -> "B", "A" -> "B", "B" -> "C", "C" -> "A")
+    for (k <- Seq(0, 3, 7)) {
+      val got = pr(nodes, edges, k)
+      assert(math.abs(got.values.sum - 1.0) < 1e-9, s"iters=$k sum")
+    }
+    val got = pr(nodes, edges, 3)
+    // the A→B dup must not double A's vote: A has outdeg 1, so after one
+    // step B holds all of A's rank share — compare against the de-duped
+    // graph explicitly
+    val dedup = pr(nodes, Seq("A" -> "B", "B" -> "C", "C" -> "A"), 3)
+    assert(got == dedup)
+    // isolated D receives only teleport + dangling share, and D itself is
+    // dangling; it must stay strictly below the cycle members
+    assert(got("D") < got("A") && got("D") < got("B") && got("D") < got("C"))
+  }
+
+  test("pageRank: edges outside the vertex set are ignored") {
+    val got = pr(Seq("A", "B"), Seq("A" -> "B", "A" -> "ZZZ", "QQ" -> "A"), 1)
+    assert(math.abs(got("A") - 0.2875) < 1e-12 &&
+      math.abs(got("B") - 0.7125) < 1e-12)
+  }
 }
