@@ -2,7 +2,7 @@ package graft
 
 import graft.analysis.Analyzer
 import graft.index.{IndexBuilder, IndexBundle}
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextPipeline}
+import graft.pipeline.{Dedup, EventOps, Multimodal, Similarity, TextPipeline}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -44,6 +44,9 @@ object GateQueries {
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
 
   /** documents table → the engine's document model (text is the body;
     * there is no title in this corpus).
@@ -2010,7 +2013,94 @@ object GateQueries {
             round(col("rank") * 1000, 6).as("rank_x1000"))
           .orderBy(col("doc_id"))
       },
-      Some(pageRankOracleSql(5))))
+      Some(pageRankOracleSql(5))),
+
+    // Directed near-containment (Broder's containment, not resemblance):
+    // a ≈⊆ b even when |b| ≫ |a| makes Jaccard ~0. The oracle is the
+    // full directed shingle self-join; the engine must reproduce it
+    // exactly through its contained-side-only prefix filter.
+    Gate("q68_containment",
+      (s, d) => Dedup.containmentPairs(documents(s, d), "doc_id", "text",
+          n = 3, minContainment = 0.9)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH ${shingleIdxCte(3)},
+              |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sidx GROUP BY doc_id),
+              |inter AS (
+              |  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*)::BIGINT AS n
+              |  FROM sidx l JOIN sidx r ON l.shingle = r.shingle AND l.doc_id <> r.doc_id
+              |  GROUP BY 1, 2)
+              |SELECT i.id_a, i.id_b,
+              |  round(i.n::DOUBLE / sa.sz::DOUBLE, 6) AS containment
+              |FROM inter i
+              |JOIN sizes sa ON i.id_a = sa.doc_id
+              |WHERE round(i.n::DOUBLE / sa.sz::DOUBLE, 6) >= 0.9
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---------------- event-log (timestamped) operators ----------------
+
+    // Gap-based sessionization (6h gap), rolled up per session. Session
+    // ids are dense 1-based per user in (ts, event_id) order on both
+    // engines, so the whole row hashes — not just the aggregates.
+    Gate("q69_sessionize",
+      (s, d) => EventOps.sessionize(events(s, d), "user_id", "ts",
+          "event_id", gapSeconds = 6 * 3600)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(EventOps.tsMicros(col("ts"))).as("start_us"),
+          max(EventOps.tsMicros(col("ts"))).as("end_us"),
+          round(sum(col("value")), 6).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id")),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, ts, value,
+             |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+             |  FROM events),
+             |f AS (SELECT *, CASE WHEN prev IS NULL
+             |    OR epoch_us(ts) - epoch_us(prev) > 21600000000 THEN 1
+             |    ELSE 0 END AS brk FROM e),
+             |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)::BIGINT
+             |    AS session_id FROM f)
+             |SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+             |  min(epoch_us(ts))::BIGINT AS start_us,
+             |  max(epoch_us(ts))::BIGINT AS end_us,
+             |  round(sum(value), 6) AS sum_value
+             |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Epoch-aligned tumbling 1h rollup per event_type — the batch twin
+    // of StreamOps' windowed aggregation, bucket computed (not joined).
+    Gate("q70_event_rollup",
+      (s, d) => EventOps.tumblingRollup(events(s, d), "ts", "value",
+          windowSeconds = 3600, dims = Seq("event_type"))
+        .orderBy(col("window_start_us"), col("event_type")),
+      Some("""SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS window_start_us,
+             |  event_type, count(*)::BIGINT AS n_events,
+             |  round(sum(value), 6) AS sum_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Backward as-of join: every purchase matched to the user's most
+    // recent prior signup (point-in-time join; DuckDB's native ASOF JOIN
+    // is the oracle). Purchases before any signup drop (inner as-of).
+    Gate("q71_asof_join",
+      (s, d) => {
+        val ev = events(s, d)
+        EventOps.asofJoin(
+            ev.where(col("event_type") === "purchase"),
+            ev.where(col("event_type") === "signup")
+              .select(col("event_id"), col("ts"), col("user_id")),
+            "user_id", "ts")
+          .select(col("event_id").as("purchase_id"),
+            col("r_event_id").as("signup_id"),
+            (EventOps.tsMicros(col("ts")) -
+              EventOps.tsMicros(col("r_ts"))).as("gap_us"))
+          .orderBy(col("purchase_id"))
+      },
+      Some("""SELECT p.event_id AS purchase_id, s.event_id AS signup_id,
+             |  (epoch_us(p.ts) - epoch_us(s.ts))::BIGINT AS gap_us
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF JOIN (SELECT event_id, ts, user_id FROM events
+             |           WHERE event_type = 'signup') s
+             |  ON p.user_id = s.user_id AND p.ts >= s.ts
+             |ORDER BY purchase_id""".stripMargin)))
 
   /** DuckDB oracle for q67: the same 5 PageRank power iterations,
     * unrolled as chained CTEs (standard SQL forbids aggregation in a

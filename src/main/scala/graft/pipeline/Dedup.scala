@@ -134,6 +134,66 @@ object Dedup {
     } finally idx.unpersist()
   }
 
+  /** DIRECTED near-containment pairs: (id_a, id_b, containment) for every
+    * ordered pair a ≠ b with
+    *
+    *   C(a→b) = |S(a) ∩ S(b)| / |S(a)|  ≥ minContainment
+    *
+    * — "document a is (nearly) contained in document b". Broder (1997)
+    * distinguishes containment from resemblance (Jaccard) precisely for
+    * this case: a quoted article inside a digest, boilerplate-wrapped
+    * pages, a file embedded in a bundle — |b| ≫ |a| drives Jaccard to 0
+    * while containment stays 1, so [[ngramJaccardPairs]] can never find
+    * these. For training-data dedup this is the "document swallowed by a
+    * larger crawl page" detector.
+    *
+    * Prefix filter, containment variant: C ≥ θ ⇒ |A∩B| ≥ ⌈θ·|A|⌉, so the
+    * rarest `|A| − ⌈θ·|A|⌉ + 1` shingles of A must hit B. Only the
+    * CONTAINED side prunes — the container side must stay whole (a tweet
+    * can live inside a book, so no size-ratio condition exists). The
+    * candidate join is therefore prefix(A) ⋈ full-index(B), then the
+    * exact intersection count verifies candidates only — the same
+    * candidates-then-verify shape as [[ngramJaccardPairs]].
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minContainment: Double = 0.9): DataFrame = {
+    val idx = shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = idx.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+      val sdf = idx.groupBy(col("shingle")).agg(count(lit(1)).as("__sdf"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id")).orderBy(col("__sdf").asc, col("shingle").asc)
+      val prefix = idx
+        .join(sdf, "shingle")
+        .join(sizes, "id")
+        .withColumn("__pos", row_number().over(w))
+        .where(col("__pos") <= col("sz") - ceil(col("sz") * minContainment) + 1)
+        .select(col("id"), col("shingle"))
+      val cands = prefix.as("l")
+        .join(idx.as("r"), col("l.shingle") === col("r.shingle") &&
+          col("l.id") =!= col("r.id"))
+        .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+        .distinct()
+      val ia = idx.select(col("id").as("id_a"), col("shingle"))
+      val ib = idx.select(col("id").as("id_b"), col("shingle"))
+      val inter = cands.join(ia, "id_a").join(ib, Seq("id_b", "shingle"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.withColumnRenamed("id", "id_a")
+          .withColumnRenamed("sz", "sz_a"), "id_a")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") / col("sz_a").cast("double"), 6)
+            .as("containment"))
+        .where(col("containment") >= minContainment)
+        .localCheckpoint() // eager: materialize before the cache drops
+    } finally idx.unpersist()
+  }
+
   // ---------------------------------------------------------------------
   // MinHash + LSH (approximate Jaccard at corpus scale)
   // ---------------------------------------------------------------------

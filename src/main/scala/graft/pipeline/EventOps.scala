@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Event-stream (timestamped log) operators over the `events` table shape
+  * (event_id, ts, user_id, event_type, value, props) — the batch halves
+  * of what [[graft.streaming.StreamOps]] does incrementally. Each is the
+  * single-shuffle formulation of its problem:
+  *
+  *   - [[sessionize]]: ONE exchange on the key, then per-key sort +
+  *     running sum inside the window — the gaps-and-islands pattern;
+  *   - [[tumblingRollup]]: ONE map-combined aggregation keyed by
+  *     (bucket, dims) — the bucket is computed, never joined;
+  *   - [[asofJoin]]: ONE exchange of the tagged UNION of both relations,
+  *     then a per-key ordered `last(ignoreNulls)` — crucially NOT the
+  *     equi-join + argmax formulation, which shuffles both relations AND
+  *     materializes |L|·|R| rows per key before pruning (quadratic on
+  *     dense keys; the union-tag plan is linear and sort-bounded).
+  */
+object EventOps {
+
+  /** Epoch micros for LTZ or NTZ timestamps alike (parquet event logs
+    * are commonly TIMESTAMP_NTZ): NTZ is interpreted in the session
+    * timezone — run event pipelines with it pinned (Verify pins UTC).
+    */
+  def tsMicros(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Gap-based sessionization: a new session starts when the time since
+    * the key's previous event exceeds `gapSeconds`. Emits the input rows
+    * plus `session_id` — 1-based, dense per key, in (ts, tie) order.
+    * Ties on ts order by `tieCol` (required: a deterministic session
+    * boundary needs a total order per key).
+    */
+  def sessionize(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      tieCol: String,
+      gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds must be positive, got $gapSeconds")
+    val order = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val prev = lag(tsMicros(col(tsCol)), 1).over(order)
+    val brk = when(prev.isNull ||
+      tsMicros(col(tsCol)) - prev > gapSeconds * 1000000L, 1L)
+      .otherwise(0L)
+    events.withColumn("session_id",
+      sum(brk).over(order.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+  }
+
+  /** Fixed tumbling-window rollup: epoch-aligned buckets of
+    * `windowSeconds`, one count + value sum per (bucket, dims...).
+    * `window_start_us` is the bucket's inclusive start in epoch micros
+    * (engine-portable — no timestamp-rendering ambiguity downstream).
+    */
+  def tumblingRollup(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowSeconds: Long,
+      dims: Seq[String]): DataFrame = {
+    require(windowSeconds > 0, s"windowSeconds must be positive")
+    val usec = windowSeconds * 1000000L
+    // integer bucket arithmetic (u - u % usec): epoch micros are near
+    // the 53-bit double mantissa, so FP floor(u / usec) is not safe
+    val u = tsMicros(col(tsCol))
+    val bucket = (u - pmod(u, lit(usec))).as("window_start_us")
+    events.groupBy(bucket +: dims.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+  }
+
+  /** Backward as-of join: for every left row, the single right row with
+    * the greatest `tsCol` ≤ the left row's (same `keyCol`); left rows
+    * with no prior right row are dropped (inner as-of — DuckDB/pandas
+    * default). Right columns come back prefixed `rightPrefix`.
+    *
+    * Tie rules, all deterministic: a right row AT the left row's exact
+    * timestamp matches (inclusive ≤, right sorts before left at equal
+    * ts); two right rows at the same (key, ts) resolve to the greater
+    * one in lexicographic remaining-column order.
+    *
+    * Point-in-time correctness is the training-data use: joining each
+    * example to the newest feature/label snapshot that existed when the
+    * example happened, without leaking the future.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    val rCols = right.columns.filter(_ != keyCol).toSeq
+    val lType = StructType(left.schema.fields)
+    val rType = StructType(right.schema.fields.filter(_.name != keyCol))
+    val lTagged = left.select(col(keyCol).as("__k"),
+      col(tsCol).as("__t"), lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"),
+      lit(null).cast(rType).as("__r"))
+    val rTagged = right.select(col(keyCol).as("__k"),
+      col(tsCol).as("__t"), lit(0).as("__side"),
+      lit(null).cast(lType).as("__l"),
+      struct(rCols.map(col): _*).as("__r"))
+    // right-before-left at equal ts makes the join inclusive; __r asc
+    // makes last() pick the lexicographically greatest right row on a
+    // right-right ts tie
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__side").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__m").isNotNull)
+    val lOut: Seq[Column] =
+      left.columns.toSeq.map(c => col("__l").getField(c).as(c))
+    val rOut: Seq[Column] =
+      rCols.map(c => col("__m").getField(c).as(rightPrefix + c))
+    matched.select(lOut ++ rOut: _*)
+  }
+}

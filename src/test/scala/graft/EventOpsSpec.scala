@@ -1,0 +1,84 @@
+package graft
+
+import graft.pipeline.EventOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-checked event-log operator semantics: session boundaries (gap
+  * strictly-greater rule, tie order), epoch-aligned buckets, and the
+  * as-of join's inclusive/tie/unmatched contract.
+  */
+class EventOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+
+  private def evDF(rows: (Long, String, Long, Double)*) = {
+    val sp = spark
+    import sp.implicits._
+    rows.toDF("event_id", "user", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+  }
+
+  test("sessionize: gap rule is strictly-greater, ids dense per key") {
+    val ev = evDF(
+      (1L, "a", 0L, 1.0), (2L, "a", 600L, 1.0),   // 10 min later: same
+      (3L, "a", 600L + 3600L, 1.0),               // exactly gap: SAME
+      (4L, "a", 600L + 3600L + 3601L, 1.0),       // gap+1 s: new session
+      (5L, "b", 50L, 1.0))                        // other key independent
+    val got = EventOps.sessionize(ev, "user", "ts", "event_id", 3600L)
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 1L))
+  }
+
+  test("sessionize: equal timestamps order by the tie column") {
+    val ev = evDF((2L, "a", 1000L, 1.0), (1L, "a", 1000L, 1.0),
+      (3L, "a", 1000L + 7201L, 1.0))
+    val got = EventOps.sessionize(ev, "user", "ts", "event_id", 7200L)
+      .select(col("event_id"), col("session_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("tumblingRollup: epoch-aligned buckets, count + rounded sum") {
+    val ev = evDF((1L, "x", 10L, 1.25), (2L, "x", 3599L, 2.5),
+      (3L, "x", 3600L, 4.0), (4L, "y", 3601L, 8.0))
+    val got = EventOps.tumblingRollup(ev, "ts", "value", 3600L, Seq("user"))
+      .collect().map(r => ((r.getLong(0), r.getString(1)),
+        (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == Map(
+      (0L, "x") -> ((2L, 3.75)),
+      (3600000000L, "x") -> ((1L, 4.0)),
+      (3600000000L, "y") -> ((1L, 8.0))))
+  }
+
+  test("asofJoin: backward inclusive, per-key, unmatched dropped") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((10L, "a", 10L), (11L, "a", 20L), (12L, "a", 3L),
+      (13L, "b", 100L)).toDF("event_id", "user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val right = Seq((100L, "a", 5L), (101L, "a", 10L), (102L, "a", 15L),
+      (103L, "b", 99L)).toDF("event_id", "user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = EventOps.asofJoin(left, right, "user", "ts")
+      .select(col("event_id"), col("r_event_id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // left@10 takes right@10 (inclusive), left@20 takes right@15,
+    // left@3 precedes every right row → dropped; keys never cross
+    assert(got == Map(10L -> 101L, 11L -> 102L, 13L -> 103L))
+  }
+
+  test("asofJoin: right-right ts tie resolves to the greatest right row") {
+    val sp = spark
+    import sp.implicits._
+    val left = Seq((1L, "a", 10L)).toDF("event_id", "user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val right = Seq((7L, "a", 5L), (9L, "a", 5L), (8L, "a", 5L))
+      .toDF("event_id", "user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = EventOps.asofJoin(left, right, "user", "ts")
+      .select(col("r_event_id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(9L))
+  }
+}

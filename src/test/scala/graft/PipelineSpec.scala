@@ -44,6 +44,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containment: small doc swallowed by big doc found in the a→b direction only") {
+    val sp = spark
+    import sp.implicits._
+    val filler = (1 to 60).map(i => s"filler token number$i").mkString(" ")
+    val cdocs = Seq(
+      (1L, base),                    // the small document
+      (2L, s"$filler $base $filler"), // a big page containing doc 1 verbatim
+      (3L, "totally unrelated words about catalyst plans and broadcast joins")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(cdocs, "doc_id", "text",
+        n = 3, minContainment = 0.9)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // every shingle of 1 appears in 2 → C(1→2) = 1.0; the reverse
+    // direction is tiny (|S(2)| ≫ |S(1)|), and Jaccard would miss both
+    assert(got.get((1L, 2L)).contains(1.0), s"got $got")
+    assert(!got.contains((2L, 1L)))
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    val jac = Dedup.ngramJaccardPairs(cdocs, "doc_id", "text",
+      n = 3, minJaccard = 0.9).collect()
+    assert(jac.isEmpty, "jaccard at the same threshold must NOT see the pair")
+  }
+
   test("minhash LSH recalls exact + near dup pairs and verifies true jaccard") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text",
       n = 3, numHashes = 8, bands = 4, minJaccard = 0.5)
