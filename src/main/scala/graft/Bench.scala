@@ -162,7 +162,34 @@ object Bench {
         .chunkTokens(documents, "doc_id", "text",
           chunkSize = 128, stride = 96).count()),
       "unigram_nll" -> (() => graft.pipeline.TextPipeline
-        .unigramNll(documents, "doc_id", "text").count()))
+        .unigramNll(documents, "doc_id", "text").count()),
+      "bm25f_part_top20" -> (() => QueryEngine.bm25F(
+        GateQueries.partDocs(spark, sfDir), "small blue bolt",
+        wTitle = 2.0, wBody = 1.0, topK = Some(20)).count()),
+      // PageRank over the q37/q67 synthetic link DAG (4 outlinks/doc)
+      "pagerank_5iter" -> (() => {
+        val nodes = documents.select(col("doc_id").as("page"))
+        val links = nodes.select(col("page").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+          .withColumn("dst", col("src") + col("j"))
+          .join(nodes.select(col("page").as("dst")), "dst")
+          .select(col("src"), col("dst"))
+        graft.pipeline.GraphOps.pageRank(nodes, links, iters = 5).count()
+      }),
+      "dedup_containment" -> (() => Dedup.containmentPairs(
+        documents, "doc_id", "text", n = 3, minContainment = 0.9).count()),
+      "events_sessionize" -> (() => graft.pipeline.EventOps.sessionize(
+        GateQueries.events(spark, sfDir), "user_id", "ts", "event_id",
+        gapSeconds = 6 * 3600)
+        .groupBy(col("user_id"), col("session_id")).count().count()),
+      "events_asof_join" -> (() => {
+        val ev = GateQueries.events(spark, sfDir)
+        graft.pipeline.EventOps.asofJoin(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "signup")
+            .select(col("event_id"), col("ts"), col("user_id")),
+          "user_id", "ts").count()
+      }))
 
     // Query-path entries run once UNTIMED first: they model steady-state
     // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-
