@@ -134,6 +134,46 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
   }
 
+  test("asofJoin plan: ONE exchange total — union-tag, not join+argmax") {
+    val sp = spark
+    import sp.implicits._
+    val left = (1 to 100).map(i => (i.toLong, s"u${i % 7}", i.toLong * 10))
+      .toDF("event_id", "user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val right = (1 to 100).map(i => (1000L + i, s"u${i % 7}", i.toLong * 9))
+      .toDF("event_id", "user", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val out = graft.pipeline.EventOps.asofJoin(left, right, "user", "ts")
+    out.collect()
+    val plan = planOf(out).split("== Initial Plan ==")(0)
+    val exchanges = plan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange"))
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"as-of must not be a join:\n$plan")
+  }
+
+  test("sessionize plan: one exchange on the key; rollup plan: no join, map-combined agg") {
+    val sp = spark
+    import sp.implicits._
+    val ev = (1 to 200).map(i => (i.toLong, s"u${i % 5}", i.toLong * 100, 1.0))
+      .toDF("event_id", "user", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val sess = graft.pipeline.EventOps.sessionize(ev, "user", "ts", "event_id", 300L)
+    sess.collect()
+    val sPlan = planOf(sess).split("== Initial Plan ==")(0)
+    assert(sPlan.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("ReusedExchange")) == 1,
+      s"sessionize should exchange once:\n$sPlan")
+    val roll = graft.pipeline.EventOps.tumblingRollup(ev, "ts", "value", 3600L, Seq("user"))
+    roll.collect()
+    val rPlan = planOf(roll).split("== Initial Plan ==")(0)
+    assert(!rPlan.contains("Join"), s"rollup must not join:\n$rPlan")
+    // partial (map-side) + final aggregate pair around a single exchange
+    assert(rPlan.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"rollup should map-combine:\n$rPlan")
+  }
+
   test("whole-stage codegen covers the scoring pipeline") {
     val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
     val df = e.bm25Query("spark join", Some(10))
