@@ -1,0 +1,79 @@
+package graft.tools
+
+import graft.pipeline.EventOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Event-op scale evidence: runs sessionize / tumblingRollup / asofJoin
+  * over a DETERMINISTIC synthetic event log (default 2M rows — 20× the
+  * sf0.1 table) and prints one JSON timing line. Pair two runs at
+  * different SPARK_GRAFT_CPUS for the N→4N scaling table in BENCH.md.
+  *
+  * The log is generated distributed (spark.range → hash-derived columns,
+  * no driver data, no RNG): user_id = id % nUsers, ts = fixed epoch +
+  * xxhash64(id) mod 30 days, type from id mod 5 — matching the sf tables'
+  * shape (event_id, ts, user_id, event_type, value).
+  */
+object EventBench {
+  def main(args: Array[String]): Unit = {
+    val nEvents = if (args.nonEmpty) args(0).toLong else 2000000L
+    val nUsers = if (args.length > 1) args(1).toLong else 30000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val spanUs = 30L * 86400 * 1000000 // 30 days
+    val baseUs = 1700000000000000L
+    val types = array(lit("click"), lit("view"), lit("purchase"),
+      lit("signup"), lit("error"))
+    val ev = spark.range(0, nEvents, 1, cpus.toInt)
+      .select(col("id").as("event_id"),
+        timestamp_micros(lit(baseUs) + pmod(xxhash64(col("id")), lit(spanUs)))
+          .as("ts"),
+        pmod(col("id"), lit(nUsers)).as("user_id"),
+        // type from a HASH, not id mod 5: nUsers ≡ 0 (mod 5) would give
+        // every user a single type and no purchase↔signup pairs to join
+        element_at(types, (pmod(xxhash64(col("id") + 7), lit(5)) + 1)
+          .cast("int")).as("event_type"),
+        (pmod(col("id"), lit(10000)) / 100.0).as("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ev.count()
+
+    def time(f: => Long): (Long, Double) = {
+      f // untimed warmup (steady-state regime, matching Bench policy)
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (nSess, sessSec) = time {
+      EventOps.sessionize(ev, "user_id", "ts", "event_id", 6 * 3600L)
+        .groupBy(col("user_id"), col("session_id")).count().count()
+    }
+    val (nBuckets, rollSec) = time {
+      EventOps.tumblingRollup(ev, "ts", "value", 3600L, Seq("event_type"))
+        .count()
+    }
+    val (nMatched, asofSec) = time {
+      EventOps.asofJoin(
+        ev.where(col("event_type") === "purchase"),
+        ev.where(col("event_type") === "signup")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        "user_id", "ts").count()
+    }
+
+    // sanity invariants at scale
+    require(nSess >= nUsers, s"fewer sessions ($nSess) than users ($nUsers)")
+    require(nMatched <= n / 5 + 1, "more matches than purchases")
+
+    println(s"""{"tool":"EventBench","n_events":$n,"n_users":$nUsers,""" +
+      s""""cpus":$cpus,"sessionize_sec":${f"$sessSec%.2f"},""" +
+      s""""n_sessions":$nSess,"rollup_sec":${f"$rollSec%.2f"},""" +
+      s""""n_buckets":$nBuckets,"asof_sec":${f"$asofSec%.2f"},""" +
+      s""""n_matched":$nMatched}""")
+    spark.stop()
+  }
+}
