@@ -149,10 +149,13 @@ object Dedup {
     *
     * Prefix filter, containment variant: C ≥ θ ⇒ |A∩B| ≥ ⌈θ·|A|⌉, so the
     * rarest `|A| − ⌈θ·|A|⌉ + 1` shingles of A must hit B. Only the
-    * CONTAINED side prunes — the container side must stay whole (a tweet
-    * can live inside a book, so no size-ratio condition exists). The
-    * candidate join is therefore prefix(A) ⋈ full-index(B), then the
-    * exact intersection count verifies candidates only — the same
+    * CONTAINED side prefix-prunes — the container side must stay whole
+    * (a tweet can live inside a book, so no UPPER size bound exists).
+    * One necessary size condition does hold and prunes candidates:
+    * |A∩B| ≤ |B|, so |B| ≥ ⌈θ·|A|⌉ — a container can't be much smaller
+    * than what it contains. The candidate join is therefore
+    * prefix(A) ⋈ full-index(B) with the |B| floor, then the exact
+    * intersection count verifies candidates only — the same
     * candidates-then-verify shape as [[ngramJaccardPairs]].
     */
   def containmentPairs(
@@ -173,10 +176,13 @@ object Dedup {
         .join(sizes, "id")
         .withColumn("__pos", row_number().over(w))
         .where(col("__pos") <= col("sz") - ceil(col("sz") * minContainment) + 1)
-        .select(col("id"), col("shingle"))
+        .select(col("id"), col("shingle"), col("sz"))
+      val idxSz = idx.join(sizes, "id")
       val cands = prefix.as("l")
-        .join(idx.as("r"), col("l.shingle") === col("r.shingle") &&
-          col("l.id") =!= col("r.id"))
+        .join(idxSz.as("r"), col("l.shingle") === col("r.shingle") &&
+          col("l.id") =!= col("r.id") &&
+          // |B| ≥ ⌈θ·|A|⌉ — necessary since |A∩B| ≤ |B|
+          col("r.sz") >= ceil(col("l.sz") * minContainment))
         .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
         .distinct()
       val ia = idx.select(col("id").as("id_a"), col("shingle"))
