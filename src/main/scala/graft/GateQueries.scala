@@ -2100,7 +2100,88 @@ object GateQueries {
              |ASOF JOIN (SELECT event_id, ts, user_id FROM events
              |           WHERE event_type = 'signup') s
              |  ON p.user_id = s.user_id AND p.ts >= s.ts
-             |ORDER BY purchase_id""".stripMargin)))
+             |ORDER BY purchase_id""".stripMargin)),
+
+    // Ordered funnel signup → purchase → error per user: greedy earliest
+    // strictly-increasing chain (greedy is depth-optimal for subsequence
+    // matching). The oracle chains one CTE per step.
+    Gate("q72_funnel",
+      (s, d) => EventOps.funnel(events(s, d), Seq("user_id"),
+          "event_type", "ts", Seq("signup", "purchase", "error"))
+        .select(col("user_id"), col("steps_completed"), col("last_ts_us"))
+        .orderBy(col("user_id")),
+      Some("""WITH f1 AS (
+             |  SELECT user_id, min(epoch_us(ts))::BIGINT AS t1 FROM events
+             |  WHERE event_type = 'signup' GROUP BY 1),
+             |f2 AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t2
+             |  FROM events e JOIN f1 ON e.user_id = f1.user_id
+             |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f1.t1
+             |  GROUP BY 1),
+             |f3 AS (
+             |  SELECT e.user_id, min(epoch_us(e.ts))::BIGINT AS t3
+             |  FROM events e JOIN f2 ON e.user_id = f2.user_id
+             |  WHERE e.event_type = 'error' AND epoch_us(e.ts) > f2.t2
+             |  GROUP BY 1)
+             |SELECT f1.user_id,
+             |  (1 + (f2.user_id IS NOT NULL)::INT
+             |     + (f3.user_id IS NOT NULL)::INT)::BIGINT AS steps_completed,
+             |  coalesce(f3.t3, f2.t2, f1.t1) AS last_ts_us
+             |FROM f1
+             |LEFT JOIN f2 ON f1.user_id = f2.user_id
+             |LEFT JOIN f3 ON f1.user_id = f3.user_id
+             |ORDER BY f1.user_id""".stripMargin)),
+
+    // HITS hubs & authorities over the same link DAG as q67 — 5
+    // L1-normalized iterations, oracle unrolled like the PageRank one.
+    Gate("q73_hits",
+      (s, d) => {
+        val nodes = documents(s, d).select(col("doc_id").as("page"))
+        val links = nodes.select(col("page").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+          .withColumn("dst", col("src") + col("j"))
+          .join(nodes.select(col("page").as("dst")), "dst")
+          .select(col("src"), col("dst"))
+        graft.pipeline.GraphOps.hits(nodes, links, iters = 5)
+          .select(col("page").as("doc_id"),
+            round(col("hub") * 1000, 6).as("hub_x1000"),
+            round(col("auth") * 1000, 6).as("auth_x1000"))
+          .orderBy(col("doc_id"))
+      },
+      Some(hitsOracleSql(5))))
+
+  /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
+    * same way as [[pageRankOracleSql]] — per iteration a hub-weighted
+    * in-edge sum (L1-normalized), then an auth-weighted out-edge sum
+    * (L1-normalized), with no-edge pages riding the LEFT JOIN as 0.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""ar$k AS (SELECT l.dst AS page, sum(h.h) AS v
+         |  FROM h${k - 1} h JOIN links l ON l.src = h.page GROUP BY 1),
+         |at$k AS (SELECT sum(v) AS t FROM ar$k),
+         |a$k AS (SELECT nd.page, coalesce(r.v, 0) / at$k.t AS a
+         |  FROM nodes nd CROSS JOIN at$k
+         |  LEFT JOIN ar$k r ON r.page = nd.page),
+         |hr$k AS (SELECT l.src AS page, sum(a.a) AS v
+         |  FROM a$k a JOIN links l ON l.dst = a.page GROUP BY 1),
+         |ht$k AS (SELECT sum(v) AS t FROM hr$k),
+         |h$k AS (SELECT nd.page, coalesce(r.v, 0) / ht$k.t AS h
+         |  FROM nodes nd CROSS JOIN ht$k
+         |  LEFT JOIN hr$k r ON r.page = nd.page)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id AS page FROM documents),
+       |links AS (
+       |  SELECT d.doc_id AS src, d.doc_id + j AS dst
+       |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS j) js
+       |  WHERE d.doc_id + j IN (SELECT doc_id FROM documents)),
+       |h0 AS (SELECT page, 1.0 AS h FROM nodes),
+       |$steps
+       |SELECT h.page AS doc_id, round(h.h * 1000, 6) AS hub_x1000,
+       |  round(a.a * 1000, 6) AS auth_x1000
+       |FROM h$iters h JOIN a$iters a ON h.page = a.page
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** DuckDB oracle for q67: the same 5 PageRank power iterations,
     * unrolled as chained CTEs (standard SQL forbids aggregation in a

@@ -74,6 +74,52 @@ object EventOps {
         round(sum(col(valueCol)), 6).as("sum_value"))
   }
 
+  /** Ordered funnel progression per key: for steps s₁..sₘ (values of
+    * `typeCol`), the earliest strictly-increasing-in-time match chain —
+    *
+    *   t₁ = min ts of an s₁ event;  tₖ = min ts of an sₖ event with
+    *   ts > tₖ₋₁ (strict, so a simultaneous pair can't satisfy order)
+    *
+    * — the greedy chain, which reaches the maximum depth any chain can
+    * (matching earliest never hurts: any later tₖ only shrinks the
+    * remaining window). One row per key that completed step 1, with
+    * `steps_completed`, `last_ts_us` and the completed-step times.
+    *
+    * Shape at scale: step k is one filtered aggregation + one key-equi
+    * join against the (per-key, single-row) frontier — m small
+    * hash-partitioned stages on the SAME key, no window over the raw
+    * log, no per-key event collection. Funnels are short (m ≤ ~10);
+    * depth is bounded by the step list, not the data.
+    */
+  def funnel(
+      events: DataFrame,
+      keyCols: Seq[String],
+      typeCol: String,
+      tsCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val keys = keyCols.map(col)
+    val us = tsMicros(col(tsCol))
+    var collected = events.where(col(typeCol) === steps.head)
+      .groupBy(keys: _*).agg(min(us).as("__t1"))
+    for (k <- 2 to steps.size) {
+      val prev = s"__t${k - 1}"
+      val stepEv = events.where(col(typeCol) === steps(k - 1))
+        .select(keys :+ us.as("__u"): _*)
+      val next = stepEv
+        .join(collected.select(keys :+ col(prev): _*), keyCols)
+        .where(col("__u") > col(prev))
+        .groupBy(keys: _*).agg(min(col("__u")).as(s"__t$k"))
+      collected = collected.join(next, keyCols, "left")
+    }
+    val tcols = (1 to steps.size).map(i => col(s"__t$i"))
+    collected.select(keys ++ Seq(
+      tcols.map(t => when(t.isNotNull, 1L).otherwise(0L))
+        .reduce(_ + _).as("steps_completed"),
+      coalesce(tcols.reverse: _*).as("last_ts_us"),
+      filter(array(tcols: _*), x => x.isNotNull).as("step_ts_us")): _*)
+  }
+
   /** Backward as-of join: for every left row, the single right row with
     * the greatest `tsCol` ≤ the left row's (same `keyCol`); left rows
     * with no prior right row are dropped (inner as-of — DuckDB/pandas

@@ -85,4 +85,51 @@ object GraphOps {
     outdeg.unpersist()
     ranks
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999), fixed iterations:
+    *
+    *   authₖ(p) ∝ Σ_{q→p} hubₖ₋₁(q),   hubₖ(p) ∝ Σ_{p→q} authₖ(q),
+    *
+    * each L1-normalized per iteration (Kleinberg normalizes L2; any
+    * per-iteration positive rescaling yields the same direction and
+    * therefore the same ranking every iteration — L1 keeps the oracle
+    * arithmetic a plain sum). hub₀ = 1. Edges de-dup and restrict to the
+    * vertex set as in [[pageRank]]; pages without in-links (out-links)
+    * get auth 0 (hub 0). Same per-iteration shape as pageRank: two
+    * map-combined aggregations, scalar totals broadcast back, lineage
+    * truncated.
+    *
+    * @return (page, hub, auth) — each column summing to 1
+    */
+  def hits(nodes: DataFrame, links: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val edges = links.select(col("src"), col("dst")).distinct()
+      .join(nodes.select(col("page").as("dst")), "dst")
+      .join(nodes.select(col("page").as("src")), "src")
+      .persist()
+    var hub = nodes.select(col("page"), lit(1.0).as("hub")).localCheckpoint()
+    var auth = hub.select(col("page"), lit(0.0).as("auth"))
+    for (_ <- 1 to iters) {
+      val araw = edges
+        .join(hub.withColumnRenamed("page", "src"), "src")
+        .groupBy(col("dst")).agg(sum(col("hub")).as("__v"))
+      val aTot = araw.agg(sum(col("__v")).as("__t"))
+      auth = nodes.join(araw, col("page") === col("dst"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("page"),
+          (coalesce(col("__v"), lit(0.0)) / col("__t")).as("auth"))
+        .localCheckpoint()
+      val hraw = edges
+        .join(auth.withColumnRenamed("page", "dst"), "dst")
+        .groupBy(col("src")).agg(sum(col("auth")).as("__v"))
+      val hTot = hraw.agg(sum(col("__v")).as("__t"))
+      hub = nodes.join(hraw, col("page") === col("src"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("page"),
+          (coalesce(col("__v"), lit(0.0)) / col("__t")).as("hub"))
+        .localCheckpoint()
+    }
+    edges.unpersist()
+    hub.join(auth, "page")
+  }
 }

@@ -52,6 +52,33 @@ class EventOpsSpec extends AnyFunSuite {
       (3600000000L, "y") -> ((1L, 8.0))))
   }
 
+  test("funnel: greedy earliest chain, strict order, depth per key") {
+    val sp = spark
+    import sp.implicits._
+    val ev = Seq(
+      // u1 completes a→b→c in order
+      (1L, "u1", 10L, "a"), (2L, "u1", 20L, "b"), (3L, "u1", 30L, "c"),
+      // u2: b happens BEFORE its a → depth 1 (strictly-after rule)
+      (4L, "u2", 50L, "b"), (5L, "u2", 60L, "a"),
+      // u3: b at exactly a's ts → simultaneous doesn't count; later b does
+      (6L, "u3", 10L, "a"), (7L, "u3", 10L, "b"), (8L, "u3", 99L, "b"),
+      // u4 never does a → absent from output
+      (9L, "u4", 5L, "b"), (10L, "u4", 6L, "c"),
+      // u5: greedy earliest a (ts 1) still lets the later b@2 match
+      (11L, "u5", 1L, "a"), (12L, "u5", 4L, "a"), (13L, "u5", 2L, "b"))
+      .toDF("event_id", "user", "sec", "etype")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = EventOps.funnel(ev, Seq("user"), "etype", "ts",
+        Seq("a", "b", "c"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Long](3)))).toMap
+    assert(got.keySet == Set("u1", "u2", "u3", "u5"))
+    assert(got("u1") == ((3L, 30000000L, Seq(10000000L, 20000000L, 30000000L))))
+    assert(got("u2") == ((1L, 60000000L, Seq(60000000L))))
+    assert(got("u3") == ((2L, 99000000L, Seq(10000000L, 99000000L))))
+    assert(got("u5") == ((2L, 2000000L, Seq(1000000L, 2000000L))))
+  }
+
   test("asofJoin: backward inclusive, per-key, unmatched dropped") {
     val sp = spark
     import sp.implicits._

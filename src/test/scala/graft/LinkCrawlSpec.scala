@@ -93,6 +93,25 @@ class LinkCrawlSpec extends AnyFunSuite {
     assert(got("D") < got("A") && got("D") < got("B") && got("D") < got("C"))
   }
 
+  test("hits: one hand-checked iteration; both columns L1-normalized") {
+    val sp = spark
+    import sp.implicits._
+    val nodes = Seq("A", "B", "C").toDF("page")
+    val edges = Seq("A" -> "B", "A" -> "C", "B" -> "C").toDF("src", "dst")
+    val got = graft.pipeline.GraphOps.hits(nodes, edges, iters = 1)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    // auth raw: B=1 (A), C=2 (A,B); total 3 → (0, 1/3, 2/3)
+    // hub raw:  A=auth(B)+auth(C)=1, B=auth(C)=2/3; total 5/3 → (3/5, 2/5, 0)
+    assert(math.abs(got("A")._1 - 0.6) < 1e-12 && got("A")._2 == 0.0)
+    assert(math.abs(got("B")._1 - 0.4) < 1e-12 &&
+      math.abs(got("B")._2 - 1.0 / 3) < 1e-12)
+    assert(got("C")._1 == 0.0 && math.abs(got("C")._2 - 2.0 / 3) < 1e-12)
+    val five = graft.pipeline.GraphOps.hits(nodes, edges, iters = 5).collect()
+    assert(math.abs(five.map(_.getDouble(1)).sum - 1.0) < 1e-9)
+    assert(math.abs(five.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+  }
+
   test("pageRank: edges outside the vertex set are ignored") {
     val got = pr(Seq("A", "B"), Seq("A" -> "B", "A" -> "ZZZ", "QQ" -> "A"), 1)
     assert(math.abs(got("A") - 0.2875) < 1e-12 &&
