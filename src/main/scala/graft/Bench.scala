@@ -189,6 +189,18 @@ object Bench {
           ev.where(col("event_type") === "signup")
             .select(col("event_id"), col("ts"), col("user_id")),
           "user_id", "ts").count()
+      }),
+      "events_funnel" -> (() => graft.pipeline.EventOps.funnel(
+        GateQueries.events(spark, sfDir), Seq("user_id"), "event_type",
+        "ts", Seq("signup", "purchase", "error")).count()),
+      "hits_5iter" -> (() => {
+        val nodes = documents.select(col("doc_id").as("page"))
+        val links = nodes.select(col("page").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+          .withColumn("dst", col("src") + col("j"))
+          .join(nodes.select(col("page").as("dst")), "dst")
+          .select(col("src"), col("dst"))
+        graft.pipeline.GraphOps.hits(nodes, links, iters = 5).count()
       }))
 
     // Query-path entries run once UNTIMED first: they model steady-state

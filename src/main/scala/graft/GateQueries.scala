@@ -2148,7 +2148,57 @@ object GateQueries {
             round(col("auth") * 1000, 6).as("auth_x1000"))
           .orderBy(col("doc_id"))
       },
-      Some(hitsOracleSql(5))))
+      Some(hitsOracleSql(5))),
+
+    // Sliding 1h windows every 15min: the multi-assignment is a narrow
+    // 4-way explode mirrored by the oracle's range(0,4) cross join.
+    Gate("q74_sliding_rollup",
+      (s, d) => EventOps.slidingRollup(events(s, d), "ts", "value",
+          windowSeconds = 3600, slideSeconds = 900, dims = Seq("event_type"))
+        .orderBy(col("window_start_us"), col("event_type")),
+      Some("""WITH x AS (
+             |  SELECT e.event_type, e.value,
+             |    (epoch_us(ts) - epoch_us(ts) % 900000000)
+             |      - k.k * 900000000 AS window_start_us
+             |  FROM events e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k)
+             |SELECT window_start_us, event_type, count(*)::BIGINT AS n_events,
+             |  round(sum(value), 6) AS sum_value
+             |FROM x WHERE window_start_us >= 0
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exact per-type p50/p95 (ANSI PERCENTILE_CONT linear interpolation
+    // in both engines, rounded 6dp).
+    Gate("q75_percentiles",
+      (s, d) => EventOps.groupPercentiles(events(s, d), "value",
+          Seq("event_type"), Seq(0.5, 0.95))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type, count(*)::BIGINT AS n_events,
+             |  round(quantile_cont(value, 0.5), 6) AS p50,
+             |  round(quantile_cont(value, 0.95), 6) AS p95
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Weekly cohort retention keyed on first signup; after the activity
+    // distinct a user is at most one row per (cohort, offset), so the
+    // plain count IS the distinct-user count on both sides.
+    Gate("q76_cohort_retention",
+      (s, d) => EventOps.cohortRetention(events(s, d), "user_id", "ts",
+          periodSeconds = 7 * 86400, typeCol = "event_type",
+          cohortType = "signup")
+        .orderBy(col("cohort_period_us"), col("period_offset")),
+      Some("""WITH coh AS (
+             |  SELECT user_id,
+             |    min(epoch_us(ts) - epoch_us(ts) % 604800000000) AS cohort_us
+             |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+             |act AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(ts) - epoch_us(ts) % 604800000000 AS per
+             |  FROM events)
+             |SELECT c.cohort_us AS cohort_period_us,
+             |  ((a.per - c.cohort_us) // 604800000000)::BIGINT AS period_offset,
+             |  count(*)::BIGINT AS n_keys
+             |FROM act a JOIN coh c ON a.user_id = c.user_id
+             |WHERE a.per >= c.cohort_us
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted

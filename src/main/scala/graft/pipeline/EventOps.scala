@@ -74,6 +74,98 @@ object EventOps {
         round(sum(col(valueCol)), 6).as("sum_value"))
   }
 
+  /** Sliding-window rollup: windows of `windowSeconds` starting at every
+    * multiple of `slideSeconds` (slide must divide window); an event at t
+    * lands in the w/s windows whose start s satisfies t−w < s ≤ t. The
+    * multi-assignment is a NARROW explode of w/s generated starts per
+    * row (integer micros arithmetic) followed by the same map-combined
+    * aggregation as [[tumblingRollup]] — never a range join against a
+    * window table. `slideSeconds == windowSeconds` degenerates to
+    * [[tumblingRollup]] exactly.
+    */
+  def slidingRollup(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      windowSeconds: Long,
+      slideSeconds: Long,
+      dims: Seq[String]): DataFrame = {
+    require(windowSeconds > 0 && slideSeconds > 0 &&
+      windowSeconds % slideSeconds == 0,
+      s"slide ($slideSeconds s) must divide window ($windowSeconds s)")
+    val wUs = windowSeconds * 1000000L
+    val sUs = slideSeconds * 1000000L
+    val k = (windowSeconds / slideSeconds).toInt
+    val u = tsMicros(col(tsCol))
+    val aligned = u - pmod(u, lit(sUs)) // newest window start covering t
+    val starts = sequence(lit(0), lit(k - 1)).as("__ks")
+    events
+      .withColumn("__a", aligned)
+      .select(col("*"), explode(starts).as("__k"))
+      .select(col("*"),
+        (col("__a") - col("__k") * sUs).as("window_start_us"))
+      .where(col("window_start_us") >= 0) // clip pre-epoch partial windows
+      .groupBy(col("window_start_us") +: dims.map(col): _*)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valueCol)), 6).as("sum_value"))
+  }
+
+  /** Exact per-group percentiles of `valueCol` (linear interpolation on
+    * the sorted values — the ANSI PERCENTILE_CONT definition both Spark's
+    * `percentile` and DuckDB's `quantile_cont` implement). Exact
+    * percentiles sort each group's values once inside the aggregate —
+    * the honest cost; for 100 TB-scale sketching use
+    * `approx_percentile` (t-digest) at the caller's accuracy budget.
+    */
+  def groupPercentiles(
+      events: DataFrame,
+      valueCol: String,
+      dims: Seq[String],
+      percentiles: Seq[Double]): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 0 && p <= 1), "percentiles must be in [0,1]")
+    val aggs = percentiles.map { p =>
+      round(percentile(col(valueCol), lit(p)), 6).as(s"p${(p * 100).round}")
+    }
+    events.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+  }
+
+  /** Cohort retention: each key's cohort is the epoch-aligned period of
+    * its first `cohortType` event; a key is retained at offset k if it
+    * has ANY event in the period k·`periodSeconds` after its cohort
+    * period. Returns (cohort_period_us, period_offset, n_keys). Activity
+    * before the cohort period (possible when cohortType ≠ all events) is
+    * excluded — offsets are non-negative.
+    *
+    * Shape: one aggregation for cohorts, one distinct for (key, period)
+    * activity, one key-equi join, one count — each hash-partitioned on
+    * the key (the count re-keys on the small (cohort, offset) space).
+    * After the distinct, a key contributes at most one row per period,
+    * so the final count(*) IS the distinct-key count.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      periodSeconds: Long,
+      typeCol: String,
+      cohortType: String): DataFrame = {
+    require(periodSeconds > 0, "periodSeconds must be positive")
+    val pUs = periodSeconds * 1000000L
+    val u = tsMicros(col(tsCol))
+    val per = u - pmod(u, lit(pUs))
+    val cohorts = events.where(col(typeCol) === cohortType)
+      .groupBy(col(keyCol)).agg(min(per).as("__cohort"))
+    val active = events.select(col(keyCol), per.as("__per")).distinct()
+    active.join(cohorts, keyCol)
+      .where(col("__per") >= col("__cohort"))
+      .groupBy(col("__cohort").as("cohort_period_us"),
+        ((col("__per") - col("__cohort")) / pUs).cast("long")
+          .as("period_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
   /** Ordered funnel progression per key: for steps s₁..sₘ (values of
     * `typeCol`), the earliest strictly-increasing-in-time match chain —
     *

@@ -52,6 +52,61 @@ class EventOpsSpec extends AnyFunSuite {
       (3600000000L, "y") -> ((1L, 8.0))))
   }
 
+  test("slidingRollup: each event lands in w/s windows; slide=window ≡ tumbling") {
+    val ev = evDF((1L, "x", 3650L, 2.0), (2L, "x", 100L, 1.0))
+    val got = EventOps.slidingRollup(ev, "ts", "value", 3600L, 900L, Seq("user"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // event@3650s: aligned start 3600; covered by starts 3600,2700,1800,900
+    // event@100s: aligned 0; starts -900.. clipped → only 0
+    assert(got((3600000000L, "x")) == ((1L, 2.0)))
+    assert(got((900000000L, "x")) == ((1L, 2.0)))
+    assert(got((0L, "x")) == ((1L, 1.0)))
+    assert(!got.contains((-900000000L, "x")))
+    assert(got.size == 5) // 4 windows for 3650s + 1 for 100s
+    val tumb = EventOps.tumblingRollup(ev, "ts", "value", 3600L, Seq("user"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    val degen = EventOps.slidingRollup(ev, "ts", "value", 3600L, 3600L, Seq("user"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(degen == tumb)
+  }
+
+  test("groupPercentiles: linear interpolation, hand-checked") {
+    val ev = evDF((1L, "x", 1L, 10.0), (2L, "x", 2L, 20.0),
+      (3L, "x", 3L, 30.0), (4L, "x", 4L, 40.0), (5L, "y", 5L, 7.0))
+    val got = EventOps.groupPercentiles(ev, "value", Seq("user"), Seq(0.5, 0.95))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // x: sorted [10,20,30,40]; p50 at rank 1.5 → 25; p95 at 2.85 → 38.5
+    assert(got("x") == ((4L, 25.0, 38.5)))
+    assert(got("y") == ((1L, 7.0, 7.0)))
+  }
+
+  test("cohortRetention: weekly offsets from first signup, pre-cohort excluded") {
+    val sp = spark
+    import sp.implicits._
+    val wk = 604800L
+    val ev = Seq(
+      // u1 signs up week 0, active weeks 0,1,3; pre-signup activity wk -1… none
+      (1L, "u1", 10L, "signup"), (2L, "u1", wk + 5L, "click"),
+      (3L, "u1", 3 * wk + 5L, "view"),
+      // u2 signs up week 1, also has PRE-cohort activity in week 0 (excluded)
+      (4L, "u2", 100L, "click"), (5L, "u2", wk + 50L, "signup"),
+      (6L, "u2", 2 * wk + 9L, "purchase"),
+      // u3 never signs up → absent
+      (7L, "u3", 20L, "click"))
+      .toDF("event_id", "user", "sec", "event_type")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val got = EventOps.cohortRetention(ev, "user", "ts", wk, "event_type", "signup")
+      .collect().map(r => (r.getLong(0) / (wk * 1000000L), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (0L, 0L) -> 1L, (0L, 1L) -> 1L, (0L, 3L) -> 1L, // u1
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))                 // u2, week-0 click gone
+  }
+
   test("funnel: greedy earliest chain, strict order, depth per key") {
     val sp = spark
     import sp.implicits._
