@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.pipeline.GraphOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Graph-op scale evidence: PageRank and HITS over a deterministic
+  * 2M-node / ~8M-edge DAG (the q67 shape — node i links to i+1..i+4),
+  * timed after an untimed warmup, with the mass invariants checked at
+  * full width. Prints one JSON line.
+  */
+object GraphBench {
+  def main(args: Array[String]): Unit = {
+    val nNodes = if (args.nonEmpty) args(0).toLong else 2000000L
+    val iters = if (args.length > 1) args(1).toInt else 5
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nodes = spark.range(0, nNodes, 1, cpus.toInt)
+      .select(col("id").as("page"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    val links = nodes.select(col("page").as("src"),
+        explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+      .withColumn("dst", col("src") + col("j"))
+      .where(col("dst") < nNodes)
+      .select(col("src"), col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = links.count()
+
+    def time(f: => Double): (Double, Double) = {
+      f // untimed warmup
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val (prMass, prSec) = time {
+      GraphOps.pageRank(nodes, links, iters)
+        .agg(sum(col("rank"))).head().getDouble(0)
+    }
+    val (hitsMass, hitsSec) = time {
+      GraphOps.hits(nodes, links, iters)
+        .agg(sum(col("hub")) + sum(col("auth"))).head().getDouble(0)
+    }
+    require(math.abs(prMass - 1.0) < 1e-6, s"pagerank mass $prMass != 1")
+    require(math.abs(hitsMass - 2.0) < 1e-6, s"hits mass $hitsMass != 2")
+
+    println(s"""{"tool":"GraphBench","n_nodes":$nNodes,"n_edges":$nEdges,""" +
+      s""""iters":$iters,"cpus":$cpus,""" +
+      s""""pagerank_sec":${f"$prSec%.2f"},"hits_sec":${f"$hitsSec%.2f"},""" +
+      s""""pagerank_mass":${f"$prMass%.9f"},"hits_mass":${f"$hitsMass%.9f"}}""")
+    spark.stop()
+  }
+}
