@@ -2198,7 +2198,58 @@ object GateQueries {
              |  count(*)::BIGINT AS n_keys
              |FROM act a JOIN coh c ON a.user_id = c.user_id
              |WHERE a.per >= c.cohort_us
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Web ranking composed end-to-end: BM25 text relevance blended with
+    // the PageRank prior over the q67 link DAG (α = 0.8), both
+    // max-normalized from 6dp-rounded inputs. The oracle chains the q09
+    // BM25 CTEs with the q67 PageRank CTEs — the whole composition is
+    // SQL-checked, not just the final arithmetic.
+    Gate("q77_blended_rank",
+      (s, d) => {
+        val hits = engine(s, d).bm25Query(ScoredQ)
+          .select(col("docId"), round(col("score"), 6).as("score"))
+        val docsIds = documents(s, d).select(col("doc_id").as("page"))
+        val links = docsIds.select(col("page").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+          .withColumn("dst", col("src") + col("j"))
+          .join(docsIds.select(col("page").as("dst")), "dst")
+          .select(col("src"), col("dst"))
+        val prior = graft.pipeline.GraphOps.pageRank(docsIds, links, iters = 5)
+          .select(col("page").as("docId"),
+            round(col("rank") * 1000, 6).as("prior"))
+        QueryEngine.blendWithPrior(hits, prior, alpha = 0.8, topK = Some(20))
+          .select(col("docId").as("doc_id"), col("blended"))
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |bm25 AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id),
+           |hits AS (SELECT doc_id, round(raw, 6) AS score FROM bm25),
+           |bmax AS (SELECT max(score) AS m FROM hits),
+           |${pageRankCtes(5)},
+           |pr AS (SELECT page AS doc_id, round(r * 1000, 6) AS prr FROM it5),
+           |pmax AS (SELECT max(prr) AS m FROM pr)
+           |SELECT h.doc_id,
+           |  round(0.8 * h.score / bmax.m
+           |    + (1 - 0.8) * coalesce(p.prr, 0) / pmax.m, 6) AS blended
+           |FROM hits h
+           |CROSS JOIN bmax CROSS JOIN pmax
+           |LEFT JOIN pr p ON p.doc_id = h.doc_id
+           |ORDER BY blended DESC, h.doc_id ASC LIMIT 20""".stripMargin
+      }))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted
@@ -2241,7 +2292,10 @@ object GateQueries {
     * identical IEEE double, contributions divide by ::DOUBLE outdeg, and
     * dangling mass is the rank sum over pages absent from `src`.
     */
-  private def pageRankOracleSql(iters: Int): String = {
+  /** The CTE body (everything after WITH) defining `nodes`, `links`,
+    * `deg`, `nn`, `it0`..`it<iters>` — shared by q67 and the q77 blend.
+    */
+  private def pageRankCtes(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       s"""d$k AS (SELECT coalesce(sum(p.r), 0) AS m FROM it${k - 1} p
          |  WHERE p.page NOT IN (SELECT src FROM links)),
@@ -2253,7 +2307,7 @@ object GateQueries {
          |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$k
          |  LEFT JOIN c$k c ON c.page = nd.page)""".stripMargin
     }.mkString(",\n")
-    s"""WITH nodes AS (SELECT doc_id AS page FROM documents),
+    s"""nodes AS (SELECT doc_id AS page FROM documents),
        |links AS (
        |  SELECT d.doc_id AS src, d.doc_id + j AS dst
        |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS j) js
@@ -2261,10 +2315,13 @@ object GateQueries {
        |deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM links GROUP BY src),
        |nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
        |it0 AS (SELECT page, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private def pageRankOracleSql(iters: Int): String =
+    s"""WITH ${pageRankCtes(iters)}
        |SELECT page AS doc_id, round(r * 1000, 6) AS rank_x1000
        |FROM it$iters ORDER BY doc_id""".stripMargin
-  }
 
   /** Segmented positional sidecar: half the corpus cold-built, the other
     * half committed via [[graft.index.PositionalIndex.refresh]] — one

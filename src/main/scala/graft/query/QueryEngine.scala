@@ -531,4 +531,43 @@ object QueryEngine {
       .orderBy(col("score").desc, col("docId").asc)
     topK.fold(scored)(scored.limit)
   }
+
+  /** Blend text relevance with a query-independent document prior
+    * (web ranking's classic BM25 × PageRank composition):
+    *
+    *   blended(d) = α·score(d)/max_hits(score) + (1−α)·prior(d)/max(prior)
+    *
+    * Both inputs are max-normalized onto [0,1] — score over the HIT set
+    * (the only scores that exist), prior over its whole relation (the
+    * corpus-wide authority scale) — so α weighs comparable quantities.
+    * Hits without a prior (a doc outside the link graph) take prior 0.
+    * Callers round both inputs first (6dp discipline) and the output is
+    * rounded 6dp, so blending reproduces across engines.
+    *
+    * Shape: two scalar maxima ride in as broadcast cross joins; the
+    * prior joins the (already small) hit relation — the full prior
+    * relation is never shuffled by this operator.
+    *
+    * @param hits  (docId, score) — e.g. a BM25 result, score desc
+    * @param prior (docId, prior) — e.g. [[graft.pipeline.GraphOps.pageRank]]
+    */
+  def blendWithPrior(
+      hits: DataFrame,
+      prior: DataFrame,
+      alpha: Double = 0.8,
+      topK: Option[Int] = None): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val bmax = hits.agg(max(col("score")).as("__bm"))
+    val pmax = prior.agg(max(col("prior")).as("__pm"))
+    val blended = hits
+      .join(prior, Seq("docId"), "left")
+      .crossJoin(broadcast(bmax))
+      .crossJoin(broadcast(pmax))
+      .select(col("docId"),
+        round(lit(alpha) * col("score") / col("__bm") +
+          lit(1 - alpha) * coalesce(col("prior"), lit(0.0)) / col("__pm"), 6)
+          .as("blended"))
+      .orderBy(col("blended").desc, col("docId").asc)
+    topK.fold(blended)(blended.limit)
+  }
 }

@@ -347,6 +347,24 @@ class SearcherSpec extends AnyFunSuite {
     assert(QueryEngine.bm25F(docs, "").count() == 0)
   }
 
+  test("blendWithPrior: normalized blend, missing prior is 0, alpha bounds") {
+    val sp = spark
+    import sp.implicits._
+    val hits = Seq((1L, 4.0), (2L, 2.0), (3L, 2.0)).toDF("docId", "score")
+    val prior = Seq((2L, 0.5), (3L, 0.1), (9L, 1.0)).toDF("docId", "prior")
+    val got = QueryEngine.blendWithPrior(hits, prior, alpha = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // norms: score/4, prior/1.0 (max over the WHOLE prior incl. non-hits)
+    assert(got == Map(
+      1L -> 0.8,   // 0.8·1   + 0.2·0  (no prior)
+      2L -> 0.5,   // 0.8·0.5 + 0.2·0.5
+      3L -> 0.42)) // 0.8·0.5 + 0.2·0.1, 6dp-rounded
+    // alpha=1 reduces to pure normalized text relevance
+    val pure = QueryEngine.blendWithPrior(hits, prior, alpha = 1.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pure == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.5))
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
