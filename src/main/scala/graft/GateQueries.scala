@@ -2249,7 +2249,31 @@ object GateQueries {
            |CROSS JOIN bmax CROSS JOIN pmax
            |LEFT JOIN pr p ON p.doc_id = h.doc_id
            |ORDER BY blended DESC, h.doc_id ASC LIMIT 20""".stripMargin
-      }))
+      }),
+
+    // Exact triangle count of the undirected q67 DAG (each interior node
+    // closes 6 triangles with its +1..+4 neighbours).
+    Gate("q78_triangles",
+      (s, d) => {
+        val ids = documents(s, d).select(col("doc_id"))
+        val links = ids.select(col("doc_id").as("src"),
+            explode(array(lit(1L), lit(2L), lit(3L), lit(4L))).as("j"))
+          .withColumn("dst", col("src") + col("j"))
+          .join(ids.select(col("doc_id").as("dst")), "dst")
+          .select(col("src"), col("dst"))
+        graft.pipeline.GraphOps.triangleCount(links)
+      },
+      Some("""WITH links AS (
+             |  SELECT d.doc_id AS src, d.doc_id + j AS dst
+             |  FROM documents d CROSS JOIN (SELECT unnest(range(1, 5)) AS j) js
+             |  WHERE d.doc_id + j IN (SELECT doc_id FROM documents)),
+             |und AS (
+             |  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+             |  FROM links WHERE src <> dst)
+             |SELECT count(*)::BIGINT AS triangles
+             |FROM und e1
+             |JOIN und e2 ON e1.hi = e2.lo
+             |JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""".stripMargin)))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted

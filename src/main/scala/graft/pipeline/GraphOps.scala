@@ -132,4 +132,32 @@ object GraphOps {
     edges.unpersist()
     hub.join(auth, "page")
   }
+
+  /** Exact triangle count of the UNDIRECTED simplification of `links`
+    * (each edge canonicalized to (lo, hi), self-loops dropped): the
+    * classic two-join formulation — wedges (a<b<c from a–b ⋈ b–c)
+    * semi-joined against the closing edge (a, c). Returns one row,
+    * column `triangles`.
+    *
+    * Shape at scale: both joins hash-partition on an edge endpoint;
+    * the wedge relation is the Σ deg² term that dominates — the
+    * canonical a<b<c ordering generates each wedge once (no ×6
+    * overcount, no post-hoc division), which is the standard
+    * skew-taming MapReduce formulation (Suri & Vassilvitskii, WWW'11's
+    * starting point).
+    */
+  def triangleCount(links: DataFrame): DataFrame = {
+    val und = links
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .where(col("lo") =!= col("hi"))
+      .distinct()
+    val wedges = und.as("e1")
+      .join(und.as("e2"), col("e1.hi") === col("e2.lo"))
+      .select(col("e1.lo").as("a"), col("e1.hi").as("b"),
+        col("e2.hi").as("c"))
+    wedges
+      .join(und.select(col("lo").as("a"), col("hi").as("c")), Seq("a", "c"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -46,12 +46,20 @@ object GraphBench {
       GraphOps.hits(nodes, links, iters)
         .agg(sum(col("hub")) + sum(col("auth"))).head().getDouble(0)
     }
+    val (nTri, triSec) = time {
+      GraphOps.triangleCount(links).head().getLong(0).toDouble
+    }
     require(math.abs(prMass - 1.0) < 1e-6, s"pagerank mass $prMass != 1")
     require(math.abs(hitsMass - 2.0) < 1e-6, s"hits mass $hitsMass != 2")
+    // band graph closed form: triples (a, a+x, a+y), 1 ≤ x < y ≤ 4, a ≤
+    // N−1−y → Σ_y (y−1)(N−y) terms = (N−2) + 2(N−3) + 3(N−4) = 6N − 20
+    require(nTri.toLong == 6 * nNodes - 20,
+      s"triangles ${nTri.toLong} != ${6 * nNodes - 20}")
 
     println(s"""{"tool":"GraphBench","n_nodes":$nNodes,"n_edges":$nEdges,""" +
       s""""iters":$iters,"cpus":$cpus,""" +
       s""""pagerank_sec":${f"$prSec%.2f"},"hits_sec":${f"$hitsSec%.2f"},""" +
+      s""""triangles_sec":${f"$triSec%.2f"},"triangles":${nTri.toLong},""" +
       s""""pagerank_mass":${f"$prMass%.9f"},"hits_mass":${f"$hitsMass%.9f"}}""")
     spark.stop()
   }

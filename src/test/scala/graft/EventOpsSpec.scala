@@ -84,6 +84,23 @@ class EventOpsSpec extends AnyFunSuite {
     assert(got("y") == ((1L, 7.0, 7.0)))
   }
 
+  test("percentiles: the approx (t-digest-style) 100TB path tracks the exact one") {
+    val sp = spark
+    import sp.implicits._
+    // skewed values: exact p95 = 950.5·2 interpolated on 0..999 doubled
+    val ev = (0 until 1000).map(i => (i.toLong, "x", i.toLong, i * 2.0))
+      .toDF("event_id", "user", "sec", "value")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val exact = EventOps.groupPercentiles(ev, "value", Seq("user"), Seq(0.95))
+      .head().getDouble(2)
+    val approx = ev.groupBy(col("user"))
+      .agg(percentile_approx(col("value"), lit(0.95), lit(10000)).as("p"))
+      .head().getDouble(1)
+    assert(math.abs(exact - 0.95 * 999 * 2.0) < 1e-9)
+    // approx returns an actual data value within the accuracy envelope
+    assert(math.abs(approx - exact) <= 4.0, s"approx $approx vs exact $exact")
+  }
+
   test("cohortRetention: weekly offsets from first signup, pre-cohort excluded") {
     val sp = spark
     import sp.implicits._

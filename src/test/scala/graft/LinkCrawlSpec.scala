@@ -112,6 +112,22 @@ class LinkCrawlSpec extends AnyFunSuite {
     assert(math.abs(five.map(_.getDouble(2)).sum - 1.0) < 1e-9)
   }
 
+  test("triangleCount: direction/duplicates/self-loops collapse; diagonals count") {
+    val sp = spark
+    import sp.implicits._
+    def tc(es: (String, String)*): Long =
+      graft.pipeline.GraphOps.triangleCount(es.toDF("src", "dst"))
+        .head().getLong(0)
+    assert(tc("A" -> "B", "B" -> "C", "C" -> "A") == 1L)
+    // reversed + duplicate edges and a self-loop change nothing
+    assert(tc("A" -> "B", "B" -> "A", "B" -> "C", "C" -> "A",
+      "A" -> "C", "C" -> "C") == 1L)
+    // square: 0; square + one diagonal: 2
+    val sq = Seq("A" -> "B", "B" -> "C", "C" -> "D", "D" -> "A")
+    assert(tc(sq: _*) == 0L)
+    assert(tc(sq :+ ("A" -> "C"): _*) == 2L)
+  }
+
   test("pageRank: edges outside the vertex set are ignored") {
     val got = pr(Seq("A", "B"), Seq("A" -> "B", "A" -> "ZZZ", "QQ" -> "A"), 1)
     assert(math.abs(got("A") - 0.2875) < 1e-12 &&
