@@ -225,6 +225,10 @@ object EventOps {
     * Point-in-time correctness is the training-data use: joining each
     * example to the newest feature/label snapshot that existed when the
     * example happened, without leaking the future.
+    *
+    * The right relation's non-key columns participate in the tie
+    * ordering, so they must be of orderable types (no map columns) —
+    * project them away before joining if present.
     */
   def asofJoin(
       left: DataFrame,

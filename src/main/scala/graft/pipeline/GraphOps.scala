@@ -107,6 +107,10 @@ object GraphOps {
       .join(nodes.select(col("page").as("dst")), "dst")
       .join(nodes.select(col("page").as("src")), "src")
       .persist()
+    // an edgeless graph has no mutual reinforcement to compute; failing
+    // loudly beats the NULL scores the empty-sum normalization would
+    // silently produce (sum over zero rows is NULL, and x/NULL is NULL)
+    require(edges.limit(1).count() > 0, "hits: the restricted edge set is empty")
     var hub = nodes.select(col("page"), lit(1.0).as("hub")).localCheckpoint()
     var auth = hub.select(col("page"), lit(0.0).as("auth"))
     for (_ <- 1 to iters) {

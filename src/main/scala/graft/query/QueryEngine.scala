@@ -564,8 +564,11 @@ object QueryEngine {
       .crossJoin(broadcast(bmax))
       .crossJoin(broadcast(pmax))
       .select(col("docId"),
+        // an empty prior relation makes __pm NULL; treat it as "no
+        // prior signal anywhere" (prior term 0), not NULL-poisoned rows
         round(lit(alpha) * col("score") / col("__bm") +
-          lit(1 - alpha) * coalesce(col("prior"), lit(0.0)) / col("__pm"), 6)
+          lit(1 - alpha) * coalesce(col("prior"), lit(0.0)) /
+            coalesce(col("__pm"), lit(1.0)), 6)
           .as("blended"))
       .orderBy(col("blended").desc, col("docId").asc)
     topK.fold(blended)(blended.limit)

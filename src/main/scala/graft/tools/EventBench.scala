@@ -67,7 +67,8 @@ object EventBench {
 
     // sanity invariants at scale
     require(nSess >= nUsers, s"fewer sessions ($nSess) than users ($nUsers)")
-    require(nMatched <= n / 5 + 1, "more matches than purchases")
+    require(nMatched <= n / 4, // purchases are ~n/5 hash-derived ± noise
+      "more matches than plausibly-many purchases")
 
     println(s"""{"tool":"EventBench","n_events":$n,"n_users":$nUsers,""" +
       s""""cpus":$cpus,"sessionize_sec":${f"$sessSec%.2f"},""" +

@@ -110,6 +110,12 @@ class LinkCrawlSpec extends AnyFunSuite {
     val five = graft.pipeline.GraphOps.hits(nodes, edges, iters = 5).collect()
     assert(math.abs(five.map(_.getDouble(1)).sum - 1.0) < 1e-9)
     assert(math.abs(five.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // edgeless graph fails loudly, not with NULL scores
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.GraphOps.hits(nodes,
+        Seq.empty[(String, String)].toDF("src", "dst"), iters = 1)
+    }
+    assert(err.getMessage.contains("edge set is empty"))
   }
 
   test("triangleCount: direction/duplicates/self-loops collapse; diagonals count") {

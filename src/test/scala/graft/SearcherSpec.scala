@@ -363,6 +363,11 @@ class SearcherSpec extends AnyFunSuite {
     val pure = QueryEngine.blendWithPrior(hits, prior, alpha = 1.0)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(pure == Map(1L -> 1.0, 2L -> 0.5, 3L -> 0.5))
+    // an EMPTY prior must degrade to α·text (never NULL-poison the rows)
+    val noPrior = QueryEngine.blendWithPrior(hits,
+        prior.where(prior("docId") < 0), alpha = 0.8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(noPrior == Map(1L -> 0.8, 2L -> 0.4, 3L -> 0.4))
   }
 
   test("materialize preserves rank order (reference searcher.go:26-29)") {
