@@ -2273,7 +2273,71 @@ object GateQueries {
              |SELECT count(*)::BIGINT AS triangles
              |FROM und e1
              |JOIN und e2 ON e1.hi = e2.lo
-             |JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""".stripMargin)))
+             |JOIN und e3 ON e3.lo = e1.lo AND e3.hi = e2.hi""".stripMargin)),
+
+    // HYBRID search: BM25 lexical top-50 fused with embedding-cosine
+    // top-50 (query = doc 0's vector) by reciprocal-rank fusion. Both
+    // rankings order by 6dp-ROUNDED scores (docId ties) so ranks — and
+    // therefore the fusion — reproduce across engines; vec_id ≡ doc_id
+    // in the test corpus.
+    Gate("q79_hybrid_rrf",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc, col("docId").asc)
+        val textRank = engine(s, d).bm25Query(ScoredQ)
+          .select(col("docId"), round(col("score"), 6).as("s"))
+          .withColumn("rank", row_number().over(w))
+          .where(col("rank") <= 50).select(col("docId"), col("rank"))
+        val e = embeddings(s, d)
+        val vecRank = Similarity.bruteForceTopK(
+            e.where(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id"),
+            e, k = 50)
+          .select(col("vec_id").as("docId"), col("rank"))
+        QueryEngine.rrfFuse(Seq(textRank, vecRank), kRrf = 60, topK = Some(20))
+          .select(col("docId").as("doc_id"), col("rrf"))
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |bm25 AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id),
+           |trank AS (
+           |  SELECT doc_id, row_number() OVER
+           |    (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank
+           |  FROM bm25),
+           |e AS (
+           |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+           |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |cos AS (
+           |  SELECT e.vec_id AS doc_id,
+           |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+           |      (sqrt(list_sum([x * x for x in qv])) *
+           |       sqrt(list_sum([x * x for x in v]))), 6) AS sim
+           |  FROM e CROSS JOIN qv),
+           |vrank AS (
+           |  SELECT doc_id, row_number() OVER
+           |    (ORDER BY sim DESC, doc_id ASC) AS rank
+           |  FROM cos),
+           |unioned AS (
+           |  SELECT doc_id, rank FROM trank WHERE rank <= 50
+           |  UNION ALL SELECT doc_id, rank FROM vrank WHERE rank <= 50),
+           |fused AS (
+           |  SELECT doc_id, round(sum(1.0::DOUBLE / (60 + rank)), 6) AS rrf
+           |  FROM unioned GROUP BY doc_id)
+           |SELECT doc_id, rrf FROM fused
+           |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+      }))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted

@@ -532,6 +532,32 @@ object QueryEngine {
     topK.fold(scored)(scored.limit)
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09) of N
+    * ranked lists — the standard score-free combiner for HYBRID search
+    * (lexical BM25 ranks ⊕ embedding-ANN ranks):
+    *
+    *   rrf(d) = Σ_lists 1 / (k + rank_list(d)),  absent ⇒ contributes 0
+    *
+    * Rank-based fusion needs no score calibration between retrieval
+    * families, which is exactly why it wins for BM25 × cosine. Inputs
+    * are (docId, rank) relations — produced by the already-distributed
+    * rankers (bm25TopK, bruteForceTopK, lshTopK...); fusion itself is a
+    * union + ONE map-combined aggregation over lists' top-k rows only.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      kRrf: Int = 60,
+      topK: Option[Int] = None): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf > 0, s"kRrf must be positive, got $kRrf")
+    val tagged = rankings.map(_.select(col("docId"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = tagged.groupBy(col("docId"))
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("docId").asc)
+    topK.fold(fused)(fused.limit)
+  }
+
   /** Blend text relevance with a query-independent document prior
     * (web ranking's classic BM25 × PageRank composition):
     *

@@ -370,6 +370,23 @@ class SearcherSpec extends AnyFunSuite {
     assert(noPrior == Map(1L -> 0.8, 2L -> 0.4, 3L -> 0.4))
   }
 
+  test("rrfFuse: presence in both lists wins; absences contribute zero") {
+    val sp = spark
+    import sp.implicits._
+    val a = Seq((1L, 1), (2L, 2)).toDF("docId", "rank")
+    val b = Seq((2L, 1), (3L, 2)).toDF("docId", "rank")
+    val got = QueryEngine.rrfFuse(Seq(a, b), kRrf = 60)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // doc2: 1/62 + 1/61 beats doc1 (1/61 only) beats doc3 (1/62 only)
+    assert(got.map(_._1).toSeq == Seq(2L, 1L, 3L))
+    assert(got.toMap.apply(1L) ==
+      BigDecimal(1.0 / 61).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.toMap.apply(2L) > got.toMap.apply(1L))
+    // single-list fusion is a monotone transform: order preserved
+    val single = QueryEngine.rrfFuse(Seq(a)).collect().map(_.getLong(0)).toSeq
+    assert(single == Seq(1L, 2L))
+  }
+
   test("materialize preserves rank order (reference searcher.go:26-29)") {
     val docs = CorpusSource.readDocsCsv(
       spark, SparkSessionFixture.resourcePath("example.csv"))
