@@ -2337,7 +2337,253 @@ object GateQueries {
            |  FROM unioned GROUP BY doc_id)
            |SELECT doc_id, rrf FROM fused
            |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
-      }))
+      }),
+
+    // Pseudo-relevance feedback (RM3-lite): the top-10 BM25 feedback
+    // docs elect 5 expansion terms by summed-tf × idf (6dp weights,
+    // term-asc ties, original tokens excluded), then BM25 rescoring with
+    // original tokens at weight 1 + expansion at β = 0.5. The oracle
+    // chains the q09 arithmetic TWICE around the expansion pick, so the
+    // whole feedback loop is SQL-checked end-to-end.
+    Gate("q80_prf_expansion",
+      (s, d) => engine(s, d).prfQuery(ScoredQ, f = 10, e = 5, beta = 0.5)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        val notIn = Analyzer.tokenize(ScoredQ).distinct
+          .map(t => s"'$t'").mkString(", ")
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |bm1 AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id),
+           |fb AS (SELECT doc_id FROM (
+           |  SELECT doc_id, row_number() OVER
+           |    (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rn FROM bm1)
+           |  WHERE rn <= 10),
+           |exp0 AS (
+           |  SELECT p.term, sum(p.tf)::DOUBLE AS stf
+           |  FROM postings p JOIN fb USING (doc_id)
+           |  WHERE p.term NOT IN ($notIn)
+           |  GROUP BY p.term),
+           |expw AS (
+           |  SELECT e.term, round(e.stf * log10(vocab.n / t.df::DOUBLE), 6) AS w
+           |  FROM exp0 e JOIN tstats t USING (term) CROSS JOIN vocab),
+           |exps AS (SELECT term FROM (
+           |  SELECT term, row_number() OVER (ORDER BY w DESC, term ASC) AS rn
+           |  FROM expw) WHERE rn <= 5),
+           |q2 AS (SELECT term, qcnt::DOUBLE AS qcnt FROM q
+           |  UNION ALL SELECT term, 0.5 FROM exps),
+           |bm2 AS (
+           |  SELECT p.doc_id,
+           |    sum(q2.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q2 ON p.term = q2.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, round(raw, 6) AS score FROM bm2
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // SemDeDup: cluster-blocked exact-cosine near-dup pairs — assignment
+    // to the SAME iters=0 deterministic quantizer as q27b (nearest of
+    // the 8 smallest-id vectors by 6dp cosine, ties → lowest cluster),
+    // then the within-cluster self-join at eps = 0.4.
+    Gate("q81_semantic_dedup",
+      (s, d) => Similarity.semanticDedupPairs(
+          embeddings(s, d), dim = 64, k = 8, eps = 0.4)
+        .orderBy(col("id_a"), col("id_b")),
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS w
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |asim AS (
+             |  SELECT e.vec_id, e.v, c.cluster,
+             |    round(list_sum([e.v[i] * c.w[i] for i in range(1, len(e.v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in e.v])) *
+             |       sqrt(list_sum([x * x for x in c.w]))), 6) AS s
+             |  FROM e CROSS JOIN cent c),
+             |assigned AS (
+             |  SELECT vec_id, v, cluster FROM (
+             |    SELECT vec_id, v, cluster,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
+             |    FROM asim) WHERE rn = 1),
+             |pairs AS (
+             |  SELECT a.cluster::BIGINT AS cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+             |    round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in a.v])) *
+             |       sqrt(list_sum([x * x for x in b.v]))), 6) AS sim
+             |  FROM assigned a JOIN assigned b
+             |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id)
+             |SELECT cluster, id_a, id_b, sim FROM pairs
+             |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin)),
+
+    // DSIR importance weights: target = src0/src1 documents; per-doc
+    // Σ ln-ratio of add-one-smoothed 256-bucket hashed-token
+    // distributions (target vs raw). The oracle rebuilds both
+    // distributions from the q40 md5-bucket arithmetic applied to TERMS.
+    Gate("q82_importance_weights",
+      (s, d) => TextPipeline.importanceWeights(
+          documents(s, d),
+          documents(s, d).where(col("source").isin("src0", "src1")))
+        .select(col("id").as("doc_id"), col("n_tokens"), col("logratio"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $ToksCte,
+              |bk AS (
+              |  SELECT doc_id,
+              |    (CASE WHEN ascii(substring(md5(term), 1, 1)) >= 97
+              |          THEN ascii(substring(md5(term), 1, 1)) - 87
+              |          ELSE ascii(substring(md5(term), 1, 1)) - 48 END) * 16 +
+              |    (CASE WHEN ascii(substring(md5(term), 2, 1)) >= 97
+              |          THEN ascii(substring(md5(term), 2, 1)) - 87
+              |          ELSE ascii(substring(md5(term), 2, 1)) - 48 END) AS b
+              |  FROM toks),
+              |tgtids AS (
+              |  SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+              |tc AS (SELECT b, count(*)::DOUBLE AS c
+              |       FROM bk JOIN tgtids USING (doc_id) GROUP BY b),
+              |rc AS (SELECT b, count(*)::DOUBLE AS c FROM bk GROUP BY b),
+              |tt AS (SELECT sum(c) + 256 AS t FROM tc),
+              |rt AS (SELECT sum(c) + 256 AS t FROM rc),
+              |lr AS (
+              |  SELECT r.b,
+              |    ln((coalesce(t.c, 0) + 1) / tt.t) - ln((r.c + 1) / rt.t) AS lr
+              |  FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tt CROSS JOIN rt),
+              |per AS (
+              |  SELECT bk.doc_id, count(*)::BIGINT AS n_tokens, sum(lr.lr) AS s
+              |  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id)
+              |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+              |  round(coalesce(p.s, 0), 6) AS logratio
+              |FROM documents d LEFT JOIN per p USING (doc_id)
+              |ORDER BY d.doc_id""".stripMargin)),
+
+    // Ranking-quality evaluation: MRR / P@10 / nDCG@10 of three BM25
+    // rankings against derived graded qrels (rel = distinct query terms
+    // present in the doc). Rankings order by 6dp-rounded scores (docId
+    // ties) so ranks reproduce; the discount is written ln(2)/ln(rank+1)
+    // on BOTH sides (≡ log2) so no engine's log2 is trusted.
+    Gate("q83_rank_eval",
+      (s, d) => {
+        val eng = engine(s, d)
+        val qs = Seq(TermsQ, ScoredQ, FuzzyQ)
+        val scored = qs.map(q => eng.bm25Query(q).select(
+            lit(q).as("query"), col("docId"),
+            round(col("score"), 6).as("__s")))
+          .reduce(_ unionByName _)
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query"))
+          .orderBy(col("__s").desc, col("docId").asc)
+        val ranked = scored.withColumn("rank", row_number().over(wq))
+          .where(col("rank") <= 20)
+          .select(col("query"), col("docId"), col("rank"))
+        val qrels = qs.map { q =>
+          val ts = Analyzer.tokenize(q).distinct
+          bundle(s, d).postings.where(col("term").isin(ts: _*))
+            .groupBy(col("docId"))
+            .agg(countDistinct(col("term")).as("rel"))
+            .select(lit(q).as("query"), col("docId"), col("rel"))
+        }.reduce(_ unionByName _)
+        graft.pipeline.EvalOps.rankEval(ranked, qrels, k = 10)
+          .orderBy(col("query"))
+      },
+      Some {
+        val qs = Seq(TermsQ, ScoredQ, FuzzyQ)
+        val perQ = qs.zipWithIndex.map { case (q, i) =>
+          val vals = valuesOf(withMult(Analyzer.tokenize(q)))
+          val in = Analyzer.tokenize(q).distinct
+            .map(t => s"'$t'").mkString(", ")
+          val esc = q.replace("'", "''")
+          s"""bm$i AS (
+             |  SELECT p.doc_id,
+             |    sum(qq.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+             |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+             |  FROM postings p
+             |  JOIN (SELECT * FROM (VALUES $vals) v(term, qcnt)) qq ON p.term = qq.term
+             |  JOIN tstats t ON p.term = t.term
+             |  JOIN dl d ON p.doc_id = d.doc_id
+             |  CROSS JOIN vocab CROSS JOIN avg_dl
+             |  GROUP BY p.doc_id),
+             |rk$i AS (SELECT '$esc' AS query, doc_id, row_number() OVER
+             |  (ORDER BY round(raw, 6) DESC, doc_id ASC) AS rank FROM bm$i),
+             |rel$i AS (SELECT '$esc' AS query, doc_id,
+             |  count(DISTINCT term)::BIGINT AS rel
+             |  FROM postings WHERE term IN ($in) GROUP BY doc_id)""".stripMargin
+        }.mkString(",\n")
+        val rankedUnion = qs.indices
+          .map(i => s"SELECT * FROM rk$i WHERE rank <= 20")
+          .mkString(" UNION ALL ")
+        val qrelsUnion = qs.indices
+          .map(i => s"SELECT * FROM rel$i").mkString(" UNION ALL ")
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |$perQ,
+           |ranked AS ($rankedUnion),
+           |qrels AS ($qrelsUnion),
+           |hits AS (
+           |  SELECT r.query, r.doc_id, r.rank, coalesce(l.rel, 0) AS rel
+           |  FROM ranked r LEFT JOIN qrels l
+           |    ON r.query = l.query AND r.doc_id = l.doc_id
+           |  WHERE r.rank <= 10),
+           |per AS (
+           |  SELECT query, min(CASE WHEN rel > 0 THEN rank END) AS fr,
+           |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS nrel,
+           |    sum((pow(2, rel) - 1) * ln(2) / ln(rank + 1)) AS dcg
+           |  FROM hits GROUP BY query),
+           |ideal AS (
+           |  SELECT query, sum((pow(2, rel) - 1) * ln(2) / ln(i + 1)) AS idcg
+           |  FROM (
+           |    SELECT query, rel, row_number() OVER
+           |      (PARTITION BY query ORDER BY rel DESC, doc_id ASC) AS i
+           |    FROM qrels WHERE rel > 0)
+           |  WHERE i <= 10 GROUP BY query),
+           |qlist AS (SELECT DISTINCT query FROM ranked)
+           |SELECT q.query,
+           |  round(coalesce(1.0 / p.fr, 0), 6) AS mrr,
+           |  round(coalesce(p.nrel, 0)::DOUBLE / 10, 6) AS p_at_k,
+           |  round(CASE WHEN coalesce(i.idcg, 0) > 0
+           |    THEN coalesce(p.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg
+           |FROM qlist q
+           |LEFT JOIN per p USING (query)
+           |LEFT JOIN ideal i USING (query)
+           |ORDER BY q.query""".stripMargin
+      }),
+
+    // Per-document top-3 tf·idf keywords (document tagging): one
+    // docId-partitioned window over the postings relation, 6dp weights,
+    // term-asc ties — the batch generalization of q61's seed-term pick.
+    Gate("q84_keywords",
+      (s, d) => engine(s, d).keywordsPerDoc(3)
+        .select(col("docId").as("doc_id"), col("term"), col("weight"),
+          col("rn").cast("long").as("rn"))
+        .orderBy(col("doc_id"), col("rn")),
+      Some(s"""WITH $ToksCte, $PostingsCte, $TstatsCte,
+              |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+              |kw AS (
+              |  SELECT p.doc_id, p.term,
+              |    round(p.tf::DOUBLE * log10(vocab.n / t.df::DOUBLE), 6) AS weight
+              |  FROM postings p JOIN tstats t USING (term) CROSS JOIN vocab),
+              |rk AS (SELECT doc_id, term, weight,
+              |  row_number() OVER
+              |    (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rn
+              |  FROM kw)
+              |SELECT doc_id, term, weight, rn::BIGINT AS rn FROM rk
+              |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted

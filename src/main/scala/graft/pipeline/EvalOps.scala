@@ -1,0 +1,71 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Offline ranking-quality evaluation — the measurement half of a search
+  * engine (TREC-style batch evaluation of a ranker against graded
+  * relevance judgments). Pure dataflow over two relations:
+  *
+  *   - `ranked`: (query, docId, rank) — a ranker's output, rank 1-based
+  *     per query (e.g. [[graft.query.QueryEngine.bm25QueryBatch]] or a
+  *     6dp-rounded row_number ranking);
+  *   - `qrels`:  (query, docId, rel) — graded relevance, rel ≥ 0
+  *     integers; (query, docId) pairs absent from qrels are rel 0.
+  *
+  * Metrics are the standard set (Järvelin & Kekäläinen TOIS'02 for
+  * nDCG): MRR, precision@k, and nDCG@k with the (2^rel − 1) gain and
+  * log2(rank + 1) discount. The discount is written as
+  * ln(2)/ln(rank + 1) — algebraically identical — so engines that
+  * implement log2 differently still agree ULP-for-ULP with the oracle's
+  * ln formulation.
+  */
+object EvalOps {
+
+  /** Per-query MRR, P@k, and nDCG@k of `ranked` against `qrels`.
+    *
+    * Shape at scale: one broadcast-or-shuffle join of the top-k ranked
+    * rows (bounded: ≤ k rows per query) against qrels on (query, docId),
+    * one map-combined per-query aggregation, and one qrels-side window
+    * partitioned by query for the ideal DCG — no corpus-sized relation
+    * is ever widened. Queries with no relevant documents score
+    * mrr = p_at_k = ndcg = 0 rather than NULL.
+    *
+    * Output: (query, mrr, p_at_k, ndcg), one row per distinct query in
+    * `ranked`, all metrics 6dp-rounded.
+    */
+  def rankEval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ln2 = log(lit(2.0))
+    val hits = ranked.where(col("rank") <= k)
+      .join(qrels, Seq("query", "docId"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)).cast("long"))
+    val gain = (pow(lit(2.0), col("rel").cast("double")) - 1.0) * ln2 /
+      log(col("rank").cast("double") + 1.0)
+    val per = hits.groupBy(col("query")).agg(
+      min(when(col("rel") > 0, col("rank"))).as("__fr"),
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__nrel"),
+      sum(gain).as("__dcg"))
+    val wIdeal = Window.partitionBy(col("query"))
+      .orderBy(col("rel").desc, col("docId").asc)
+    val idealGain = (pow(lit(2.0), col("rel").cast("double")) - 1.0) * ln2 /
+      log(col("__i").cast("double") + 1.0)
+    val ideal = qrels.where(col("rel") > 0)
+      .withColumn("__i", row_number().over(wIdeal))
+      .where(col("__i") <= k)
+      .groupBy(col("query"))
+      .agg(sum(idealGain).as("__idcg"))
+    ranked.select(col("query")).distinct()
+      .join(per, Seq("query"), "left")
+      .join(ideal, Seq("query"), "left")
+      .select(col("query"),
+        round(when(col("__fr").isNotNull,
+          lit(1.0) / col("__fr").cast("double")).otherwise(0.0), 6).as("mrr"),
+        round(coalesce(col("__nrel"), lit(0L)).cast("double") / k, 6)
+          .as("p_at_k"),
+        round(when(coalesce(col("__idcg"), lit(0.0)) > 0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
+          .otherwise(0.0), 6).as("ndcg"))
+  }
+}

@@ -802,4 +802,42 @@ object Similarity {
         round(cosine(col("__va"), col("__vb")), 6).as("sim"))
       .where(col("sim") >= minSim)
   }
+
+  /** SemDeDup (Abbas et al., 2023): semantic near-duplicate pairs via
+    * CLUSTER-BLOCKED exact cosine — embeddings are assigned to their
+    * nearest of `k` centroids (here the same deterministic quantizer as
+    * [[ivfBuild]]: iters = 0 ⇒ the k smallest-id vectors verbatim, the
+    * oracle-reconstructable configuration; iters > 0 Lloyd-refines) and
+    * pairwise similarity is computed WITHIN clusters only. That turns
+    * the O(n²) all-pairs comparison into k independent O((n/k)²) blocks
+    * behind ONE shuffle on cluster id — k is the scale knob (SemDeDup
+    * used ~10⁴–10⁵ clusters at LAION scale; per-cluster work shrinks
+    * quadratically in k). Complementary to [[cosineNearDupPairs]]: LSH
+    * blocking bounds misses probabilistically per pair, cluster blocking
+    * is the published SemDeDup recipe and reuses a quantizer the ANN
+    * index already maintains. The within-cluster join necessarily
+    * carries each vector once per side — that IS the blocked compare —
+    * but never ×nTables, and never across clusters.
+    *
+    * Output: (cluster, id_a, id_b, sim) with id_a < id_b and
+    * 6dp-rounded sim ≥ `eps`, one row per unordered within-cluster pair.
+    */
+  def semanticDedupPairs(
+      corpus: DataFrame, dim: Int, k: Int, eps: Double, iters: Int = 0,
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val centroids = ivfCentroids(corpus, dim, k, iters, corpusIdCol, vecCol)
+    val assigned = ivfAssign(corpus, centroids, corpusIdCol, vecCol)
+      .select(col("cluster").cast("long").as("cluster"),
+        col("vec_id").as("id"), col("embedding").as("__v"))
+    val l = assigned.select(col("cluster"),
+      col("id").as("id_a"), col("__v").as("__va"))
+    val r = assigned.select(col("cluster"),
+      col("id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, "cluster")
+      .where(col("id_a") < col("id_b"))
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(cosine(col("__va"), col("__vb")), 6).as("sim"))
+      .where(col("sim") >= eps)
+  }
 }

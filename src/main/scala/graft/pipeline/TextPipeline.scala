@@ -600,6 +600,63 @@ object TextPipeline {
   }
 
   // ---------------------------------------------------------------------
+  // Hashed-n-gram importance weights (data selection)
+  // ---------------------------------------------------------------------
+
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each raw document by how much more likely its token stream is under
+    * a TARGET corpus's hashed-token distribution than under the raw
+    * corpus's own —
+    *
+    *   logratio(d) = Σ_tokens [ ln p̂_target(bucket(t)) − ln p̂_raw(bucket(t)) ]
+    *
+    * with add-one-smoothed bucket probabilities over the 256 md5 buckets
+    * of [[hashBucket256]] (DSIR's hashed n-gram features at n = 1; the
+    * md5 bucket keeps the feature map reproducible in any engine).
+    * Positive ⇒ target-like; downstream selection keeps the top mass (or
+    * Gumbel-resamples — the deterministic rank is what this operator
+    * pins). Shape at scale: the two distributions are map-combined
+    * counts collapsing to ≤256 rows each (collected — bounded by the
+    * FEATURE space, not the data); the per-doc pass is one tokenize +
+    * a broadcast join of the 256-row log-ratio table + one map-combined
+    * per-doc aggregation. Token-free documents score 0.
+    *
+    * Output: (id, n_tokens, logratio), logratio 6dp-rounded.
+    */
+  def importanceWeights(raw: DataFrame, target: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = raw.sparkSession
+    import sp.implicits._
+    def bucketCounts(docs: DataFrame): Map[Int, Long] = docs
+      .select(explode(Analyzer.tokensCol(col(textCol))).as("term"))
+      .groupBy(hashBucket256(col("term")).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tgt = bucketCounts(target)
+    val rw = bucketCounts(raw)
+    val tTot = tgt.values.sum.toDouble + 256.0
+    val rTot = rw.values.sum.toDouble + 256.0
+    val lr = (0 until 256).map { b =>
+      (b,
+        math.log((tgt.getOrElse(b, 0L) + 1.0) / tTot) -
+          math.log((rw.getOrElse(b, 0L) + 1.0) / rTot))
+    }.toDF("b", "__lr")
+    val perDoc = raw
+      .select(col(idCol).cast("long").as("id"),
+        explode(Analyzer.tokensCol(col(textCol))).as("term"))
+      .withColumn("b", hashBucket256(col("term")))
+      .join(broadcast(lr), "b")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sum"))
+    raw.select(col(idCol).cast("long").as("id"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("__sum"), lit(0.0)), 6).as("logratio"))
+  }
+
+  // ---------------------------------------------------------------------
   // Per-group caps (domain balancing)
   // ---------------------------------------------------------------------
 

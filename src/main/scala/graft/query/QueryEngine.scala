@@ -355,6 +355,106 @@ final class QueryEngine(
     }
   }
 
+  /** BM25 with explicit fractional per-term weights — the scoring
+    * primitive behind pseudo-relevance feedback: identical arithmetic to
+    * [[bm25Query]] with caller-supplied weights in place of the integer
+    * query-token multiplicities (bm25Query ≡ this with each token's
+    * occurrence count as its weight). Terms absent from the vocabulary
+    * contribute nothing (inner join); an empty weight list scores empty.
+    */
+  def bm25WeightedQuery(termWeights: Seq[(String, Double)],
+      topK: Option[Int] = None): DataFrame = {
+    if (termWeights.isEmpty) scoredEmpty
+    else {
+      val sp = spark
+      import sp.implicits._
+      val idf = index.idfCol(col("df"))
+      val tf = col("tf").cast("double")
+      val dl = col("len").cast("double")
+      val partial = idf * (k1 + 1) * tf /
+        (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(index.stats.avgdl)) + tf)
+      val scored = postings
+        .join(broadcast(termWeights.toDF("term", "qcnt")), "term")
+        .join(index.termStats, "term")
+        .join(index.docLens, "docId")
+        .groupBy(col("docId"))
+        .agg(sum(col("qcnt") * partial).as("score"))
+        .orderBy(col("score").desc, col("docId").asc)
+      topK.fold(scored)(scored.limit)
+    }
+  }
+
+  /** Pseudo-relevance-feedback expansion terms (the RM3-style first
+    * half): the top-`e` terms by summed-tf × idf over the top-`f` BM25
+    * feedback documents, with the original query tokens excluded.
+    * Feedback-doc and expansion-term cutoffs both rank over 6dp-ROUNDED
+    * values with deterministic tie-breaks (docId asc / term asc), so the
+    * selection reproduces across engines — the same discipline as
+    * [[moreLikeThis]]'s seed-term pick. The e-term collect is bounded by
+    * `e` (a model knob); both ranking passes are distributed.
+    */
+  def prfExpandTerms(query: String, f: Int = 10, e: Int = 5): Seq[String] = {
+    require(f >= 1 && e >= 1, s"f and e must be >= 1, got f=$f e=$e")
+    val qToks = Analyzer.tokenize(query)
+    if (qToks.isEmpty) return Seq.empty
+    val fb = bm25Query(query)
+      .select(col("docId"), round(col("score"), 6).as("__s"))
+      .orderBy(col("__s").desc, col("docId").asc)
+      .limit(f)
+      .select(col("docId"))
+    postings
+      .join(broadcast(fb), "docId")
+      .where(!col("term").isin(qToks.distinct: _*))
+      .groupBy(col("term"))
+      .agg(sum(col("tf").cast("double")).as("__stf"))
+      .join(index.termStats, "term")
+      .select(col("term"),
+        round(col("__stf") * index.idfCol(col("df")), 6).as("__w"))
+      .orderBy(col("__w").desc, col("term").asc)
+      .limit(e)
+      .collect().map(_.getString(0)).toSeq
+  }
+
+  /** Pseudo-relevance-feedback BM25 (RM3-lite; Abdul-Jaleel et al.,
+    * TREC'04 describe the full RM3): score with the original tokens at
+    * their occurrence counts PLUS the [[prfExpandTerms]] expansion terms
+    * at weight `beta` — the classic recall-lifting second pass when the
+    * vocabulary of relevant documents differs from the query's. beta = 0
+    * degenerates to plain BM25 over the widened candidate set (expansion
+    * terms contribute zero score).
+    */
+  def prfQuery(query: String, f: Int = 10, e: Int = 5, beta: Double = 0.5,
+      topK: Option[Int] = None): DataFrame = {
+    require(beta >= 0, s"beta must be >= 0, got $beta")
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty) return scoredEmpty
+    val base = toks.groupBy(identity).view.mapValues(_.size.toDouble).toSeq
+    val exp = prfExpandTerms(query, f, e).map(_ -> beta)
+    bm25WeightedQuery(base ++ exp, topK)
+  }
+
+  /** Per-document top-`m` tf·idf keywords over the WHOLE corpus — the
+    * batch generalization of [[moreLikeThis]]'s seed-term derivation
+    * (document tagging / index-time keyword extraction). One window over
+    * the postings relation, partitioned by docId so no skew hazard;
+    * weights 6dp-rounded before ranking (ties term asc) for
+    * cross-engine-reproducible cutoffs. Output:
+    * (docId, term, weight, rn), rn 1..m per doc.
+    */
+  def keywordsPerDoc(m: Int = 5): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("docId"))
+      .orderBy(col("weight").desc, col("term").asc)
+    postings
+      .join(index.termStats, "term")
+      .select(col("docId"), col("term"),
+        round(col("tf").cast("double") * index.idfCol(col("df")), 6)
+          .as("weight"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= m)
+  }
+
   /** "Did you mean": deterministic per-token spelling suggestion over the
     * index vocabulary — each token's best close term by (edit distance
     * asc, df desc, term asc) within its length-scaled edit budget

@@ -1,0 +1,61 @@
+package graft
+
+import graft.pipeline.EvalOps
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ranking-evaluation metrics against hand-computed values (the gate
+  * checks engine-vs-oracle; this pins the arithmetic itself).
+  */
+class EvalOpsSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("rankEval: hand-computed MRR / P@k / nDCG with graded gains") {
+    val ranked = Seq(
+      ("q", 10L, 1), ("q", 12L, 2), ("q", 11L, 3), ("q", 20L, 4))
+      .toDF("query", "docId", "rank")
+    val qrels = Seq(
+      ("q", 10L, 2L), ("q", 11L, 1L), ("q", 13L, 1L))
+      .toDF("query", "docId", "rel")
+    val got = EvalOps.rankEval(ranked, qrels, k = 3).collect().head
+    assert(got.getAs[String]("query") == "q")
+    assert(got.getAs[Double]("mrr") == 1.0) // rank-1 doc is relevant
+    assert(got.getAs[Double]("p_at_k") == round6(2.0 / 3)) // 2 of top-3
+    // dcg  = (2^2-1)/log2(2) + 0 + (2^1-1)/log2(4) = 3 + 0.5
+    // idcg = rels (2,1,1): 3/log2(2) + 1/log2(3) + 1/log2(4)
+    val dcg = 3.0 + math.log(2) / math.log(4)
+    val idcg = 3.0 + math.log(2) / math.log(3) + math.log(2) / math.log(4)
+    assert(got.getAs[Double]("ndcg") == round6(dcg / idcg))
+  }
+
+  test("rankEval: perfect ranking scores 1.0 across the board") {
+    val ranked = Seq(("q", 1L, 1), ("q", 2L, 2)).toDF("query", "docId", "rank")
+    val qrels = Seq(("q", 1L, 3L), ("q", 2L, 1L)).toDF("query", "docId", "rel")
+    val got = EvalOps.rankEval(ranked, qrels, k = 10).collect().head
+    assert(got.getAs[Double]("mrr") == 1.0)
+    assert(got.getAs[Double]("ndcg") == 1.0)
+    assert(got.getAs[Double]("p_at_k") == round6(2.0 / 10))
+  }
+
+  test("rankEval: no relevant docs -> zeros, not NULLs; per-query isolation") {
+    val ranked = Seq(
+      ("good", 1L, 1), ("bad", 9L, 1), ("bad", 8L, 2))
+      .toDF("query", "docId", "rank")
+    val qrels = Seq(("good", 1L, 1L)).toDF("query", "docId", "rel")
+    val got = EvalOps.rankEval(ranked, qrels, k = 5).collect()
+      .map(r => r.getAs[String]("query") ->
+        (r.getAs[Double]("mrr"), r.getAs[Double]("p_at_k"),
+          r.getAs[Double]("ndcg"))).toMap
+    assert(got("good") == ((1.0, 0.2, 1.0)))
+    assert(got("bad") == ((0.0, 0.0, 0.0)))
+    // relevance beyond rank k does not rescue MRR
+    val deep = EvalOps.rankEval(
+      Seq(("q", 7L, 6)).toDF("query", "docId", "rank"),
+      Seq(("q", 7L, 1L)).toDF("query", "docId", "rel"), k = 5).collect()
+    assert(deep.isEmpty || deep.head.getAs[Double]("mrr") == 0.0)
+  }
+}

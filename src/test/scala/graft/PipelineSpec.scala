@@ -489,6 +489,77 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded.subsetOf(brute)) // exact verify: no false positives
   }
 
+  test("semanticDedupPairs: k=1 == all-pairs; cluster blocking keeps planted dups together") {
+    // iters=0, k=3 centroids are the 3 smallest-id vectors verbatim, so
+    // vectors 0/1/2 are the three cluster axes; 3 and 4 are planted
+    // near-dups of vector 0; 5 is far from everything; 6 sits BETWEEN
+    // axes 0 and 1 (slightly nearer axis 1) — the blocked compare's
+    // documented miss mode.
+    val sdVecs = Seq(
+      (0L, vec(1, 0, 0, 0)),
+      (1L, vec(0, 1, 0, 0)),
+      (2L, vec(0, 0, 1, 0)),
+      (3L, vec(0.999, 0.01, 0, 0)),
+      (4L, vec(0.998, 0.02, 0, 0)),
+      (5L, vec(-1, 0, 0, 0)),
+      (6L, vec(0.70, 0.72, 0, 0))
+    ).toDF("vec_id", "embedding")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val dups = Set((0L, 3L), (0L, 4L), (3L, 4L))
+    // k = 1: every vector lands in the single cluster → the blocked
+    // compare degenerates to exact all-pairs at eps
+    val allPairs = pairsOf(
+      Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 1, eps = 0.9))
+    assert(allPairs == dups)
+    // k = 3: the planted near-dups all assign to centroid 0, so cluster
+    // blocking finds exactly the same pairs behind k² less work
+    val blocked = Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 3, eps = 0.9)
+    assert(pairsOf(blocked) == dups)
+    // blocked pairs are always a subset of the k=1 exact pair set; the
+    // cross-cluster pair (0, 6) (cos ≈ 0.697) is exactly the kind the
+    // blocked pass trades away — present exact, absent blocked
+    val loose = pairsOf(
+      Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 3, eps = 0.5))
+    val exactLoose = pairsOf(
+      Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 1, eps = 0.5))
+    assert(loose.subsetOf(exactLoose))
+    assert(exactLoose.contains((0L, 6L)) && !loose.contains((0L, 6L)))
+    // cluster column rides along for downstream per-cluster keeps
+    assert(blocked.columns.toSeq ==
+      Seq("cluster", "id_a", "id_b", "sim"))
+  }
+
+  test("importanceWeights: target-like docs score positive, raw-typical negative, empty 0") {
+    // raw corpus: mostly "common" tokens; target: the "python code" slice
+    val raw = Seq(
+      (1L, "python code python code compiler"),
+      (2L, "weather rain sunshine cloud wind"),
+      (3L, "weather wind rain rain cloud"),
+      (4L, "python compiler parser"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val target = raw.where(col("doc_id").isin(1L, 4L))
+    val w = TextPipeline.importanceWeights(raw, target)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("logratio"))).toMap
+    assert(w.size == 5)
+    // DSIR selection is by RANK, and only the ordering is scale-free: at
+    // toy corpus sizes the 256-bucket add-one smoothing mass dominates
+    // and every doc's absolute logratio goes negative, but target-member
+    // docs must still outscore every raw-background doc
+    assert(w(1L)._2 > w(2L)._2 && w(1L)._2 > w(3L)._2)
+    assert(w(4L)._2 > w(2L)._2 && w(4L)._2 > w(3L)._2)
+    val top2 = w.toSeq.filter(_._1 != 5L).sortBy(-_._2._2).take(2).map(_._1).toSet
+    assert(top2 == Set(1L, 4L))
+    // token-free doc: 0 tokens, weight exactly 0
+    assert(w(5L) == (0L, 0.0))
+    // determinism: same input, same weights
+    val again = TextPipeline.importanceWeights(raw, target)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("logratio")).toMap
+    assert(again == w.view.mapValues(_._2).toMap)
+  }
+
   // ------------------------------------------------------------------
   // Multimodal plumbing
   // ------------------------------------------------------------------

@@ -395,4 +395,64 @@ class SearcherSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("docId")).toSeq == Seq(3L, 2L))
     assert(out.head.getAs[String]("title") == "Code-division multiple access")
   }
+
+  test("bm25WeightedQuery with occurrence counts == bm25Query exactly") {
+    val q = "communication channel communication"
+    val weights = Seq("communication" -> 2.0, "channel" -> 1.0)
+    val viaWeights = scored(engine.bm25WeightedQuery(weights))
+    val viaQuery = scored(engine.bm25Query(q))
+    assert(viaWeights == viaQuery)
+    // unknown terms contribute nothing; empty weights score empty
+    assert(scored(engine.bm25WeightedQuery(
+      weights ++ Seq("zzzznotaword" -> 3.0))) == viaQuery)
+    assert(engine.bm25WeightedQuery(Seq.empty).count() == 0)
+  }
+
+  test("prf: expansion terms exclude query tokens; beta=0 keeps base scores") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      // feedback docs for "apple": both carry "banana" — the expansion
+      (1L, "", "apple banana apple", ""),
+      (2L, "", "apple banana", ""),
+      // reachable ONLY through the expansion term
+      (3L, "", "banana cherry", ""),
+      (4L, "", "unrelated words entirely", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    val exp = e.prfExpandTerms("apple", f = 2, e = 2)
+    assert(!exp.contains("apple") && exp.contains("banana"))
+    // beta=0: expansion contributes zero score — every doc with a nonzero
+    // BM25 score keeps EXACTLY its bm25Query score
+    val base = scored(e.bm25Query("apple")).toMap
+    val prf0 = scored(e.prfQuery("apple", f = 2, e = 2, beta = 0.0))
+      .filter(_._2 != 0.0).toMap
+    assert(prf0 == base)
+    // beta>0: the expansion surfaces doc 3, which plain BM25 cannot see
+    val prf = scored(e.prfQuery("apple", f = 2, e = 2, beta = 0.5)).toMap
+    assert(prf.contains(3L) && prf(3L) > 0.0 && !base.contains(3L))
+    assert(prf(1L) > prf(3L)) // original-term matches still dominate
+    assert(e.prfQuery("").count() == 0)
+  }
+
+  test("keywordsPerDoc: per-doc rank, term-asc ties, matches moreLikeThis seed pick") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "apple banana apple cherry", ""),
+      (2L, "", "apple banana apple", ""),
+      (3L, "", "cherry cherry date", ""),
+      (4L, "", "unrelated words here", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    val kw = e.keywordsPerDoc(2).collect()
+      .map(r => (r.getAs[Long]("docId"), r.getAs[Int]("rn")) ->
+        r.getAs[String]("term")).toMap
+    // doc 1: apple tf=2 first; banana beats cherry on the term-asc tie
+    assert(kw((1L, 1)) == "apple" && kw((1L, 2)) == "banana")
+    assert(kw.keys.map(_._2).max <= 2)
+    // the per-doc keyword pick IS moreLikeThis's seed-term derivation:
+    // doc 1's 2 keywords match only doc 2 (same as the MLT spec)
+    assert(kw((2L, 1)) == "apple")
+  }
 }
