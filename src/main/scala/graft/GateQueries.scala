@@ -2540,13 +2540,20 @@ object GateQueries {
            |  FROM ranked r LEFT JOIN qrels l
            |    ON r.query = l.query AND r.doc_id = l.doc_id
            |  WHERE r.rank <= 10),
+           |hc AS (
+           |  SELECT *, sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER
+           |    (PARTITION BY query ORDER BY rank
+           |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM hits),
            |per AS (
            |  SELECT query, min(CASE WHEN rel > 0 THEN rank END) AS fr,
            |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS nrel,
-           |    sum((pow(2, rel) - 1) * ln(2) / ln(rank + 1)) AS dcg
-           |  FROM hits GROUP BY query),
+           |    sum((pow(2, rel) - 1) * ln(2) / ln(rank + 1)) AS dcg,
+           |    sum(CASE WHEN rel > 0 THEN cum::DOUBLE / rank END) AS apsum
+           |  FROM hc GROUP BY query),
            |ideal AS (
-           |  SELECT query, sum((pow(2, rel) - 1) * ln(2) / ln(i + 1)) AS idcg
+           |  SELECT query, sum((pow(2, rel) - 1) * ln(2) / ln(i + 1)) AS idcg,
+           |    count(*)::DOUBLE AS rk
            |  FROM (
            |    SELECT query, rel, row_number() OVER
            |      (PARTITION BY query ORDER BY rel DESC, doc_id ASC) AS i
@@ -2556,6 +2563,8 @@ object GateQueries {
            |SELECT q.query,
            |  round(coalesce(1.0 / p.fr, 0), 6) AS mrr,
            |  round(coalesce(p.nrel, 0)::DOUBLE / 10, 6) AS p_at_k,
+           |  round(CASE WHEN coalesce(i.rk, 0) > 0
+           |    THEN coalesce(p.apsum, 0) / i.rk ELSE 0 END, 6) AS ap,
            |  round(CASE WHEN coalesce(i.idcg, 0) > 0
            |    THEN coalesce(p.dcg, 0) / i.idcg ELSE 0 END, 6) AS ndcg
            |FROM qlist q
@@ -2583,7 +2592,77 @@ object GateQueries {
               |    (PARTITION BY doc_id ORDER BY weight DESC, term ASC) AS rn
               |  FROM kw)
               |SELECT doc_id, term, weight, rn::BIGINT AS rn FROM rk
-              |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)))
+              |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+
+    // Learning-to-rank feature extraction: one postings pass per query,
+    // every feature (bm25 ≡ q09 arithmetic, tfidf ≡ q10, match counts,
+    // doc length, rarest-term idf) aggregated from the same joined row
+    // set. The oracle recomputes all six features in one CTE.
+    Gate("q85_ltr_features",
+      (s, d) => engine(s, d).ltrFeatures(ScoredQ)
+        .select(col("docId").as("doc_id"), col("bm25"), col("tfidf"),
+          col("n_matched"), col("sum_tf"), col("doc_len"), col("max_idf"))
+        .orderBy(col("doc_id")),
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q)
+           |SELECT p.doc_id,
+           |  round(sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |      (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)), 6)
+           |    AS bm25,
+           |  round(sum(q.qcnt * p.tf * log10(vocab.n / t.df::DOUBLE)) /
+           |      max(d.len::DOUBLE), 6) AS tfidf,
+           |  count(*)::BIGINT AS n_matched,
+           |  sum(p.tf)::BIGINT AS sum_tf,
+           |  max(d.len)::BIGINT AS doc_len,
+           |  round(max(log10(vocab.n / t.df::DOUBLE)), 6) AS max_idf
+           |FROM postings p
+           |JOIN q ON p.term = q.term
+           |JOIN tstats t ON p.term = t.term
+           |JOIN dl d ON p.doc_id = d.doc_id
+           |CROSS JOIN vocab CROSS JOIN avg_dl
+           |GROUP BY p.doc_id
+           |ORDER BY p.doc_id""".stripMargin
+      }),
+
+    // Bigram-LM average NLL (perplexity proxy, transition-aware): the
+    // oracle extracts bigrams with DuckDB's lockstep parallel unnest of
+    // the two shifted token-array slices — positions never materialize
+    // in either engine.
+    Gate("q86_bigram_nll",
+      (s, d) => TextPipeline.bigramNll(documents(s, d), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("avg_nll"))
+        .orderBy(col("doc_id")),
+      Some("""WITH tokarr AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS toks
+             |  FROM documents),
+             |bgf AS (
+             |  SELECT doc_id,
+             |    unnest(toks[1:len(toks) - 1]) AS w1,
+             |    unnest(toks[2:len(toks)]) AS w2
+             |  FROM tokarr WHERE len(toks) >= 2),
+             |bgtf AS (
+             |  SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+             |  FROM bgf GROUP BY doc_id, w1, w2),
+             |cnt AS (SELECT w1, w2, sum(tf)::DOUBLE AS c
+             |        FROM bgtf GROUP BY w1, w2),
+             |ctx AS (SELECT w1, sum(c) AS cw1 FROM cnt GROUP BY w1),
+             |per AS (
+             |  SELECT b.doc_id, sum(b.tf)::BIGINT AS n_bigrams,
+             |    sum(b.tf * (ln(ctx.cw1) - ln(cnt.c))) AS s
+             |  FROM bgtf b
+             |  JOIN cnt ON b.w1 = cnt.w1 AND b.w2 = cnt.w2
+             |  JOIN ctx ON b.w1 = ctx.w1
+             |  GROUP BY b.doc_id)
+             |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
+             |  round(coalesce(p.s / p.n_bigrams, 0), 6) AS avg_nll
+             |FROM documents d LEFT JOIN per p USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted

@@ -23,17 +23,23 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
-  /** Per-query MRR, P@k, and nDCG@k of `ranked` against `qrels`.
+  /** Per-query MRR, P@k, AP@k, and nDCG@k of `ranked` against `qrels`.
+    *
+    * AP@k is the binary-relevance average precision
+    * Σ_{rank i ≤ k, rel_i > 0} P@i / min(R, k) with R the query's total
+    * relevant-doc count — the TREC convention where a ranking that
+    * retrieves all of min(R, k) relevant docs first scores 1.0.
     *
     * Shape at scale: one broadcast-or-shuffle join of the top-k ranked
     * rows (bounded: ≤ k rows per query) against qrels on (query, docId),
-    * one map-combined per-query aggregation, and one qrels-side window
-    * partitioned by query for the ideal DCG — no corpus-sized relation
-    * is ever widened. Queries with no relevant documents score
-    * mrr = p_at_k = ndcg = 0 rather than NULL.
+    * one map-combined per-query aggregation (plus a window over the same
+    * ≤ k-row relation for AP's running precision), and one qrels-side
+    * window partitioned by query for the ideal DCG — no corpus-sized
+    * relation is ever widened. Queries with no relevant documents score
+    * mrr = p_at_k = ap = ndcg = 0 rather than NULL.
     *
-    * Output: (query, mrr, p_at_k, ndcg), one row per distinct query in
-    * `ranked`, all metrics 6dp-rounded.
+    * Output: (query, mrr, p_at_k, ap, ndcg), one row per distinct query
+    * in `ranked`, all metrics 6dp-rounded.
     */
   def rankEval(ranked: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -43,19 +49,28 @@ object EvalOps {
       .withColumn("rel", coalesce(col("rel"), lit(0L)).cast("long"))
     val gain = (pow(lit(2.0), col("rel").cast("double")) - 1.0) * ln2 /
       log(col("rank").cast("double") + 1.0)
-    val per = hits.groupBy(col("query")).agg(
-      min(when(col("rel") > 0, col("rank"))).as("__fr"),
-      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__nrel"),
-      sum(gain).as("__dcg"))
+    val wCum = Window.partitionBy(col("query")).orderBy(col("rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val per = hits
+      .withColumn("__cum",
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).over(wCum))
+      .groupBy(col("query")).agg(
+        min(when(col("rel") > 0, col("rank"))).as("__fr"),
+        sum(when(col("rel") > 0, 1L).otherwise(0L)).as("__nrel"),
+        sum(gain).as("__dcg"),
+        sum(when(col("rel") > 0,
+          col("__cum").cast("double") / col("rank").cast("double")))
+          .as("__apsum"))
     val wIdeal = Window.partitionBy(col("query"))
       .orderBy(col("rel").desc, col("docId").asc)
     val idealGain = (pow(lit(2.0), col("rel").cast("double")) - 1.0) * ln2 /
       log(col("__i").cast("double") + 1.0)
-    val ideal = qrels.where(col("rel") > 0)
+    val relOnly = qrels.where(col("rel") > 0)
+    val ideal = relOnly
       .withColumn("__i", row_number().over(wIdeal))
       .where(col("__i") <= k)
       .groupBy(col("query"))
-      .agg(sum(idealGain).as("__idcg"))
+      .agg(sum(idealGain).as("__idcg"), count(lit(1)).as("__rk"))
     ranked.select(col("query")).distinct()
       .join(per, Seq("query"), "left")
       .join(ideal, Seq("query"), "left")
@@ -64,6 +79,9 @@ object EvalOps {
           lit(1.0) / col("__fr").cast("double")).otherwise(0.0), 6).as("mrr"),
         round(coalesce(col("__nrel"), lit(0L)).cast("double") / k, 6)
           .as("p_at_k"),
+        round(when(coalesce(col("__rk"), lit(0L)) > 0,
+          coalesce(col("__apsum"), lit(0.0)) / col("__rk").cast("double"))
+          .otherwise(0.0), 6).as("ap"),
         round(when(coalesce(col("__idcg"), lit(0.0)) > 0,
           coalesce(col("__dcg"), lit(0.0)) / col("__idcg"))
           .otherwise(0.0), 6).as("ndcg"))

@@ -468,6 +468,62 @@ object TextPipeline {
           .as("avg_nll"))
   }
 
+  /** Bigram-LM average negative log-likelihood — the next perplexity
+    * rung above [[unigramNll]] (catches word-salad text whose unigram
+    * distribution is normal but whose transitions are not):
+    *
+    *   avg_nll(d) = (1/|bigrams(d)|) Σ [ ln c(w₁·) − ln c(w₁w₂) ]
+    *
+    * with c(w₁w₂) the corpus count of the bigram and c(w₁·) the corpus
+    * count of w₁ as a left context — the unsmoothed MLE model, the same
+    * discipline as unigramNll (the model is fit on the scored corpus
+    * itself, so every observed bigram has nonzero count; fitting on one
+    * corpus and scoring another needs smoothing and is out of scope).
+    *
+    * Shape at scale: bigrams are extracted at ARRAY level (slice + zip on
+    * the token array — no positional explode-and-window, so no per-token
+    * shuffle and no skew on long documents); the model is two
+    * map-combined aggregations over the bigram stream; scoring is one
+    * hash join of per-doc bigram tfs against the model on (w1, w2) plus
+    * its w1-context twin. Documents with < 2 tokens score (0, 0.0).
+    *
+    * Output: (id, n_bigrams, avg_nll), avg_nll 6dp-rounded.
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = Analyzer.tokensCol(col(textCol))
+    val n = size(col("__t"))
+    val bi = docs
+      .select(col(idCol).cast("long").as("id"), t.as("__t"))
+      .where(col("id").isNotNull && n >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("__t"), lit(1), n - 1),
+        slice(col("__t"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col("id"), col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+    // mirror unigramNll's canonical-branch discipline: one bigram stream
+    // feeds per-doc tfs, the bigram model, and the context totals
+    val bgtf = bi.groupBy(col("id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("tf"))
+    val counts = bgtf.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("tf")).as("c"))
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("c")).as("cw1"))
+    val per = bgtf
+      .join(counts, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .groupBy(col("id"))
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum(col("tf").cast("double") *
+          (log(col("cw1").cast("double")) - log(col("c").cast("double"))))
+          .as("__s"))
+    docs.select(col(idCol).cast("long").as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams").isNull, 0.0)
+          .otherwise(round(col("__s") / col("n_bigrams").cast("double"), 6))
+          .as("avg_nll"))
+  }
+
   // ---------------------------------------------------------------------
   // Collocation mining (PMI over adjacent bigrams)
   // ---------------------------------------------------------------------

@@ -455,6 +455,51 @@ final class QueryEngine(
       .where(col("rn") <= m)
   }
 
+  /** Learning-to-rank feature extraction: one row per candidate document
+    * (any doc matching ≥ 1 query term) carrying the classic LTR feature
+    * set — the training-data side of ranking (each row is an unjudged
+    * LETOR-style sample; join qrels to label it, feed
+    * [[graft.pipeline.EvalOps.rankEval]] the model's output to score it):
+    *
+    *   - `bm25`      this engine's BM25 score (identical arithmetic to
+    *                 [[bm25Query]]);
+    *   - `tfidf`     the length-normalized vector-space score (identical
+    *                 to [[vectorSpaceQuery]]);
+    *   - `n_matched` distinct query terms present in the doc;
+    *   - `sum_tf`    total occurrences of query terms in the doc;
+    *   - `doc_len`   body word count;
+    *   - `max_idf`   the rarest matched term's idf.
+    *
+    * ONE pass: the postings relation is filtered by a broadcast of the
+    * query terms and aggregated once per docId — every feature is an
+    * aggregate of the same joined row set, so adding features does not
+    * add jobs or shuffles (the scale discipline for per-query feature
+    * logging). Scores 6dp-rounded; deterministic docId order.
+    */
+  def ltrFeatures(query: String): DataFrame = {
+    val toks = Analyzer.tokenize(query)
+    val idf = index.idfCol(col("df"))
+    val tf = col("tf").cast("double")
+    val dl = col("len").cast("double")
+    val bm25Partial = idf * (k1 + 1) * tf /
+      (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(index.stats.avgdl)) + tf)
+    val joined = postings
+      .join(broadcast(queryTermsDf(if (toks.isEmpty) Seq("") else toks)), "term")
+      .join(index.termStats, "term")
+      .join(index.docLens, "docId")
+    val out = joined
+      .groupBy(col("docId"))
+      .agg(
+        round(sum(col("qcnt") * bm25Partial), 6).as("bm25"),
+        round(sum(col("qcnt") * col("tf") * idf) / max(dl), 6).as("tfidf"),
+        count(lit(1)).as("n_matched"),
+        sum(col("tf").cast("long")).as("sum_tf"),
+        max(col("len").cast("long")).as("doc_len"),
+        round(max(idf), 6).as("max_idf"))
+      .orderBy(col("docId"))
+    if (toks.isEmpty) out.where(lit(false)) else out
+  }
+
   /** "Did you mean": deterministic per-token spelling suggestion over the
     * index vocabulary — each token's best close term by (edit distance
     * asc, df desc, term asc) within its length-scaled edit budget

@@ -57,6 +57,23 @@ class BlockBundleSpec extends AnyFunSuite {
     }
   }
 
+  test("PRF / LTR / keywords serve from the persisted index identically") {
+    val q = "spark join fast window"
+    // PRF: expansion pick AND the rescored ranking agree
+    assert(blockBacked.prfExpandTerms(q, f = 5, e = 3) ==
+      logical.prfExpandTerms(q, f = 5, e = 3))
+    assert(scored(blockBacked.prfQuery(q, f = 5, e = 3, beta = 0.5, Some(10))) ==
+      scored(logical.prfQuery(q, f = 5, e = 3, beta = 0.5, Some(10))))
+    // LTR features: full row set agrees
+    assert(blockBacked.ltrFeatures(q).collect().map(_.toSeq).toSeq ==
+      logical.ltrFeatures(q).collect().map(_.toSeq).toSeq)
+    // per-doc keywords agree
+    def kw(e: QueryEngine) = e.keywordsPerDoc(2).collect()
+      .map(r => (r.getAs[Long]("docId"), r.getAs[Int]("rn"),
+        r.getAs[String]("term"))).sorted.toSeq
+    assert(kw(blockBacked) == kw(logical))
+  }
+
   test("varbyte_decode is callable from SQL after extension install") {
     GraftExtensions.install(spark)
     val dir = java.nio.file.Files.createTempDirectory("sqlfn").toString

@@ -25,6 +25,8 @@ class EvalOpsSpec extends AnyFunSuite {
     assert(got.getAs[String]("query") == "q")
     assert(got.getAs[Double]("mrr") == 1.0) // rank-1 doc is relevant
     assert(got.getAs[Double]("p_at_k") == round6(2.0 / 3)) // 2 of top-3
+    // ap = (P@1 + P@3) / min(R=3, k=3) = (1 + 2/3) / 3
+    assert(got.getAs[Double]("ap") == round6((1.0 + 2.0 / 3) / 3))
     // dcg  = (2^2-1)/log2(2) + 0 + (2^1-1)/log2(4) = 3 + 0.5
     // idcg = rels (2,1,1): 3/log2(2) + 1/log2(3) + 1/log2(4)
     val dcg = 3.0 + math.log(2) / math.log(4)
@@ -38,6 +40,7 @@ class EvalOpsSpec extends AnyFunSuite {
     val got = EvalOps.rankEval(ranked, qrels, k = 10).collect().head
     assert(got.getAs[Double]("mrr") == 1.0)
     assert(got.getAs[Double]("ndcg") == 1.0)
+    assert(got.getAs[Double]("ap") == 1.0) // all relevant docs first
     assert(got.getAs[Double]("p_at_k") == round6(2.0 / 10))
   }
 
@@ -49,9 +52,9 @@ class EvalOpsSpec extends AnyFunSuite {
     val got = EvalOps.rankEval(ranked, qrels, k = 5).collect()
       .map(r => r.getAs[String]("query") ->
         (r.getAs[Double]("mrr"), r.getAs[Double]("p_at_k"),
-          r.getAs[Double]("ndcg"))).toMap
-    assert(got("good") == ((1.0, 0.2, 1.0)))
-    assert(got("bad") == ((0.0, 0.0, 0.0)))
+          r.getAs[Double]("ap"), r.getAs[Double]("ndcg"))).toMap
+    assert(got("good") == ((1.0, 0.2, 1.0, 1.0)))
+    assert(got("bad") == ((0.0, 0.0, 0.0, 0.0)))
     // relevance beyond rank k does not rescue MRR
     val deep = EvalOps.rankEval(
       Seq(("q", 7L, 6)).toDF("query", "docId", "rank"),

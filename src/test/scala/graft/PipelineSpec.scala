@@ -530,6 +530,39 @@ class PipelineSpec extends AnyFunSuite {
       Seq("cluster", "id_a", "id_b", "sim"))
   }
 
+  test("bigramNll: corpus transition model, hand-computed, short docs 0") {
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams ab, ba, ab
+      (2L, "a b"),     // ab
+      (3L, "b c"),     // bc
+      (4L, "solo"),    // < 2 tokens
+      (5L, ""))
+      .toDF("doc_id", "text")
+    // corpus model: c(ab)=3 c(ba)=1 c(bc)=1; contexts c(a·)=3 c(b·)=2
+    val out = TextPipeline.bigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_nll"))).toMap
+    assert(out.size == 5)
+    // doc 1: [ln3−ln3, ln2−ln1, ln3−ln3] → mean = ln2/3
+    assert(out(1L) == ((3L, round6(math.log(2) / 3))))
+    // doc 2: its only bigram IS the dominant transition → 0 surprise
+    assert(out(2L) == ((1L, 0.0)))
+    // doc 3: b→c is the rarer of b's two transitions → ln2
+    assert(out(3L) == ((1L, round6(math.log(2)))))
+    // <2 tokens: no bigrams, NLL 0 (not NULL)
+    assert(out(4L) == ((0L, 0.0)))
+    assert(out(5L) == ((0L, 0.0)))
+    // word salad ranks above natural repetition: permute doc 1's text so
+    // every transition is rare
+    val salad = (docs.where(col("doc_id") =!= 1L).union(
+      Seq((1L, "b b a a")).toDF("doc_id", "text")))
+    val nllSalad = TextPipeline.bigramNll(salad, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(nllSalad(1L) > out(2L)._2) // bb/ba/aa all count-1 transitions
+  }
+
   test("importanceWeights: target-like docs score positive, raw-typical negative, empty 0") {
     // raw corpus: mostly "common" tokens; target: the "python code" slice
     val raw = Seq(

@@ -435,6 +435,42 @@ class SearcherSpec extends AnyFunSuite {
     assert(e.prfQuery("").count() == 0)
   }
 
+  test("ltrFeatures: one row per candidate; bm25/tfidf columns equal the live scorers") {
+    val sp = spark
+    import sp.implicits._
+    def round6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val docs = Seq(
+      (1L, "", "apple banana apple", ""),
+      (2L, "", "banana cherry", ""),
+      (3L, "", "date elderberry fig", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    val q = "apple banana apple" // duplicate token: qcnt(apple) = 2
+    val rows = e.ltrFeatures(q).collect()
+      .map(r => r.getAs[Long]("docId") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L)) // doc 3 matches no query term
+    // score features are EXACTLY the live scoring modes at 6dp
+    val bm = scored(e.bm25Query(q)).toMap
+    val vs = scored(e.vectorSpaceQuery(q)).toMap
+    for (id <- Seq(1L, 2L)) {
+      assert(rows(id).getAs[Double]("bm25") == round6(bm(id)))
+      assert(rows(id).getAs[Double]("tfidf") == round6(vs(id)))
+    }
+    // hand-checked count features (vocab = 6 distinct terms)
+    assert(rows(1L).getAs[Long]("n_matched") == 2) // apple + banana
+    assert(rows(1L).getAs[Long]("sum_tf") == 3)    // 2×apple + 1×banana
+    assert(rows(1L).getAs[Long]("doc_len") == 3)
+    assert(rows(2L).getAs[Long]("n_matched") == 1) // banana only
+    assert(rows(1L).getAs[Double]("max_idf") == round6(math.log10(6.0 / 1))) // apple df=1
+    assert(rows(2L).getAs[Double]("max_idf") == round6(math.log10(6.0 / 2))) // banana df=2
+    // empty query: empty result, schema intact
+    val empty = e.ltrFeatures("")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq(
+      "docId", "bm25", "tfidf", "n_matched", "sum_tf", "doc_len", "max_idf"))
+  }
+
   test("keywordsPerDoc: per-doc rank, term-asc ties, matches moreLikeThis seed pick") {
     val sp = spark
     import sp.implicits._
