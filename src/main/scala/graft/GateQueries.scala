@@ -2662,7 +2662,140 @@ object GateQueries {
              |SELECT d.doc_id, coalesce(p.n_bigrams, 0) AS n_bigrams,
              |  round(coalesce(p.s / p.n_bigrams, 0), 6) AS avg_nll
              |FROM documents d LEFT JOIN per p USING (doc_id)
-             |ORDER BY d.doc_id""".stripMargin)))
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // SemDeDup end-to-end: the q81 cluster-blocked pairs closed into
+    // duplicate CLUSTERS (min-label connected components) with one
+    // canonical keeper each — the actual "keep one per semantic
+    // duplicate group" curation step the SemDeDup paper applies. The
+    // oracle chains the q81 assignment/pair SQL into the q45 recursive
+    // reachability closure.
+    Gate("q87_semantic_dup_groups",
+      (s, d) => Dedup.dupGroupsFromPairs(
+          embeddings(s, d).select(col("vec_id")),
+          Similarity.semanticDedupPairs(
+            embeddings(s, d), dim = 64, k = 8, eps = 0.4),
+          idCol = "vec_id")
+        .select(col("id").as("vec_id"), col("canonical_id"), col("keep"))
+        .orderBy(col("vec_id")),
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS w
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |asim AS (
+             |  SELECT e.vec_id, e.v, c.cluster,
+             |    round(list_sum([e.v[i] * c.w[i] for i in range(1, len(e.v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in e.v])) *
+             |       sqrt(list_sum([x * x for x in c.w]))), 6) AS s
+             |  FROM e CROSS JOIN cent c),
+             |assigned AS (
+             |  SELECT vec_id, v, cluster FROM (
+             |    SELECT vec_id, v, cluster,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
+             |    FROM asim) WHERE rn = 1),
+             |dpairs AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM assigned a JOIN assigned b
+             |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+             |  WHERE round(list_sum([a.v[i] * b.v[i] for i in range(1, len(a.v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in a.v])) *
+             |       sqrt(list_sum([x * x for x in b.v]))), 6) >= 0.4),
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM dpairs
+             |  UNION SELECT id_b, id_a FROM dpairs),
+             |reach(id, r) AS (
+             |  SELECT vec_id, vec_id FROM embeddings
+             |  UNION
+             |  SELECT ed.dst, reach.r FROM reach JOIN edges ed ON ed.src = reach.id)
+             |SELECT id AS vec_id, min(r) AS canonical_id,
+             |  (id = min(r)) AS keep
+             |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
+
+    // Curation pipeline v3 — this round's scoring ops working TOGETHER:
+    // the v2 gates (language, quality floor, repetition ceiling) feed a
+    // DSIR importance-RANKED selection (top 200 by logratio, the
+    // deterministic stand-in for importance resampling), with the bigram
+    // perplexity proxy carried for downstream filtering. Selection is
+    // orderBy+limit (TakeOrdered — no global window) on 6dp values with
+    // doc_id tie-break, so the cut is engine-reproducible.
+    Gate("q88_curation_v3",
+      (s, d) => {
+        val docsDf = documents(s, d)
+        val feat = docsDf.select(col("doc_id"), col("text"),
+          TextPipeline.langId(col("text")).as("lang"),
+          TextPipeline.qualityScore(col("text")).as("q"),
+          TextPipeline.dupShingleFrac(col("text"), 3).as("dup"))
+          .where(col("lang") === "en" && col("q") >= 0.5 && col("dup") <= 0.2)
+          .select(col("doc_id"))
+        val iw = TextPipeline.importanceWeights(docsDf,
+            docsDf.where(col("source").isin("src0", "src1")))
+          .select(col("id").as("doc_id"), col("logratio"))
+        val nll = TextPipeline.bigramNll(docsDf, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("avg_nll"))
+        feat.join(iw, "doc_id").join(nll, "doc_id")
+          .orderBy(col("logratio").desc, col("doc_id").asc)
+          .limit(200)
+          .select(col("doc_id"), col("logratio"), col("avg_nll"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH $DocFeatCtes, ${shinglesCte(3)},
+              |ds AS (SELECT doc_id,
+              |  round(1.0 - len(list_distinct(sl))::DOUBLE / len(sl)::DOUBLE, 6) AS dup
+              |  FROM shingles),
+              |kept AS (
+              |  SELECT f.doc_id FROM docfeat f
+              |  JOIN ds ON ds.doc_id = f.doc_id
+              |  WHERE f.lang_detected = 'en' AND f.quality >= 0.5 AND ds.dup <= 0.2),
+              |toks2 AS (
+              |  SELECT doc_id, unnest(toks) AS term FROM tokarr),
+              |bk AS (
+              |  SELECT doc_id, ${bucketSqlOf("term")} AS b FROM toks2),
+              |tgtids AS (
+              |  SELECT doc_id FROM documents WHERE source IN ('src0', 'src1')),
+              |tc AS (SELECT b, count(*)::DOUBLE AS c
+              |       FROM bk JOIN tgtids USING (doc_id) GROUP BY b),
+              |rc AS (SELECT b, count(*)::DOUBLE AS c FROM bk GROUP BY b),
+              |tt AS (SELECT sum(c) + 256 AS t FROM tc),
+              |rt AS (SELECT sum(c) + 256 AS t FROM rc),
+              |lr AS (
+              |  SELECT r.b,
+              |    ln((coalesce(t.c, 0) + 1) / tt.t) - ln((r.c + 1) / rt.t) AS lr
+              |  FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tt CROSS JOIN rt),
+              |iwper AS (
+              |  SELECT bk.doc_id, sum(lr.lr) AS s
+              |  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
+              |iw AS (
+              |  SELECT d.doc_id, round(coalesce(p.s, 0), 6) AS logratio
+              |  FROM documents d LEFT JOIN iwper p USING (doc_id)),
+              |bgf AS (
+              |  SELECT doc_id,
+              |    unnest(toks[1:len(toks) - 1]) AS w1,
+              |    unnest(toks[2:len(toks)]) AS w2
+              |  FROM tokarr WHERE len(toks) >= 2),
+              |bgtf AS (
+              |  SELECT doc_id, w1, w2, count(*)::BIGINT AS tf
+              |  FROM bgf GROUP BY doc_id, w1, w2),
+              |cnt AS (SELECT w1, w2, sum(tf)::DOUBLE AS c
+              |        FROM bgtf GROUP BY w1, w2),
+              |ctx AS (SELECT w1, sum(c) AS cw1 FROM cnt GROUP BY w1),
+              |nllper AS (
+              |  SELECT b.doc_id, sum(b.tf)::BIGINT AS nb,
+              |    sum(b.tf * (ln(ctx.cw1) - ln(cnt.c))) AS s
+              |  FROM bgtf b
+              |  JOIN cnt ON b.w1 = cnt.w1 AND b.w2 = cnt.w2
+              |  JOIN ctx ON b.w1 = ctx.w1
+              |  GROUP BY b.doc_id),
+              |nll AS (
+              |  SELECT d.doc_id,
+              |    round(coalesce(p.s / p.nb, 0), 6) AS avg_nll
+              |  FROM documents d LEFT JOIN nllper p USING (doc_id)),
+              |sel AS (
+              |  SELECT k.doc_id, iw.logratio, nll.avg_nll,
+              |    row_number() OVER (ORDER BY iw.logratio DESC, k.doc_id ASC) AS rn
+              |  FROM kept k JOIN iw USING (doc_id) JOIN nll USING (doc_id))
+              |SELECT doc_id, logratio, avg_nll FROM sel
+              |WHERE rn <= 200 ORDER BY doc_id""".stripMargin)))
 
   /** DuckDB oracle for q73: HITS hub/authority iterations unrolled the
     * same way as [[pageRankOracleSql]] — per iteration a hub-weighted

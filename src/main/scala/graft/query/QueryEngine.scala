@@ -474,7 +474,9 @@ final class QueryEngine(
     * query terms and aggregated once per docId — every feature is an
     * aggregate of the same joined row set, so adding features does not
     * add jobs or shuffles (the scale discipline for per-query feature
-    * logging). Scores 6dp-rounded; deterministic docId order.
+    * logging). Scores 6dp-rounded. The result is deliberately UNORDERED
+    * (a feature table, not a ranking) — callers that need an order sort
+    * the bounded slice they keep.
     */
   def ltrFeatures(query: String): DataFrame = {
     val toks = Analyzer.tokenize(query)
@@ -496,7 +498,6 @@ final class QueryEngine(
         sum(col("tf").cast("long")).as("sum_tf"),
         max(col("len").cast("long")).as("doc_len"),
         round(max(idf), 6).as("max_idf"))
-      .orderBy(col("docId"))
     if (toks.isEmpty) out.where(lit(false)) else out
   }
 

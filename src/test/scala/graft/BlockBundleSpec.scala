@@ -64,9 +64,10 @@ class BlockBundleSpec extends AnyFunSuite {
       logical.prfExpandTerms(q, f = 5, e = 3))
     assert(scored(blockBacked.prfQuery(q, f = 5, e = 3, beta = 0.5, Some(10))) ==
       scored(logical.prfQuery(q, f = 5, e = 3, beta = 0.5, Some(10))))
-    // LTR features: full row set agrees
-    assert(blockBacked.ltrFeatures(q).collect().map(_.toSeq).toSeq ==
-      logical.ltrFeatures(q).collect().map(_.toSeq).toSeq)
+    // LTR features: full row set agrees (unordered operator — sort here)
+    def ltr(e: QueryEngine) = e.ltrFeatures(q).orderBy(col("docId"))
+      .collect().map(_.toSeq).toSeq
+    assert(ltr(blockBacked) == ltr(logical))
     // per-doc keywords agree
     def kw(e: QueryEngine) = e.keywordsPerDoc(2).collect()
       .map(r => (r.getAs[Long]("docId"), r.getAs[Int]("rn"),
