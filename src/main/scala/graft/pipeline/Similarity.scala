@@ -233,12 +233,17 @@ object Similarity {
       (if (n > 0) round(d / (norm(col("v")) * n), 6) else lit(0.0)).as(s"__s$i")
     }
     val withSims = c.select(col("id") +: col("v") +: sims.toSeq: _*)
-    val best = (1 until centroids.length).foldLeft(
-      struct(col("__s0").as("s"), lit(0).as("i"))) { (acc, i) =>
-      when(col(s"__s$i") > acc.getField("s"),
-        struct(col(s"__s$i").as("s"), lit(i).as("i"))).otherwise(acc)
-    }
-    withSims.withColumn("cluster", best.getField("i"))
+    // argmax as array_max over (sim, -cluster) structs: highest sim wins,
+    // ties fall to the LOWEST cluster index (the larger -i). Expression
+    // size is LINEAR in k — a when()-chain fold would reference its
+    // accumulator twice per level and double the Catalyst tree per
+    // centroid (codegen blows up around k ≈ 30). For k beyond the few
+    // hundreds where even a linear projection gets expensive to compile,
+    // assignment should move to a broadcast centroid TABLE + one
+    // map-combined max(struct) aggregation.
+    val best = array_max(array(centroids.indices.map(i =>
+      struct(col(s"__s$i").as("s"), lit(-i).as("ni"))): _*))
+    withSims.withColumn("cluster", -best.getField("ni"))
       .select(col("id"), col("v"), col("cluster"))
   }
 

@@ -530,6 +530,23 @@ class PipelineSpec extends AnyFunSuite {
       Seq("cluster", "id_a", "id_b", "sim"))
   }
 
+  test("semanticDedupPairs at k=64: assignment expression stays linear (regression)") {
+    // 200 one-hot vectors over 8 axes; k=64 centroids are the first 64
+    // vectors (many duplicate one-hots — equal-sim ties must fall to the
+    // LOWEST cluster, so each axis collapses to one cluster). This k
+    // OOM'd the planner when cluster argmax was a when()-chain fold
+    // (accumulator referenced twice per level → Catalyst tree doubled
+    // per centroid); the array_max form is linear in k.
+    val onehots = (0L until 200L).map { i =>
+      val a = Array.fill(8)(0.0f); a((i % 8).toInt) = 1.0f; (i, a)
+    }.toDF("vec_id", "embedding")
+    val pairs = Similarity.semanticDedupPairs(
+      onehots, dim = 8, k = 64, eps = 0.99)
+    // same-axis vectors are identical → all 8 × C(25,2) pairs, no more
+    assert(pairs.count() == 8L * (25 * 24 / 2))
+    assert(pairs.select("cluster").distinct().count() == 8)
+  }
+
   test("bigramNll: corpus transition model, hand-computed, short docs 0") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
