@@ -210,36 +210,36 @@ object Bench {
       // matches gate q81; the k=64 twin shows the quadratic shrink that
       // IS the scale path — SemDeDup ran 10⁴–10⁵ clusters at LAION scale)
       "semantic_dedup" -> (() => Similarity.semanticDedupPairs(
-        embeddings, dim = 64, k = 8, eps = 0.4).count()),
+        embeddings, k = 8, eps = 0.4).count()),
       "semantic_dedup_k64" -> (() => Similarity.semanticDedupPairs(
-        embeddings, dim = 64, k = 64, eps = 0.4).count()),
+        embeddings, k = 64, eps = 0.4).count()),
       // DSIR: two ≤256-row hashed distributions + broadcast-join rescore
       "importance_weights" -> (() => graft.pipeline.TextPipeline
         .importanceWeights(documents,
           documents.where(col("source").isin("src0", "src1"))).count()),
       "keywords_top3" -> (() => engine.keywordsPerDoc(3).count()),
       "ltr_features" -> (() => engine.ltrFeatures(GateQueries.ScoredQ).count()),
+      // two-stage retrieval: BM25 recall stage, cosine precision stage
+      "rerank_top20" -> (() => {
+        val qv = embeddings.where(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        QueryEngine.rerankByEmbedding(
+          engine.bm25Query(GateQueries.ScoredQ), qv, embeddings,
+          candidates = 50, topK = Some(20)).count()
+      }),
       "bigram_nll" -> (() => graft.pipeline.TextPipeline
         .bigramNll(documents, "doc_id", "text").count()),
-      // offline eval of 3 live BM25 rankings against derived graded qrels
+      // exact substring dedup: window → corpus-wide count → coverage
+      "dup_spans_w8" -> (() => graft.pipeline.TextPipeline
+        .dupSpanStats(documents, "doc_id", "text", w = 8).count()),
+      // offline eval of 3 live BM25 rankings against derived graded
+      // qrels — the SAME builder as gate q83, so bench and gate can't
+      // desynchronize
       "rank_eval_3q" -> (() => {
-        val qs = Seq(GateQueries.TermsQ, GateQueries.ScoredQ, GateQueries.FuzzyQ)
-        val wq = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query"))
-          .orderBy(col("__s").desc, col("docId").asc)
-        val ranked = qs.map(q => engine.bm25Query(q).select(
-            lit(q).as("query"), col("docId"), round(col("score"), 6).as("__s")))
-          .reduce(_ unionByName _)
-          .withColumn("rank", row_number().over(wq))
-          .where(col("rank") <= 20)
-          .select(col("query"), col("docId"), col("rank"))
-        val qrels = qs.map { q =>
-          val ts = graft.analysis.Analyzer.tokenize(q).distinct
-          bundle.postings.where(col("term").isin(ts: _*))
-            .groupBy(col("docId"))
-            .agg(countDistinct(col("term")).as("rel"))
-            .select(lit(q).as("query"), col("docId"), col("rel"))
-        }.reduce(_ unionByName _)
+        val (ranked, qrels) = graft.pipeline.EvalOps.bm25RankingsWithTermQrels(
+          engine, bundle.postings,
+          Seq(GateQueries.TermsQ, GateQueries.ScoredQ, GateQueries.FuzzyQ),
+          topN = 20)
         graft.pipeline.EvalOps.rankEval(ranked, qrels, k = 10).count()
       }))
 

@@ -2405,7 +2405,7 @@ object GateQueries {
     // then the within-cluster self-join at eps = 0.4.
     Gate("q81_semantic_dedup",
       (s, d) => Similarity.semanticDedupPairs(
-          embeddings(s, d), dim = 64, k = 8, eps = 0.4)
+          embeddings(s, d), k = 8, eps = 0.4)
         .orderBy(col("id_a"), col("id_b")),
       Some("""WITH e AS (
              |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
@@ -2464,9 +2464,12 @@ object GateQueries {
               |  SELECT r.b,
               |    ln((coalesce(t.c, 0) + 1) / tt.t) - ln((r.c + 1) / rt.t) AS lr
               |  FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tt CROSS JOIN rt),
+              |bkc AS (
+              |  SELECT doc_id, b, count(*)::BIGINT AS c FROM bk GROUP BY doc_id, b),
               |per AS (
-              |  SELECT bk.doc_id, count(*)::BIGINT AS n_tokens, sum(lr.lr) AS s
-              |  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id)
+              |  SELECT bkc.doc_id, sum(bkc.c)::BIGINT AS n_tokens,
+              |    sum(bkc.c * lr.lr) AS s
+              |  FROM bkc JOIN lr USING (b) GROUP BY bkc.doc_id)
               |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
               |  round(coalesce(p.s, 0), 6) AS logratio
               |FROM documents d LEFT JOIN per p USING (doc_id)
@@ -2479,25 +2482,9 @@ object GateQueries {
     // on BOTH sides (≡ log2) so no engine's log2 is trusted.
     Gate("q83_rank_eval",
       (s, d) => {
-        val eng = engine(s, d)
-        val qs = Seq(TermsQ, ScoredQ, FuzzyQ)
-        val scored = qs.map(q => eng.bm25Query(q).select(
-            lit(q).as("query"), col("docId"),
-            round(col("score"), 6).as("__s")))
-          .reduce(_ unionByName _)
-        val wq = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("query"))
-          .orderBy(col("__s").desc, col("docId").asc)
-        val ranked = scored.withColumn("rank", row_number().over(wq))
-          .where(col("rank") <= 20)
-          .select(col("query"), col("docId"), col("rank"))
-        val qrels = qs.map { q =>
-          val ts = Analyzer.tokenize(q).distinct
-          bundle(s, d).postings.where(col("term").isin(ts: _*))
-            .groupBy(col("docId"))
-            .agg(countDistinct(col("term")).as("rel"))
-            .select(lit(q).as("query"), col("docId"), col("rel"))
-        }.reduce(_ unionByName _)
+        val (ranked, qrels) = graft.pipeline.EvalOps.bm25RankingsWithTermQrels(
+          engine(s, d), bundle(s, d).postings,
+          Seq(TermsQ, ScoredQ, FuzzyQ), topN = 20)
         graft.pipeline.EvalOps.rankEval(ranked, qrels, k = 10)
           .orderBy(col("query"))
       },
@@ -2674,7 +2661,7 @@ object GateQueries {
       (s, d) => Dedup.dupGroupsFromPairs(
           embeddings(s, d).select(col("vec_id")),
           Similarity.semanticDedupPairs(
-            embeddings(s, d), dim = 64, k = 8, eps = 0.4),
+            embeddings(s, d), k = 8, eps = 0.4),
           idCol = "vec_id")
         .select(col("id").as("vec_id"), col("canonical_id"), col("keep"))
         .orderBy(col("vec_id")),
@@ -2711,6 +2698,95 @@ object GateQueries {
              |SELECT id AS vec_id, min(r) AS canonical_id,
              |  (id = min(r)) AS keep
              |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin)),
+
+    // Retrieve-then-rerank: BM25 lexical top-50 candidates REORDERED by
+    // embedding cosine to doc 0's vector (two-stage retrieval — contrast
+    // q79's rank FUSION of two independent rankings). Candidate cut and
+    // final order both on 6dp values with doc_id ties; vec_id ≡ doc_id.
+    Gate("q89_rerank",
+      (s, d) => {
+        val e = embeddings(s, d)
+        val qv = e.where(col("vec_id") === 0)
+          .select(col("embedding")).head().getSeq[Float](0).toArray
+        QueryEngine.rerankByEmbedding(
+            engine(s, d).bm25Query(ScoredQ), qv, e,
+            candidates = 50, topK = Some(20))
+          .select(col("docId").as("doc_id"),
+            col("lex_rank").cast("long").as("lex_rank"), col("sim"))
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |bm25 AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id),
+           |cand AS (
+           |  SELECT doc_id, lex_rank FROM (
+           |    SELECT doc_id, row_number() OVER
+           |      (ORDER BY round(raw, 6) DESC, doc_id ASC) AS lex_rank
+           |    FROM bm25) WHERE lex_rank <= 50),
+           |e AS (
+           |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+           |qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+           |rer AS (
+           |  SELECT c.doc_id, c.lex_rank,
+           |    CASE WHEN e.v IS NULL THEN -1.0
+           |         WHEN sqrt(list_sum([x * x for x in qv.qv])) *
+           |              sqrt(list_sum([x * x for x in e.v])) = 0 THEN 0.0
+           |         ELSE round(list_sum([qv.qv[i] * e.v[i] for i in range(1, len(e.v) + 1)]) /
+           |           (sqrt(list_sum([x * x for x in qv.qv])) *
+           |            sqrt(list_sum([x * x for x in e.v]))), 6) END AS sim
+           |  FROM cand c CROSS JOIN qv LEFT JOIN e ON e.vec_id = c.doc_id)
+           |SELECT doc_id, lex_rank::BIGINT AS lex_rank, sim FROM rer
+           |ORDER BY sim DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // Exact substring dedup (Lee et al. 2022): per-doc duplicated-span
+    // coverage at w = 8 analyzer tokens — a window duplicated anywhere
+    // corpus-wide (cross-doc OR within-doc) marks its positions; coverage
+    // counts DISTINCT positions so overlapping windows don't double-count.
+    Gate("q90_dup_spans",
+      (s, d) => TextPipeline.dupSpanStats(documents(s, d), "doc_id", "text",
+          w = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("dup_windows"),
+          col("dup_tokens"), col("dup_frac"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |wins AS (
+             |  SELECT doc_id, l, n, unnest(range(0, n - 7)) AS s
+             |  FROM dn WHERE n >= 8),
+             |wg AS (SELECT doc_id, s, array_to_string(l[s+1 : s+8], ' ') AS gram
+             |       FROM wins),
+             |dup AS (SELECT gram FROM wg GROUP BY gram HAVING count(*) >= 2),
+             |dw AS (SELECT wg.doc_id, wg.s FROM wg JOIN dup USING (gram)),
+             |pos AS (SELECT doc_id, s, unnest(range(s, s + 8)) AS p FROM dw),
+             |per AS (
+             |  SELECT doc_id, count(DISTINCT s)::BIGINT AS dup_windows,
+             |    count(DISTINCT p)::BIGINT AS dup_tokens
+             |  FROM pos GROUP BY doc_id)
+             |SELECT dn.doc_id, dn.n::BIGINT AS n_tokens,
+             |  coalesce(per.dup_windows, 0)::BIGINT AS dup_windows,
+             |  coalesce(per.dup_tokens, 0)::BIGINT AS dup_tokens,
+             |  CASE WHEN dn.n = 0 THEN 0.0
+             |       ELSE round(coalesce(per.dup_tokens, 0) / dn.n::DOUBLE, 6)
+             |       END AS dup_frac
+             |FROM dn LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
 
     // Curation pipeline v3 — this round's scoring ops working TOGETHER:
     // the v2 gates (language, quality floor, repetition ceiling) feed a
@@ -2762,9 +2838,11 @@ object GateQueries {
               |  SELECT r.b,
               |    ln((coalesce(t.c, 0) + 1) / tt.t) - ln((r.c + 1) / rt.t) AS lr
               |  FROM rc r LEFT JOIN tc t USING (b) CROSS JOIN tt CROSS JOIN rt),
+              |bkc AS (
+              |  SELECT doc_id, b, count(*)::BIGINT AS c FROM bk GROUP BY doc_id, b),
               |iwper AS (
-              |  SELECT bk.doc_id, sum(lr.lr) AS s
-              |  FROM bk JOIN lr USING (b) GROUP BY bk.doc_id),
+              |  SELECT bkc.doc_id, sum(bkc.c * lr.lr) AS s
+              |  FROM bkc JOIN lr USING (b) GROUP BY bkc.doc_id),
               |iw AS (
               |  SELECT d.doc_id, round(coalesce(p.s, 0), 6) AS logratio
               |  FROM documents d LEFT JOIN iwper p USING (doc_id)),

@@ -23,6 +23,36 @@ import org.apache.spark.sql.functions._
   */
 object EvalOps {
 
+  /** Build the (`ranked`, `qrels`) pair for [[rankEval]] from live BM25
+    * rankings plus DERIVED graded judgments (rel = count of distinct
+    * query terms present in the doc — a deterministic, reconstructable
+    * qrel for engine-vs-oracle gating; real deployments join human
+    * judgments instead). Rankings window over 6dp-rounded scores with
+    * docId ties so ranks reproduce across engines. Shared by gate q83
+    * and the benchmark so the two cannot desynchronize.
+    */
+  def bm25RankingsWithTermQrels(
+      engine: graft.query.QueryEngine, postings: DataFrame,
+      queries: Seq[String], topN: Int = 20): (DataFrame, DataFrame) = {
+    require(queries.nonEmpty, "need at least one query")
+    val wq = Window.partitionBy(col("query"))
+      .orderBy(col("__s").desc, col("docId").asc)
+    val ranked = queries.map(q => engine.bm25Query(q).select(
+        lit(q).as("query"), col("docId"), round(col("score"), 6).as("__s")))
+      .reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(wq))
+      .where(col("rank") <= topN)
+      .select(col("query"), col("docId"), col("rank"))
+    val qrels = queries.map { q =>
+      val ts = graft.analysis.Analyzer.tokenize(q).distinct
+      postings.where(col("term").isin(ts: _*))
+        .groupBy(col("docId"))
+        .agg(countDistinct(col("term")).as("rel"))
+        .select(lit(q).as("query"), col("docId"), col("rel"))
+    }.reduce(_ unionByName _)
+    (ranked, qrels)
+  }
+
   /** Per-query MRR, P@k, AP@k, and nDCG@k of `ranked` against `qrels`.
     *
     * AP@k is the binary-relevance average precision

@@ -828,10 +828,12 @@ object Similarity {
     * 6dp-rounded sim ≥ `eps`, one row per unordered within-cluster pair.
     */
   def semanticDedupPairs(
-      corpus: DataFrame, dim: Int, k: Int, eps: Double, iters: Int = 0,
+      corpus: DataFrame, k: Int, eps: Double, iters: Int = 0,
       corpusIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val centroids = ivfCentroids(corpus, dim, k, iters, corpusIdCol, vecCol)
+    // ivfCentroids derives dimensionality from the vectors themselves;
+    // its dim parameter is signature symmetry only (0 = not consulted)
+    val centroids = ivfCentroids(corpus, 0, k, iters, corpusIdCol, vecCol)
     val assigned = ivfAssign(corpus, centroids, corpusIdCol, vecCol)
       .select(col("cluster").cast("long").as("cluster"),
         col("vec_id").as("id"), col("embedding").as("__v"))

@@ -492,9 +492,13 @@ object TextPipeline {
   def bigramNll(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = Analyzer.tokensCol(col(textCol))
     val n = size(col("__t"))
+    // the MODEL is fit on every document's bigrams — including docs whose
+    // id is null or fails the long cast (the oracle fits on all rows too;
+    // filtering them here would shift c/cw1 for every other doc). Only
+    // the per-doc OUTPUT is keyed, via the final left join.
     val bi = docs
       .select(col(idCol).cast("long").as("id"), t.as("__t"))
-      .where(col("id").isNotNull && n >= 2)
+      .where(n >= 2)
       .select(col("id"), explode(zip_with(
         slice(col("__t"), lit(1), n - 1),
         slice(col("__t"), lit(2), n - 1),
@@ -672,11 +676,12 @@ object TextPipeline {
     * md5 bucket keeps the feature map reproducible in any engine).
     * Positive ⇒ target-like; downstream selection keeps the top mass (or
     * Gumbel-resamples — the deterministic rank is what this operator
-    * pins). Shape at scale: the two distributions are map-combined
-    * counts collapsing to ≤256 rows each (collected — bounded by the
-    * FEATURE space, not the data); the per-doc pass is one tokenize +
-    * a broadcast join of the 256-row log-ratio table + one map-combined
-    * per-doc aggregation. Token-free documents score 0.
+    * pins). Shape at scale: raw is tokenized ONCE into a cached
+    * (id, bucket, count) relation that serves both the raw distribution
+    * (collapsing to ≤256 collected rows — bounded by the FEATURE space,
+    * not the data) and the per-doc rescore (broadcast join of the
+    * 256-row log-ratio table + one map-combined aggregation); the target
+    * corpus pays its own single pass. Token-free documents score 0.
     *
     * Output: (id, n_tokens, logratio), logratio 6dp-rounded.
     */
@@ -684,13 +689,25 @@ object TextPipeline {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sp = raw.sparkSession
     import sp.implicits._
-    def bucketCounts(docs: DataFrame): Map[Int, Long] = docs
+    // ONE tokenize+bucket pass over the raw corpus, cached as the ≤256-
+    // buckets-per-doc relation: the raw distribution aggregates FROM it
+    // and the per-doc rescore joins against it — the dominant cost
+    // (tokenize + md5 per token) is paid once, not twice. The target
+    // corpus (typically the small curated slice) keeps its own pass.
+    val docBuckets = raw
+      .select(col(idCol).cast("long").as("id"),
+        explode(Analyzer.tokensCol(col(textCol))).as("term"))
+      .groupBy(col("id"), hashBucket256(col("term")).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rw: Map[Int, Long] = docBuckets
+      .groupBy(col("b")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val tgt: Map[Int, Long] = target
       .select(explode(Analyzer.tokensCol(col(textCol))).as("term"))
       .groupBy(hashBucket256(col("term")).as("b"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val tgt = bucketCounts(target)
-    val rw = bucketCounts(raw)
     val tTot = tgt.values.sum.toDouble + 256.0
     val rTot = rw.values.sum.toDouble + 256.0
     val lr = (0 until 256).map { b =>
@@ -698,13 +715,11 @@ object TextPipeline {
         math.log((tgt.getOrElse(b, 0L) + 1.0) / tTot) -
           math.log((rw.getOrElse(b, 0L) + 1.0) / rTot))
     }.toDF("b", "__lr")
-    val perDoc = raw
-      .select(col(idCol).cast("long").as("id"),
-        explode(Analyzer.tokensCol(col(textCol))).as("term"))
-      .withColumn("b", hashBucket256(col("term")))
+    val perDoc = docBuckets
       .join(broadcast(lr), "b")
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__sum"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * col("__lr")).as("__sum"))
     raw.select(col(idCol).cast("long").as("id"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),
@@ -744,5 +759,86 @@ object TextPipeline {
       .withColumn("__r", row_number().over(w1)).where(col("__r") <= n)
       .withColumn("__r2", row_number().over(w2)).where(col("__r2") <= n)
       .drop("__salt", "__r", "__r2")
+  }
+
+  // ---------------------------------------------------------------------
+  // Exact duplicate-span detection (substring dedup)
+  // ---------------------------------------------------------------------
+
+  /** Every duplicated `w`-token window: occurrences (as (id, start) with
+    * 0-based token position) of any w-token sequence that appears at ≥2
+    * distinct positions corpus-wide — Lee et al. 2022's "Deduplicating
+    * Training Data Makes Language Models Better" exact-substring
+    * criterion, over analyzer tokens instead of byte suffix arrays
+    * (the suffix array finds MAXIMAL repeats; fixed-w windows find the
+    * same spans as the union of their windows, the form a distributed
+    * engine groups cheaply). Same-document repeats count: a sequence
+    * occurring twice inside one document is duplicated text.
+    *
+    * Shape at scale: tokenize → `w`-window explode (narrow; positions-
+    * sidecar-sized ×1, each token starts ≤1 window) → ONE map-combined
+    * groupBy(gram) count → an inner join of windows against the
+    * duplicated grams. The gram groupBy's shuffle carries partially
+    * reduced (gram, count) rows, not raw occurrences; at 100 TB the key
+    * can be (xxhash64(gram), gram) bucketed, but correctness never rests
+    * on a hash — the group key is the text itself.
+    *
+    * Output: (id, start, gram, n_occurrences), n_occurrences ≥ 2 being
+    * the corpus-wide occurrence count of that gram.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    require(w >= 1, s"window must be >= 1 token, got $w")
+    val n = size(col("__t"))
+    val wins = docs
+      .select(col(idCol).cast("long").as("id"),
+        Analyzer.tokensCol(col(textCol)).as("__t"))
+      .where(n >= w)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0L), n - w),
+          s => array_join(slice(col("__t"), s + 1, lit(w)), " ")))
+          .as(Seq("start", "gram")))
+      .select(col("id"), col("start").cast("long").as("start"), col("gram"))
+    val dupGrams = wins.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .where(col("n_occurrences") >= 2)
+    wins.join(dupGrams, Seq("gram"))
+      .select(col("id"), col("start"), col("gram"), col("n_occurrences"))
+  }
+
+  /** Per-document duplicated-text statistics from [[duplicateSpans]]:
+    * how much of each document is covered by some corpus-duplicated
+    * w-token window — the quantity substring dedup thresholds on (drop
+    * or trim documents whose duplicated fraction is high). Coverage is
+    * the DISTINCT token positions under any duplicated window (windows
+    * overlap; positions are not double-counted): duplicated windows
+    * explode into their ≤w positions — only the duplicated ones, the
+    * output of the corpus-wide filter, never the full window relation —
+    * and count distinct per doc. Every input document gets a row;
+    * documents shorter than `w` tokens have zero coverage by
+    * definition.
+    *
+    * Output: (id, n_tokens, dup_windows, dup_tokens, dup_frac 6dp).
+    */
+  def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val spans = duplicateSpans(docs, idCol, textCol, w)
+    val perDoc = spans
+      .select(col("id"), col("start"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("start")).as("dup_windows"),
+        countDistinct(col("pos")).as("dup_tokens"))
+    docs.select(col(idCol).cast("long").as("id"),
+        size(Analyzer.tokensCol(col(textCol))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        when(col("n_tokens") === 0, 0.0)
+          .otherwise(round(
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens").cast("double"), 6))
+          .as("dup_frac"))
   }
 }

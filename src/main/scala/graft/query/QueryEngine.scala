@@ -485,11 +485,12 @@ final class QueryEngine(
     val dl = col("len").cast("double")
     val bm25Partial = idf * (k1 + 1) * tf /
       (lit(k1) * (lit(1 - b) + lit(b) * dl / lit(index.stats.avgdl)) + tf)
-    val joined = postings
-      .join(broadcast(queryTermsDf(if (toks.isEmpty) Seq("") else toks)), "term")
+    // an empty query yields an empty (term, qcnt) frame: the join is
+    // empty with the right schema — no sentinel special-casing needed
+    postings
+      .join(broadcast(queryTermsDf(toks)), "term")
       .join(index.termStats, "term")
       .join(index.docLens, "docId")
-    val out = joined
       .groupBy(col("docId"))
       .agg(
         round(sum(col("qcnt") * bm25Partial), 6).as("bm25"),
@@ -498,7 +499,6 @@ final class QueryEngine(
         sum(col("tf").cast("long")).as("sum_tf"),
         max(col("len").cast("long")).as("doc_len"),
         round(max(idf), 6).as("max_idf"))
-    if (toks.isEmpty) out.where(lit(false)) else out
   }
 
   /** "Did you mean": deterministic per-token spelling suggestion over the
@@ -702,6 +702,48 @@ object QueryEngine {
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("rank"))), 6).as("rrf"))
       .orderBy(col("rrf").desc, col("docId").asc)
     topK.fold(fused)(fused.limit)
+  }
+
+  /** Retrieve-then-rerank (two-stage retrieval): keep the lexical
+    * top-`candidates` of `hits` and REORDER them by embedding cosine to
+    * the query vector — the classic recall-stage / precision-stage split
+    * (cheap lexical retrieval bounds the candidate set, the expensive
+    * semantic comparison runs only on survivors). Contrast [[rrfFuse]],
+    * which merges two INDEPENDENT full rankings; here the semantic score
+    * never sees a doc the lexical stage didn't surface.
+    *
+    * Determinism discipline: the candidate cut ranks 6dp-rounded scores
+    * with docId ties via orderBy + limit (TakeOrdered — no global
+    * window); `lex_rank` is then a window over the ≤`candidates`-row
+    * survivor set only. Candidates with no embedding row keep sim −1
+    * (sunk to the bottom, never silently dropped — the lexical recall
+    * stage's promise holds). The embeddings relation is joined against
+    * the bounded candidate set, never scanned into the reorder.
+    *
+    * Output: (docId, lex_rank, sim), sim 6dp, ordered sim desc / docId
+    * asc, limited to `topK` if given.
+    */
+  def rerankByEmbedding(
+      hits: DataFrame, queryVec: Array[Float], embeddings: DataFrame,
+      candidates: Int = 100, topK: Option[Int] = None,
+      vecIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(candidates >= 1, s"candidates must be >= 1, got $candidates")
+    val cut = hits.select(col("docId"), round(col("score"), 6).as("__s"))
+      .orderBy(col("__s").desc, col("docId").asc)
+      .limit(candidates)
+    val wLex = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__s").desc, col("docId").asc)
+    val cand = cut.withColumn("lex_rank", row_number().over(wLex))
+    val qv = array(queryVec.map(x => lit(x.toDouble)): _*)
+    val emb = embeddings.select(
+      col(vecIdCol).cast("long").as("docId"), col(vecCol).as("__v"))
+    val reranked = cand.join(emb, Seq("docId"), "left")
+      .select(col("docId"), col("lex_rank"),
+        when(col("__v").isNull, lit(-1.0))
+          .otherwise(round(graft.pipeline.Similarity.cosine(qv, col("__v")), 6))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("docId").asc)
+    topK.fold(reranked)(reranked.limit)
   }
 
   /** Blend text relevance with a query-independent document prior

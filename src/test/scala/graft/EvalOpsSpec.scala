@@ -55,10 +55,11 @@ class EvalOpsSpec extends AnyFunSuite {
           r.getAs[Double]("ap"), r.getAs[Double]("ndcg"))).toMap
     assert(got("good") == ((1.0, 0.2, 1.0, 1.0)))
     assert(got("bad") == ((0.0, 0.0, 0.0, 0.0)))
-    // relevance beyond rank k does not rescue MRR
+    // relevance beyond rank k does not rescue MRR — and the query still
+    // gets its one output row (zeros, not absence)
     val deep = EvalOps.rankEval(
       Seq(("q", 7L, 6)).toDF("query", "docId", "rank"),
       Seq(("q", 7L, 1L)).toDF("query", "docId", "rel"), k = 5).collect()
-    assert(deep.isEmpty || deep.head.getAs[Double]("mrr") == 0.0)
+    assert(deep.length == 1 && deep.head.getAs[Double]("mrr") == 0.0)
   }
 }

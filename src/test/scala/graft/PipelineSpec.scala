@@ -510,19 +510,19 @@ class PipelineSpec extends AnyFunSuite {
     // k = 1: every vector lands in the single cluster → the blocked
     // compare degenerates to exact all-pairs at eps
     val allPairs = pairsOf(
-      Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 1, eps = 0.9))
+      Similarity.semanticDedupPairs(sdVecs, k = 1, eps = 0.9))
     assert(allPairs == dups)
     // k = 3: the planted near-dups all assign to centroid 0, so cluster
     // blocking finds exactly the same pairs behind k² less work
-    val blocked = Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 3, eps = 0.9)
+    val blocked = Similarity.semanticDedupPairs(sdVecs, k = 3, eps = 0.9)
     assert(pairsOf(blocked) == dups)
     // blocked pairs are always a subset of the k=1 exact pair set; the
     // cross-cluster pair (0, 6) (cos ≈ 0.697) is exactly the kind the
     // blocked pass trades away — present exact, absent blocked
     val loose = pairsOf(
-      Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 3, eps = 0.5))
+      Similarity.semanticDedupPairs(sdVecs, k = 3, eps = 0.5))
     val exactLoose = pairsOf(
-      Similarity.semanticDedupPairs(sdVecs, dim = 4, k = 1, eps = 0.5))
+      Similarity.semanticDedupPairs(sdVecs, k = 1, eps = 0.5))
     assert(loose.subsetOf(exactLoose))
     assert(exactLoose.contains((0L, 6L)) && !loose.contains((0L, 6L)))
     // cluster column rides along for downstream per-cluster keeps
@@ -541,7 +541,7 @@ class PipelineSpec extends AnyFunSuite {
       val a = Array.fill(8)(0.0f); a((i % 8).toInt) = 1.0f; (i, a)
     }.toDF("vec_id", "embedding")
     val pairs = Similarity.semanticDedupPairs(
-      onehots, dim = 8, k = 64, eps = 0.99)
+      onehots, k = 64, eps = 0.99)
     // same-axis vectors are identical → all 8 × C(25,2) pairs, no more
     assert(pairs.count() == 8L * (25 * 24 / 2))
     assert(pairs.select("cluster").distinct().count() == 8)
@@ -951,6 +951,50 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getDouble(2)).toSeq
     assert(best.forall(_ > 6.0), s"keep-best picked $best")
   }
+
+  test("duplicateSpans finds corpus-repeated token windows; dupSpanStats merges overlap") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      // docs 11/12 share the 5-token run "alpha beta gamma delta epsilon";
+      // doc 11 additionally repeats "zeta eta theta" INSIDE itself
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota zeta eta theta"),
+      (12L, "prefix words alpha beta gamma delta epsilon suffix tail"),
+      (13L, "no shared content whatsoever in this document at all"),
+      (14L, "tiny"), // shorter than any window
+      (15L, "")
+    ).toDF("doc_id", "text")
+    val spans = TextPipeline.duplicateSpans(corpus, "doc_id", "text", w = 3)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("start"),
+        r.getAs[String]("gram"), r.getAs[Long]("n_occurrences")))
+    // the cross-doc 5-token run yields three shared 3-windows, each at
+    // occurrence count 2; the within-doc repeat yields one more
+    val crossGrams = spans.filter(_._1 == 12L).map(_._3).toSet
+    assert(crossGrams == Set("alpha beta gamma", "beta gamma delta",
+      "gamma delta epsilon"))
+    assert(spans.filter(s => s._1 == 12L).forall(_._4 == 2L))
+    val withinDoc = spans.filter(s => s._1 == 11L && s._3 == "zeta eta theta")
+    assert(withinDoc.map(_._2).sorted.toSeq == Seq(5L, 9L)) // both positions
+    assert(spans.forall(s => s._1 != 13L && s._1 != 14L && s._1 != 15L))
+
+    val stats = TextPipeline.dupSpanStats(corpus, "doc_id", "text", w = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("dup_windows"),
+          r.getAs[Long]("dup_tokens"), r.getAs[Double]("dup_frac"))).toMap
+    // every doc gets a row, including span-free / short / empty ones
+    assert(stats.keySet == Set(11L, 12L, 13L, 14L, 15L))
+    assert(stats(13L) == ((9L, 0L, 0L, 0.0)))
+    assert(stats(14L) == ((1L, 0L, 0L, 0.0)))
+    assert(stats(15L) == ((0L, 0L, 0L, 0.0)))
+    // doc 12: windows at starts 2,3,4 cover positions 2..6 → 5 tokens of 9
+    assert(stats(12L) == ((9L, 3L, 5L, round7(5.0 / 9.0))))
+    // doc 11: starts 0,1,2 (shared run) + 5,9 (self-repeat) → windows 5;
+    // covered positions 0..4 ∪ 5..7 ∪ 9..11 = 11 of 12 (position 8 is not)
+    assert(stats(11L) == ((12L, 5L, 11L, round7(11.0 / 12.0))))
+  }
+
+  private def round7(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   test("metadata-only scan prunes the payload column (parquet ReadSchema)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-assets").toString

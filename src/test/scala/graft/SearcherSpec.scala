@@ -435,6 +435,46 @@ class SearcherSpec extends AnyFunSuite {
     assert(e.prfQuery("").count() == 0)
   }
 
+  test("rerankByEmbedding: candidate cut bounds recall, cosine reorders, missing vec sinks") {
+    val sp = spark
+    import sp.implicits._
+    def vec(xs: Double*): Array[Float] = xs.map(_.toFloat).toArray
+    val docs = Seq(
+      (1L, "", "apple apple apple", ""),  // lexical #1
+      (2L, "", "apple apple", ""),        // lexical #2
+      (3L, "", "apple", ""),              // lexical #3 — outside candidates=2
+      (4L, "", "unrelated words", ""))
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    // embeddings: doc 2 is the semantic match; doc 1 orthogonal; doc 3
+    // would be a perfect match but the lexical stage must cut it first
+    val embs = Seq(
+      (1L, vec(0, 1, 0)),
+      (2L, vec(1, 0.1, 0)),
+      (3L, vec(1, 0, 0))).toDF("vec_id", "embedding")
+    val qv = vec(1, 0, 0)
+    val hits = e.bm25Query("apple")
+    val out = QueryEngine.rerankByEmbedding(hits, qv, embs, candidates = 2)
+      .collect().map(r => (r.getAs[Long]("docId"), r.getAs[Int]("lex_rank"),
+        r.getAs[Double]("sim"))).toSeq
+    // doc 3 never reaches the rerank stage (candidates = 2); doc 2
+    // overtakes the lexical #1 on cosine
+    assert(out.map(_._1) == Seq(2L, 1L))
+    assert(out.head._2 == 2 && out.head._3 > 0.99) // lex #2, cos ≈ 0.995
+    assert(out(1)._3 == 0.0)                       // orthogonal
+    // missing embedding: candidate survives with sim −1 at the bottom
+    val out2 = QueryEngine.rerankByEmbedding(
+      hits, qv,
+      embs.where(org.apache.spark.sql.functions.col("vec_id") =!= 1L),
+      candidates = 2)
+      .collect().map(r => (r.getAs[Long]("docId"), r.getAs[Double]("sim"))).toSeq
+    assert(out2 == Seq((2L, out.head._3), (1L, -1.0)))
+    // candidates >= hit count degenerates to a pure cosine reorder of all hits
+    val all = QueryEngine.rerankByEmbedding(hits, qv, embs, candidates = 100)
+      .collect().map(_.getAs[Long]("docId")).toSeq
+    assert(all == Seq(3L, 2L, 1L))
+  }
+
   test("ltrFeatures: one row per candidate; bm25/tfidf columns equal the live scorers") {
     val sp = spark
     import sp.implicits._
