@@ -64,6 +64,13 @@ object Bench {
     val posCut = (docs.agg(max(col("docId"))).head().getLong(0) * 0.9).toLong
     graft.index.PositionalIndex.build(
       docs.where(col("docId") <= posCut), posSegDir, nShards = 8)
+    // tombstoned twin of the block index (1/7 of docs deleted, broadcast
+    // regime): bm25_wand_tombstoned_top10 measures what the per-query
+    // anti-join costs relative to bm25_wand_top10
+    val tombDir = java.nio.file.Files.createTempDirectory("graft-bench-tomb").toString
+    BlockIndex.build(docs, tombDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8))
+    BlockIndex.delete(
+      docs.select(col("docId")).where(pmod(col("docId"), lit(7)) === 3), tombDir)
 
     val benches: Seq[(String, () => Long)] = Seq(
       "bm25_wand_top10" ->
@@ -87,6 +94,8 @@ object Bench {
           "big small slow", "hash agg column", "line part value", "key data order")
         BlockIndex.bm25TopKBatch(spark, idxDir, pool ++ pool.map(_ + " table"), 10).count()
       }),
+      "bm25_wand_tombstoned_top10" ->
+        (() => BlockIndex.bm25TopK(spark, tombDir, GateQueries.ScoredQ, 10).count()),
       "bm25_naive_top10" ->
         (() => engine.bm25Query(GateQueries.ScoredQ, Some(10)).count()),
       "tfidf_top10" ->
@@ -232,6 +241,13 @@ object Bench {
       // exact substring dedup: window → corpus-wide count → coverage
       "dup_spans_w8" -> (() => graft.pipeline.TextPipeline
         .dupSpanStats(documents, "doc_id", "text", w = 8).count()),
+      // BPE merge learning: 5 rounds of (vocab-sized pair count, argmax,
+      // narrow replace) after one corpus-wide word-count shuffle
+      "bpe_train_5" -> (() => {
+        val (m, w) = graft.pipeline.TextPipeline
+          .bpeTrain(documents, "text", nMerges = 5, minCount = 1)
+        m.size.toLong + w.count()
+      }),
       // offline eval of 3 live BM25 rankings against derived graded
       // qrels — the SAME builder as gate q83, so bench and gate can't
       // desynchronize

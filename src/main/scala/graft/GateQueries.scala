@@ -131,6 +131,49 @@ object GateQueries {
     })
   }
 
+  /** BPE tokenizer model (5 merges, minCount 1) trained once per corpus
+    * directory — shared by the merge-table and segmentation gates.
+    */
+  private val bpeModels = scala.collection.mutable.Map
+    .empty[String, (Seq[TextPipeline.BpeMerge], DataFrame)]
+  def bpeModel(spark: SparkSession, dir: String):
+      (Seq[TextPipeline.BpeMerge], DataFrame) = synchronized {
+    bpeModels.getOrElseUpdate(dir, {
+      val (m, w) = TextPipeline.bpeTrain(documents(spark, dir), "text",
+        nMerges = 5, minCount = 1)
+      (m, w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    })
+  }
+
+  /** The DuckDB twin of [[TextPipeline.bpeTrain]]: `rounds` chained
+    * (pair-count → lexicographic argmax → literal replace) CTE rounds
+    * over the `toks` vocabulary. Exposes w{rounds+1} (final encodings)
+    * and best1..best{rounds} (the merge table).
+    */
+  private def bpeOracleCtes(rounds: Int): String = {
+    val w1 =
+      """w1 AS (
+        |  SELECT term AS word, count(*)::BIGINT AS cnt,
+        |    '|' || array_to_string(
+        |      [term[i:i] for i in range(1, length(term) + 1)], '||') || '|' AS enc
+        |  FROM toks GROUP BY term)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""sy$i AS (SELECT cnt, string_split(trim(enc, '|'), '||') AS syms FROM w$i),
+         |pe$i AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS j
+         |         FROM sy$i WHERE len(syms) >= 2),
+         |pr$i AS (SELECT syms[j] AS lhs, syms[j + 1] AS rhs,
+         |           sum(cnt)::BIGINT AS c
+         |         FROM pe$i GROUP BY 1, 2),
+         |best$i AS (SELECT lhs, rhs, c FROM pr$i ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |w${i + 1} AS (
+         |  SELECT word, cnt,
+         |    replace(enc, '|' || b.lhs || '||' || b.rhs || '|',
+         |            '|' || b.lhs || b.rhs || '|') AS enc
+         |  FROM w$i CROSS JOIN best$i b)""".stripMargin
+    }
+    (w1 +: steps).mkString(",\n")
+  }
+
   // ------------------------------------------------------------------
   // Oracle SQL shared CTE fragments
   // ------------------------------------------------------------------
@@ -1168,7 +1211,82 @@ object GateQueries {
         .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20),
-      entries.find(_.name == "q09_bm25_topk").get.oracle)
+      entries.find(_.name == "q09_bm25_topk").get.oracle),
+
+    // Tombstone deletes, Lucene semantics: deleted docs (doc_id % 7 = 3)
+    // vanish from results IMMEDIATELY while corpus statistics (df, vocab,
+    // avgdl) stay those of the last build until compaction — so the
+    // oracle is the FULL-corpus q09 arithmetic with deleted ids struck
+    // from the output only.
+    Gate("q91_delete_bm25_topk",
+      (s, d) => graft.index.BlockIndex
+        .bm25TopK(s, tombIndexDir(s, d), ScoredQ, 30)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, round(raw, 6) AS score FROM scored
+           |WHERE doc_id % 7 <> 3
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // After compact the deleted docs are PHYSICALLY gone: stats are
+    // recomputed over the survivors, so the oracle runs the whole q09
+    // arithmetic over the live sub-corpus (different df/vocab/avgdl than
+    // q91's — the two gates pin the two sides of the Lucene contract).
+    Gate("q91b_compact_bm25_topk",
+      (s, d) => graft.index.BlockIndex
+        .bm25TopK(s, tombCompactDir(s, d), ScoredQ, 30)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3),
+           |toks AS (
+           |  SELECT doc_id, unnest(list_transform(list_filter(
+           |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+           |    x -> x <> ''), x -> lower(x))) AS term
+           |  FROM live),
+           |postings AS (
+           |  SELECT term, doc_id, count(*)::BIGINT AS tf FROM toks GROUP BY term, doc_id),
+           |dl AS (
+           |  SELECT doc_id, len(list_filter(regexp_split_to_array(text, '\\s+'),
+           |    x -> x <> ''))::BIGINT AS len
+           |  FROM live),
+           |tstats AS (
+           |  SELECT term, count(*)::BIGINT AS df FROM postings GROUP BY term),
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, round(raw, 6) AS score FROM scored
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      })
   )
 
   /** Segmented block index: half the corpus cold-built, the other half
@@ -1187,6 +1305,43 @@ object GateQueries {
       val mid = split.asInstanceOf[Double].toLong
       graft.index.BlockIndex.build(docs.where(col("docId") <= mid), d, layout)
       graft.index.BlockIndex.refresh(docs.where(col("docId") > mid), d)
+      d
+    })
+  }
+
+  /** Tombstoned block index (NOT compacted): full build, then
+    * [[graft.index.BlockIndex.delete]] of every doc_id ≡ 3 (mod 7) —
+    * queries must exclude them via the tombstone anti-join while stats
+    * stay stale.
+    */
+  private val tombDirs = scala.collection.mutable.Map.empty[String, String]
+  def tombIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    tombDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-blockidx-tomb").toString
+      val docs = docsAsModel(spark, dir)
+      graft.index.BlockIndex.build(docs, d,
+        graft.index.BlockIndex.Layout(blockSpan = 256, nShards = 8))
+      graft.index.BlockIndex.delete(
+        docs.select(col("docId")).where(pmod(col("docId"), lit(7)) === 3), d)
+      d
+    })
+  }
+
+  /** [[tombIndexDir]]'s twin, compacted: the deleted docs are physically
+    * folded out and stats recomputed over survivors.
+    */
+  private val tombCompactDirs = scala.collection.mutable.Map.empty[String, String]
+  def tombCompactDir(spark: SparkSession, dir: String): String = synchronized {
+    tombCompactDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-blockidx-tombc").toString
+      val docs = docsAsModel(spark, dir)
+      graft.index.BlockIndex.build(docs, d,
+        graft.index.BlockIndex.Layout(blockSpan = 256, nShards = 8))
+      graft.index.BlockIndex.delete(
+        docs.select(col("docId")).where(pmod(col("docId"), lit(7)) === 3), d)
+      graft.index.BlockIndex.compact(d)
       d
     })
   }
@@ -2787,6 +2942,41 @@ object GateQueries {
              |       END AS dup_frac
              |FROM dn LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
+
+    // BPE tokenizer training (Sennrich et al. 2016): 5 merge rounds
+    // learned on the corpus vocabulary. The oracle replays every round —
+    // weighted pair counts, the (count desc, lexicographic) argmax, and
+    // the greedy left-to-right merge application via literal replace over
+    // the doubled-separator encoding — so rule SELECTION and rule
+    // APPLICATION are both pinned.
+    Gate("q92_bpe_merges",
+      (s, d) => {
+        val (m, _) = bpeModel(s, d)
+        s.createDataFrame(m)
+          .select(col("step").cast("long").as("step"), col("lhs"),
+            col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+            col("count").as("pair_count"))
+          .orderBy(col("step"))
+      },
+      Some {
+        val rows = (1 to 5).map(i =>
+          s"SELECT ${i}::BIGINT AS step, lhs, rhs, lhs || rhs AS merged, c AS pair_count FROM best$i")
+        s"""WITH $ToksCte,
+           |${bpeOracleCtes(5)}
+           |SELECT * FROM (${rows.mkString(" UNION ALL ")})
+           |ORDER BY step""".stripMargin
+      }),
+
+    // ... and the sub-word segmentation every vocabulary word ends up
+    // with after those 5 merges.
+    Gate("q92b_bpe_segments",
+      (s, d) => TextPipeline.bpeSegment(bpeModel(s, d)._2)
+        .orderBy(col("word")),
+      Some(s"""WITH $ToksCte,
+              |${bpeOracleCtes(5)}
+              |SELECT word, cnt,
+              |  array_to_string(string_split(trim(enc, '|'), '||'), ' ') AS seg
+              |FROM w6 ORDER BY word""".stripMargin)),
 
     // Curation pipeline v3 — this round's scoring ops working TOGETHER:
     // the v2 gates (language, quality floor, repetition ceiling) feed a

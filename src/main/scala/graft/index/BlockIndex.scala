@@ -204,8 +204,12 @@ object BlockIndex {
       MetaIO.deleteIfExists(s"$dir/$LegacyDocLensName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$LegacyVocabName", recursive = true)
       MetaIO.deleteIfExists(s"$dir/$ManifestName")
+      // stale tombstones of the PREVIOUS corpus must never filter the new
+      // one — a rebuilt index starts with no deletes
+      MetaIO.deleteIfExists(s"$dir/$TombMetaName")
       MetaIO.list(dir)
-        .filter(n => n.startsWith("shard=") || n.startsWith("seg-"))
+        .filter(n => n.startsWith("shard=") || n.startsWith("seg-") ||
+          n.startsWith("tomb-"))
         .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
     }
     val done = readManifest(dir).map(_.shard).toSet
@@ -529,23 +533,37 @@ object BlockIndex {
     * [[VarByteAgg]].
     */
   def compact(dir: String): SegmentsMeta = {
-    require(isSegmented(dir), s"$dir is not a segmented index")
-    val meta = readSegments(dir)
-    if (meta.segs.size == 1 && meta.segs.head != ".") {
+    val tomb = readTombMeta(dir).filter(_.gens.nonEmpty)
+    require(isSegmented(dir) || tomb.nonEmpty,
+      s"$dir is not a segmented index and has no tombstones to fold out")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = segMeta(spark, dir)
+    if (meta.segs.size == 1 && meta.segs.head != "." && tomb.isEmpty) {
       // nothing to fold, but a killed earlier compaction may have left
       // unreferenced data behind — reclaim it now
       sweepUnreferenced(dir, meta)
       return meta
     }
-    val spark = org.apache.spark.sql.SparkSession.active
-    // named by corpus identity (append-only ⇒ (maxDocId, nDocs) pins the
-    // doc set): a killed compaction resumes its own directory; a later
-    // compaction after further refreshes gets a fresh one
-    val gen = s"seg-compact-${meta.maxDocId}-${meta.stats.nDocs}"
-    val postings = decodePostings(readBlocks(spark, dir))
-    val docLens = readDocLens(spark, dir)
+    // named by corpus identity: append-only ⇒ (maxDocId, nDocs) pins the
+    // doc set, and the committed tombstone row count pins the delete set
+    // on top — a killed compaction resumes its own directory; a later
+    // compaction after further refreshes/deletes gets a fresh one.
+    // maxDocId survives even when the max-id doc was deleted: ids are
+    // never reused, so the refresh floor must not drop.
+    val gen = s"seg-compact-${meta.maxDocId}-${meta.stats.nDocs}" +
+      tomb.fold("")(t => s"-d${t.nIds}")
+    // tombstoned docs are dropped HERE — the physical reclaim: postings
+    // and doc lengths both filter, so the rebuilt segment's completion
+    // artifacts (nDocs, totalLen, vocabulary, df) are exactly those of a
+    // cold build over the surviving corpus (spec-asserted byte-identical)
+    val postings = liveOnly(spark, dir, decodePostings(readBlocks(spark, dir)))
+    val docLens = liveOnly(spark, dir, readDocLens(spark, dir))
     buildFromPostings(postings, docLens, s"$dir/$gen", meta.layout)
     val committed = commitSegments(spark, dir, Seq(gen), meta.layout, meta.maxDocId)
+    // a kill between the commit above and this clear re-runs the fold on
+    // the next compact (the anti-join is then a no-op): wasteful once,
+    // never wrong — tombstones only ever filter docs already absent
+    clearTombstones(dir)
     sweepUnreferenced(dir, committed)
     committed
   }
@@ -582,6 +600,115 @@ object BlockIndex {
     */
   def committedMaxDocId(spark: SparkSession, dir: String): Long =
     segMeta(spark, dir).maxDocId
+
+  // ------------------------------------------------------------------
+  // Document deletion (tombstones)
+  // ------------------------------------------------------------------
+
+  /** Committed tombstone state: the parquet generation directories
+    * holding deleted docIds, plus the total committed row count (used
+    * for compaction naming and the broadcast-vs-shuffle filter choice;
+    * it counts committed delete ROWS, which may include repeats or ids
+    * absent from the index — both harmless to the anti-join).
+    */
+  final case class TombMeta(gens: Seq[String], nIds: Long)
+
+  val TombMetaName = "_tombstones.json"
+
+  /** Above this many committed tombstone rows the query-side filter
+    * stops hinting broadcast and lets the planner shuffle — a delete
+    * set that big should be [[compact]]ed away, not carried per query.
+    */
+  val BroadcastTombCap = 4000000L
+
+  def readTombMeta(dir: String): Option[TombMeta] =
+    if (!MetaIO.exists(s"$dir/$TombMetaName")) None
+    else {
+      val s = MetaIO.readString(s"$dir/$TombMetaName")
+      val n = """"nIds":(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toLong)
+        .getOrElse(0L)
+      val gens = """"gens":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1))
+        .getOrElse("").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+        .filter(_.nonEmpty).toSeq
+      Some(TombMeta(gens, n))
+    }
+
+  private def writeTombMeta(dir: String, m: TombMeta): Unit = {
+    val gens = m.gens.map("\"" + _ + "\"").mkString("[", ",", "]")
+    MetaIO.writeAtomic(s"$dir/$TombMetaName",
+      s"""{"nIds":${m.nIds},"nonce":${System.nanoTime()},"gens":$gens}"""
+        .getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The committed tombstoned docIds as a relation (None when no delete
+    * was ever committed — the fast path pays one metadata existence
+    * check and nothing else).
+    */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    readTombMeta(dir).filter(_.gens.nonEmpty).map { m =>
+      m.gens.map(g => spark.read.parquet(s"$dir/$g").select(col("docId")))
+        .reduce(_ unionByName _)
+    }
+
+  /** Mark documents DELETED without touching committed segment data —
+    * Lucene's tombstone model, the shape a 100 TB index needs (a
+    * rebuild per delete is impossible; a per-posting update is a
+    * random-write pattern parquet cannot serve). Semantics, exactly
+    * Lucene's: tombstoned docs vanish from every query result
+    * immediately, while corpus statistics (df, vocabulary, avgdl, N)
+    * remain those of the last build/compaction — deleted docs still
+    * count in IDF until [[compact]] folds them out physically. Queries
+    * pay one anti-join against the (usually tiny, broadcast) tombstone
+    * relation.
+    *
+    * Each call commits one immutable tombstone generation named by the
+    * delete set's (min, max, count) — like [[refresh]], a re-run of the
+    * SAME delete (a redelivered message, a retried job) is detected
+    * before any work and is a no-op; the resume contract assumes equal
+    * content for equal bounds. A kill between the parquet write and the
+    * meta commit leaves an invisible directory that the re-run
+    * overwrites. Ids never come back: deletion is monotone until
+    * compaction, and docIds are never reused ([[refresh]]'s floor is
+    * maxDocId, which deletion does not lower).
+    *
+    * `ids` must have a `docId` column; ids absent from the index are
+    * tolerated (the anti-join ignores them).
+    */
+  def delete(ids: DataFrame, dir: String): TombMeta = {
+    val cur = readTombMeta(dir).getOrElse(TombMeta(Nil, 0L))
+    val b = ids.agg(min(col("docId")), max(col("docId")), count(lit(1))).head()
+    if (b.getLong(2) == 0L) return cur
+    val gen = s"tomb-${b.getLong(0)}-${b.getLong(1)}-${b.getLong(2)}"
+    if (cur.gens.contains(gen)) return cur
+    ids.select(col("docId").cast("long").as("docId"))
+      .write.mode("overwrite").parquet(s"$dir/$gen")
+    val m = TombMeta(cur.gens :+ gen, cur.nIds + b.getLong(2))
+    writeTombMeta(dir, m)
+    m
+  }
+
+  /** Drop all tombstone state — called after a compaction physically
+    * removed the deleted docs. Removes EVERY `tomb-*` directory
+    * (committed or the leftover of a killed [[delete]]), then the meta.
+    */
+  private def clearTombstones(dir: String): Unit = {
+    MetaIO.deleteIfExists(s"$dir/$TombMetaName")
+    MetaIO.list(dir).filter(_.startsWith("tomb-"))
+      .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+  }
+
+  /** Filter a relation with a `docId` column down to live (untombstoned)
+    * docs. No tombstones ⇒ the relation is returned untouched (zero plan
+    * change); a small committed delete set broadcasts; past
+    * [[BroadcastTombCap]] the planner chooses (compact instead of
+    * carrying that per query).
+    */
+  private def liveOnly(spark: SparkSession, dir: String, rel: DataFrame): DataFrame =
+    readTombMeta(dir).filter(_.gens.nonEmpty).fold(rel) { m =>
+      val t = tombstones(spark, dir).get.distinct()
+      rel.join(if (m.nIds <= BroadcastTombCap) broadcast(t) else t,
+        Seq("docId"), "left_anti")
+    }
 
   /** The materialized doc-length relation across all segments. */
   private def readDocLens(spark: SparkSession, dir: String): DataFrame =
@@ -638,7 +765,10 @@ object BlockIndex {
       persist: Boolean = true): IndexBundle = {
     val (stats, _) = readStats(dir)
     val blocks = readBlocks(spark, dir)
-    val decoded = decodePostings(blocks)
+    // tombstoned docs are filtered out of the postings relation, so every
+    // query mode the bundle serves excludes them; stats/df stay those of
+    // the last build (Lucene's stale-until-compact semantics, see delete)
+    val decoded = liveOnly(spark, dir, decodePostings(blocks))
     val postings = decoded.select(col("term"), col("docId"), col("tf"))
     // prefer the materialized doc-length parquet (written at build time);
     // decode-and-distinct over the whole index is only the fallback for
@@ -800,9 +930,9 @@ object BlockIndex {
       * per-partition TakeOrdered + driver merge of nPartitions·k rows.
       */
     def scoreRel(rel: DataFrame): DataFrame =
-      decodePostingsWithBlock(
+      liveOnly(spark, dir, decodePostingsWithBlock(
         rel.select(col("term"), col("blockId"), col("bytes"))
-          .repartition(col("blockId")))
+          .repartition(col("blockId"))))
         .join(idfDf, "term")
         .groupBy(col("blockId"), col("docId"))
         .agg(sum(col("qcnt") * col("idf") * (k1 + 1) * col("tf") /
@@ -946,9 +1076,9 @@ object BlockIndex {
           termBlocks.where(col("blockId").isin(pairs.map(_._2).distinct: _*))
         case _ => termBlocks
       }
-      val base = decodePostingsWithBlock(
+      val base = liveOnly(spark, dir, decodePostingsWithBlock(
           blocksRel.select(col("term"), col("blockId"), col("bytes"))
-            .repartition(col("blockId")))
+            .repartition(col("blockId"))))
         .join(broadcast(termDf.select(col("term"), col("idf"))), "term")
         .join(qDf, "term")
       val restricted = restrict match {

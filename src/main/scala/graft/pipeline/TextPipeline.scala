@@ -659,6 +659,99 @@ object TextPipeline {
       .where(col("sample_bucket") < cutoff)
   }
 
+  /** Per-stratum /256 keep thresholds realizing a TARGET MIX: scale every
+    * source to the largest total the corpus can deliver at proportions
+    * `shares` (the binding source keeps everything; over-represented
+    * sources down-sample). T = min over target sources of n_s / p_s is
+    * the achievable total; threshold_s = floor(256 · p_s · T / n_s), so
+    * kept_s ≈ p_s · T at [[stratifiedSample]]'s 1/256 granularity.
+    * Strata not in `shares` get 0 (dropped). All arithmetic is plain
+    * IEEE double in a fixed expression shape, so an oracle recomputes
+    * the exact thresholds. Driver-side inputs: one (stratum, count)
+    * aggregation — bounded by the number of sources, not the data.
+    */
+  def mixThresholds(docs: DataFrame, strataCol: String,
+      shares: Map[String, Double]): Map[String, Int] = {
+    require(shares.values.forall(p => p >= 0 && p <= 1), "shares in [0,1]")
+    val counts = docs.where(col(strataCol).isin(shares.keys.toSeq: _*))
+      .groupBy(col(strataCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val t = shares.collect {
+      case (s, p) if p > 0 && counts.getOrElse(s, 0L) > 0L => counts(s) / p
+    }.minOption.getOrElse(0.0)
+    shares.map { case (s, p) =>
+      val n = counts.getOrElse(s, 0L)
+      s -> (if (n == 0L || p <= 0) 0
+            else math.min(256L, math.floor(256.0 * p * t / n).toLong).toInt)
+    }
+  }
+
+  /** Down-sample the corpus to the target source mix: [[mixThresholds]]
+    * derives the per-source keep rates, [[stratifiedSample]] applies them
+    * content-keyed and deterministically. Sources absent from `shares`
+    * are dropped entirely (defaultThreshold 0).
+    */
+  def rebalanceToMix(docs: DataFrame, strataCol: String,
+      shares: Map[String, Double], textCol: String = "text"): DataFrame =
+    stratifiedSample(docs, strataCol, mixThresholds(docs, strataCol, shares),
+      defaultThreshold = 0, textCol = textCol)
+
+  /** Keep documents in PRIORITY order until a global token budget is
+    * exhausted — how a pretraining run fills its token target from a
+    * quality-ranked pool ("take the best N tokens"). A document whose
+    * tokens would cross the budget is dropped whole (no truncation), as
+    * are all documents after it in priority order that don't fit; the
+    * output carries `cum_before` and `keep` so both the cut and the
+    * ordering are auditable.
+    *
+    * `priority` is (expression, ascending) pairs forming a deterministic
+    * total order (end it with an id column). Scalable by
+    * [[packAssign]]'s two-pass prefix sum — range partition on the order
+    * keys, one numPartitions-row collect, broadcast offsets,
+    * per-partition running sum — never a single-partition global window.
+    *
+    * Output: (id, tokens, cum_before, keep).
+    */
+  def selectToTokenBudget(
+      docs: DataFrame, idCol: String, tokens: Column, budget: Long,
+      priority: Seq[(Column, Boolean)],
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(budget >= 0, s"token budget must be >= 0, got $budget")
+    require(priority.nonEmpty, "priority order must be non-empty")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val named = priority.zipWithIndex.map { case ((c, _), i) => c.as(s"__o$i") }
+    val sortCols = priority.zipWithIndex.map { case ((_, asc), i) =>
+      if (asc) col(s"__o$i").asc else col(s"__o$i").desc
+    }
+    val base = docs.select(col(idCol).cast("long").as("id") +:
+      tokens.cast("long").as("tokens") +: named: _*)
+    val nPart = numPartitions.getOrElse(spark.sparkContext.defaultParallelism)
+    val parted = base
+      .repartitionByRange(nPart, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val sums = parted.groupBy($"__pid").agg(sum($"tokens")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val offsets = (0 until nPart).scanLeft(0L) { (acc, p) =>
+        acc + sums.getOrElse(p, 0L)
+      }
+      val offDf = offsets.init.zipWithIndex
+        .map { case (off, p) => (p, off) }.toDF("__pid", "__off")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"__pid").orderBy(sortCols: _*)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      parted
+        .join(broadcast(offDf), "__pid")
+        .withColumn("cum_before",
+          coalesce(sum($"tokens").over(w), lit(0L)) + $"__off")
+        .select($"id", $"tokens", $"cum_before",
+          ($"cum_before" + $"tokens" <= budget).as("keep"))
+        .localCheckpoint()
+    } finally parted.unpersist()
+  }
+
   // ---------------------------------------------------------------------
   // Hashed-n-gram importance weights (data selection)
   // ---------------------------------------------------------------------
@@ -760,6 +853,93 @@ object TextPipeline {
       .withColumn("__r2", row_number().over(w2)).where(col("__r2") <= n)
       .drop("__salt", "__r", "__r2")
   }
+
+  // ---------------------------------------------------------------------
+  // BPE tokenizer training (byte-pair-encoding merge learning)
+  // ---------------------------------------------------------------------
+
+  /** One learned BPE merge: at `step`, the adjacent symbol pair
+    * (lhs, rhs) had the highest corpus-weighted count and was fused into
+    * lhs+rhs.
+    */
+  final case class BpeMerge(step: Int, lhs: String, rhs: String, count: Long)
+
+  /** Train `nMerges` BPE merge rules on the corpus (Sennrich et al. 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units") —
+    * tokenizer vocabulary learning as a distributed pipeline op.
+    *
+    * The working relation is VOCABULARY-sized, not corpus-sized: one pass
+    * aggregates analyzer tokens to (word, cnt), after which every merge
+    * iteration touches only distinct words — the classic trick that makes
+    * BPE training tractable, and in Spark the difference between a
+    * per-iteration corpus scan and a per-iteration vocab scan. Each
+    * iteration is two jobs: (1) adjacent-pair counts weighted by word
+    * frequency (map-combined; argmax by count desc, then lexicographic
+    * (lhs, rhs) so ties are engine-reproducible), collected as ONE row;
+    * (2) nothing — the merge application is a lazy narrow `replace`
+    * stacked onto the plan, checkpointed every `checkpointEvery` merges
+    * so plan depth stays bounded at real vocabulary scales.
+    *
+    * Symbol sequences travel as `|s1||s2||...||sn|` strings: the merge of
+    * (x, y) is then literal `replace(enc, "|x||y|", "|xy|")`, whose
+    * leftmost-non-overlapping scan is EXACTLY BPE's greedy left-to-right
+    * single-pass application (the doubled separator makes adjacent
+    * occurrences like `a a a` behave: the second `a` is consumed by the
+    * first merge and cannot start another). Symbols are analyzer-token
+    * substrings (alphanumeric), so `|` can never occur inside one.
+    *
+    * Training stops early when the best pair's count falls under
+    * `minCount`. Returns the merge table (driver-side — `nMerges` rows,
+    * bounded) and the final word relation (word, cnt, enc).
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, nMerges: Int,
+      minCount: Long = 2L, checkpointEvery: Int = 8):
+      (Seq[BpeMerge], DataFrame) = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(checkpointEvery >= 1, s"checkpointEvery must be >= 1")
+    var words = docs
+      .select(explode(Analyzer.tokensCol(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("enc",
+        concat(lit("|"), array_join(split(col("word"), ""), "||"), lit("|")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var step = 1
+    var done = false
+    while (step <= nMerges && !done) {
+      val syms = split(trim(col("enc"), "|"), "\\|\\|")
+      val n = size(syms)
+      val best = words
+        .select(col("cnt"), syms.as("__s"), n.as("__n"))
+        .where(col("__n") >= 2)
+        .select(col("cnt"), explode(zip_with(
+          slice(col("__s"), lit(1), col("__n") - 1),
+          slice(col("__s"), lit(2), col("__n") - 1),
+          (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(2) < minCount) done = true
+      else {
+        val (l, r, c) =
+          (best.head.getString(0), best.head.getString(1), best.head.getLong(2))
+        merges += BpeMerge(step, l, r, c)
+        words = words.withColumn("enc",
+          replace(col("enc"), lit(s"|$l||$r|"), lit(s"|$l$r|")))
+        if (step % checkpointEvery == 0) words = words.localCheckpoint()
+        step += 1
+      }
+    }
+    (merges.toSeq, words.select(col("word"), col("cnt"), col("enc")))
+  }
+
+  /** The final sub-word segmentation each word gets after [[bpeTrain]]'s
+    * merges: (word, cnt, seg) with symbols space-joined.
+    */
+  def bpeSegment(words: DataFrame): DataFrame =
+    words.select(col("word"), col("cnt"),
+      array_join(split(trim(col("enc"), "|"), "\\|\\|"), " ").as("seg"))
 
   // ---------------------------------------------------------------------
   // Exact duplicate-span detection (substring dedup)

@@ -264,6 +264,105 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(topk(d, "table") == topk(coldDir, "table"))
   }
 
+  // ------------------------------------------------------------------
+  // Tombstone deletes
+  // ------------------------------------------------------------------
+
+  test("delete: tombstoned docs vanish from WAND, batch, and bundle paths (stale-stats semantics)") {
+    val d = tmpDir("blockidx-tomb").toString
+    BlockIndex.build(docs, d, layout)
+    val delIds = docs.select(col("docId")).where(pmod(col("docId"), lit(7)) === 3)
+    val nDel = delIds.count().toInt
+    assert(nDel > 0)
+    val q = "spark join fast window"
+    val k = 10
+    // stale-stats contract: deleting does NOT change surviving docs'
+    // scores (df/avgdl/N stay those of the last build), so the
+    // post-delete top-k must equal the pre-delete ranking with deleted
+    // docs struck out
+    val before = BlockIndex.bm25TopK(spark, d, q, k + nDel)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    BlockIndex.delete(delIds, d)
+    val expect = before.filter(_._1 % 7 != 3).take(k).toSeq
+    val after = topk(d, q, k)
+    assert(after.map(_._1) == expect.map(_._1))
+    after.map(_._2).zip(expect.map(_._2)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+    val batch = BlockIndex.bm25TopKBatch(spark, d, Seq(q), k)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(batch.map(_._1) == expect.map(_._1))
+    // every query mode served via asBundle excludes tombstoned docs
+    val e = new QueryEngine(BlockIndex.asBundle(spark, d, persist = false))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("docId").collect().map(_.getLong(0)).toSeq
+    val termIds = ids(e.termsQuery("spark table"))
+    assert(termIds.nonEmpty && termIds.forall(_ % 7 != 3))
+    assert(ids(e.bm25Query(q)).forall(_ % 7 != 3))
+    assert(ids(e.wildcardQuery("tab*")).forall(_ % 7 != 3))
+  }
+
+  test("delete replay is a no-op; separate deletes accumulate") {
+    val d = tmpDir("blockidx-tomb-replay").toString
+    BlockIndex.build(docs.where(col("docId") < 100), d, layout)
+    val sp = spark
+    import sp.implicits._
+    // pick victims from ACTUAL hits so the exclusion asserts can't pass
+    // vacuously
+    val hits = topk(d, "table", 200).map(_._1)
+    assert(hits.size >= 3)
+    val a = Seq(hits(0), hits(1)).toDF("docId")
+    val m1 = BlockIndex.delete(a, d)
+    assert(m1.gens.size == 1 && m1.nIds == 2)
+    assert(BlockIndex.delete(a, d) == m1) // redelivery: detected by name
+    val m2 = BlockIndex.delete(Seq(hits(2)).toDF("docId"), d)
+    assert(m2.gens.size == 2 && m2.nIds == 3)
+    val live = topk(d, "table", 200).map(_._1).toSet
+    assert(hits.take(3).forall(!live.contains(_)))
+    assert(live == hits.drop(3).toSet)
+  }
+
+  test("compact folds tombstones out: stats/bytes == cold build over survivors, tombstones cleared") {
+    val d = tmpDir("blockidx-tomb-compact").toString
+    BlockIndex.build(docs, d, layout)
+    BlockIndex.delete(
+      docs.select(col("docId")).where(pmod(col("docId"), lit(7)) === 3), d)
+    val meta = BlockIndex.compact(d) // plain index + tombstones is compactable
+    assert(meta.segs.size == 1)
+    val survDir = tmpDir("blockidx-tomb-cold").toString
+    BlockIndex.build(docs.where(pmod(col("docId"), lit(7)) =!= 3), survDir, layout)
+    // physical reclaim: fresh stats (df, vocab, avgdl, nDocs) and
+    // byte-identical blocks vs a cold build that never saw deleted docs
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(survDir))
+    def bytesSet(dir: String) = BlockIndex.readBlocks(spark, dir)
+      .select("term", "blockId", "bytes")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Array[Byte]](2).toSeq)).toSet
+    assert(bytesSet(d) == bytesSet(survDir))
+    assert(BlockIndex.readTombMeta(d).isEmpty)
+    assert(Files.list(java.nio.file.Paths.get(d)).toArray
+      .forall(!_.toString.split('/').last.startsWith("tomb-")))
+    for (q <- Seq("table", "spark join fast window"))
+      assert(topk(d, q) == topk(survDir, q), s"query '$q'")
+    // maxDocId floor survives even if the max-id doc was deleted
+    assert(meta.maxDocId == docs.agg(max(col("docId"))).head().getLong(0))
+  }
+
+  test("overwrite rebuild drops stale tombstones; compact without segments or tombstones rejects") {
+    val d = tmpDir("blockidx-tomb-overwrite").toString
+    BlockIndex.build(docs.where(col("docId") < 100), d, layout)
+    val sp = spark
+    import sp.implicits._
+    val victim = topk(d, "table", 200).map(_._1).head
+    BlockIndex.delete(Seq(victim).toDF("docId"), d)
+    assert(!topk(d, "table", 200).map(_._1).contains(victim))
+    BlockIndex.build(docs.where(col("docId") < 100), d, layout, overwrite = true)
+    // the rebuilt corpus starts with no deletes — the victim is back
+    assert(BlockIndex.readTombMeta(d).isEmpty)
+    assert(topk(d, "table", 200).map(_._1).contains(victim))
+    intercept[IllegalArgumentException] { BlockIndex.compact(d) }
+  }
+
   test("batched WAND over a segmented index == over the cold build") {
     val d = tmpDir("blockidx-seg-batch").toString
     BlockIndex.build(docs.where(col("docId") < 300), d, layout)

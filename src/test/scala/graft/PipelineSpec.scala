@@ -952,6 +952,119 @@ class PipelineSpec extends AnyFunSuite {
     assert(best.forall(_ > 6.0), s"keep-best picked $best")
   }
 
+  test("mixThresholds realizes the target mix; rebalanceToMix applies it deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // 400 src0, 100 src1, 50 src2 docs; target mix 50/25/25.
+    // T = min(400/.5, 100/.25, 50/.25) = 200 (src2 binds):
+    //   src0 floor(256·.5·200/400)=64, src1 floor(256·.25·200/100)=128,
+    //   src2 256 (keeps all)
+    val rows = (1 to 550).map { i =>
+      val s = if (i <= 400) "src0" else if (i <= 500) "src1" else "src2"
+      (i.toLong, s, s"document number $i content")
+    }.toDF("doc_id", "source", "text")
+    val shares = Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25)
+    val th = TextPipeline.mixThresholds(rows, "source", shares)
+    assert(th == Map("src0" -> 64, "src1" -> 128, "src2" -> 256))
+    val kept = TextPipeline.rebalanceToMix(rows, "source", shares)
+    val bySrc = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src2 (binding) keeps everything; the others down-sample by bucket
+    assert(bySrc("src2") == 50L)
+    assert(bySrc("src0") < 400L && bySrc("src1") < 100L)
+    // deterministic: same input → same kept set
+    val kept2 = TextPipeline.rebalanceToMix(rows, "source", shares)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).toSet == kept2)
+    // a source not in the target mix is dropped
+    val th2 = TextPipeline.mixThresholds(rows, "source",
+      Map("src1" -> 0.5, "src2" -> 0.5))
+    assert(!th2.contains("src0"))
+    assert(TextPipeline.rebalanceToMix(rows, "source",
+      Map("src1" -> 0.5, "src2" -> 0.5))
+      .where($"source" === "src0").count() == 0L)
+  }
+
+  test("selectToTokenBudget keeps the priority prefix; straddler dropped whole") {
+    val sp = spark
+    import sp.implicits._
+    // quality desc, id asc; budget 100: docs q=9 (40 tok), q=8 (30),
+    // q=7 (50 — would cross 100, dropped), q=6 (20 — also dropped: order
+    // is strict priority, not best-fit)
+    val rows = Seq(
+      (1L, 40L, 9.0), (2L, 30L, 8.0), (3L, 50L, 7.0), (4L, 20L, 6.0)
+    ).toDF("doc_id", "n_tokens", "quality")
+    val out = TextPipeline.selectToTokenBudget(rows, "doc_id",
+        col("n_tokens"), budget = 100L,
+        priority = Seq(col("quality") -> false, col("doc_id") -> true))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("cum_before"), r.getAs[Boolean]("keep"))).toMap
+    assert(out(1L) == ((0L, true)))
+    assert(out(2L) == ((40L, true)))
+    assert(out(3L) == ((70L, false))) // 70 + 50 > 100
+    assert(out(4L) == ((120L, false))) // strict prefix: after the straddler
+    // two-pass prefix sum == single global window at any partitioning
+    val big = (1 to 500).map(i => (i.toLong, (i % 7 + 1).toLong,
+      (i % 13).toDouble)).toDF("doc_id", "n_tokens", "quality")
+    val twoPass = TextPipeline.selectToTokenBudget(big, "doc_id",
+        col("n_tokens"), budget = 777L,
+        priority = Seq(col("quality") -> false, col("doc_id") -> true),
+        numPartitions = Some(7))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val oneWindow = big
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("cum_before"),
+        (col("cum_before") + col("n_tokens") <= 777L).as("keep"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(twoPass == oneWindow)
+  }
+
+  test("bpeTrain learns the classic merge sequence; bpeSegment applies it greedily") {
+    val sp = spark
+    import sp.implicits._
+    // Sennrich et al.'s worked example (sans </w>): low×5, lower×2,
+    // newest×6, widest×3. Hand-derived merge sequence:
+    //  1 (e,s)  9   (newest 6 + widest 3; ties (e,s)/(s,t) → lex min)
+    //  2 (es,t) 9
+    //  3 (l,o)  7   (ties (l,o)/(o,w) → lex min)
+    //  4 (lo,w) 7
+    //  5 (e,w)  6   (ties (n,e)/(e,w)/(w,est) → lex min)
+    val corpus = Seq(
+      (1L, Seq.fill(5)("low").mkString(" ")),
+      (2L, Seq.fill(2)("lower").mkString(" ")),
+      (3L, Seq.fill(6)("newest").mkString(" ")),
+      (4L, Seq.fill(3)("widest").mkString(" "))
+    ).toDF("doc_id", "text")
+    val (merges, words) = TextPipeline.bpeTrain(corpus, "text", nMerges = 5,
+      minCount = 1, checkpointEvery = 2)
+    assert(merges.map(m => (m.step, m.lhs, m.rhs, m.count)) == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L),
+      (4, "lo", "w", 7L), (5, "e", "w", 6L)))
+    val segs = TextPipeline.bpeSegment(words)
+      .collect().map(r => r.getAs[String]("word") ->
+        (r.getAs[Long]("cnt"), r.getAs[String]("seg"))).toMap
+    assert(segs == Map(
+      "low" -> ((5L, "low")), "lower" -> ((2L, "low e r")),
+      "newest" -> ((6L, "n ew est")), "widest" -> ((3L, "w i d est"))))
+    // minCount stops training before degenerate merges
+    val (few, _) = TextPipeline.bpeTrain(corpus, "text", nMerges = 50,
+      minCount = 8)
+    assert(few.map(_.count).forall(_ >= 8) && few.size == 2)
+    // greedy left-to-right: adjacent repeats consume left-first. Corpus
+    // "aaaa"(=a·a·a·a chars): merge 1 = (a,a); applied, "aaaa" → aa aa,
+    // "aaa" → aa a
+    val (m2, w2) = TextPipeline.bpeTrain(
+      Seq((1L, "aaaa aaa")).toDF("doc_id", "text"), "text", nMerges = 1,
+      minCount = 1)
+    assert(m2.head.lhs == "a" && m2.head.rhs == "a" && m2.head.count == 5L)
+    val seg2 = TextPipeline.bpeSegment(w2)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(seg2 == Map("aaaa" -> "aa aa", "aaa" -> "aa a"))
+  }
+
   test("duplicateSpans finds corpus-repeated token windows; dupSpanStats merges overlap") {
     val sp = spark
     import sp.implicits._
