@@ -248,6 +248,21 @@ object Bench {
           .bpeTrain(documents, "text", nMerges = 5, minCount = 1)
         m.size.toLong + w.count()
       }),
+      // compliance scan: license class + secret counts + admission, one
+      // narrow codegen'd pass over the corpus
+      "secret_license_scan" -> (() => {
+        import graft.pipeline.CodeOps
+        documents.select(
+          CodeOps.licenseOf(col("text")).as("license"),
+          CodeOps.secretCount(col("text")).as("n_secrets"),
+          CodeOps.trainable(col("text")).as("ok")).count()
+      }),
+      // token-budget curation: range-partitioned two-pass prefix sum
+      "token_budget_select" -> (() => graft.pipeline.TextPipeline
+        .selectToTokenBudget(documents, "doc_id", col("n_chars"),
+          budget = 20000L,
+          priority = Seq(col("n_chars") -> false, col("doc_id") -> true))
+        .count()),
       // offline eval of 3 live BM25 rankings against derived graded
       // qrels — the SAME builder as gate q83, so bench and gate can't
       // desynchronize

@@ -64,8 +64,14 @@ object SearchCli {
       }
     // Phrase/Proximity modes read positions straight off the corpus
     // relation (lazy plan; a deployment with a persisted sidecar queries
-    // PositionalIndex.phraseSearch/proximitySearch directly instead)
-    val positions = Some(graft.index.PositionalIndex.positionsStream(docs))
+    // PositionalIndex.phraseSearch/proximitySearch directly instead).
+    // When serving a tombstoned index, the corpus-derived positions must
+    // exclude the deleted docs too — the bundle already does.
+    val rawPositions = graft.index.PositionalIndex.positionsStream(docs)
+    val positions = Some(idxDir.flatMap(BlockIndex.tombstones(spark, _))
+      .fold(rawPositions)(t => rawPositions.join(
+        org.apache.spark.sql.functions.broadcast(t.distinct()),
+        Seq("docId"), "left_anti")))
     val engine = idxDir match {
       case Some(d) =>
         new QueryEngine(BlockIndex.asBundle(spark, d, k), positions = positions)

@@ -691,7 +691,7 @@ object BlockIndex {
     * removed the deleted docs. Removes EVERY `tomb-*` directory
     * (committed or the leftover of a killed [[delete]]), then the meta.
     */
-  private def clearTombstones(dir: String): Unit = {
+  private[index] def clearTombstones(dir: String): Unit = {
     MetaIO.deleteIfExists(s"$dir/$TombMetaName")
     MetaIO.list(dir).filter(_.startsWith("tomb-"))
       .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))

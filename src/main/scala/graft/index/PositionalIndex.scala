@@ -436,17 +436,22 @@ object PositionalIndex {
     * writer maintenance op, like [[BlockIndex.compact]].
     */
   def compact(dir: String): PosSegmentsMeta = {
-    require(isSegmented(dir), s"$dir is not a segmented positional sidecar")
-    val meta = readSegments(dir)
-    if (meta.segs.size == 1 && meta.segs.head != ".") {
+    val tomb = BlockIndex.readTombMeta(dir).filter(_.gens.nonEmpty)
+    require(isSegmented(dir) || tomb.nonEmpty,
+      s"$dir is not a segmented positional sidecar and has no tombstones" +
+        " to fold out")
+    val spark = SparkSession.active
+    val meta = segMeta(spark, dir)
+    if (meta.segs.size == 1 && meta.segs.head != "." && tomb.isEmpty) {
       sweepUnreferenced(dir, meta)
       return meta
     }
-    val spark = SparkSession.active
     // named by corpus identity (append-only ⇒ (maxDocId, segment count)
-    // pins the fold): a killed compaction re-runs its own directory
-    val gen = s"pseg-compact-${meta.maxDocId}-${meta.segs.size}"
-    val rows = segDirs(dir).flatMap { seg =>
+    // pins the fold; the committed tombstone row count pins the delete
+    // set on top): a killed compaction re-runs its own directory
+    val gen = s"pseg-compact-${meta.maxDocId}-${meta.segs.size}" +
+      tomb.fold("")(t => s"-d${t.nIds}")
+    val rows0 = segDirs(dir).flatMap { seg =>
       val paths = (0 until readNShards(seg)).map(s => s"$seg/shard=$s")
         .filter(MetaIO.exists)
       if (paths.isEmpty) None
@@ -456,12 +461,44 @@ object PositionalIndex {
       import spark.implicits._
       Seq.empty[(String, Long, Seq[Long])].toDF("term", "docId", "positions")
     }
+    // physical reclaim of deleted docs' positions — like
+    // [[BlockIndex.compact]], a kill between the commit below and
+    // clearTombstones re-runs the (then no-op) fold: wasteful once,
+    // never wrong
+    val rows = tomb.fold(rows0)(_ => antiJoinTombstones(spark, dir, rows0))
     buildFromRows(rows, s"$dir/$gen", meta.nShards)
     val m = PosSegmentsMeta(Seq(gen), meta.nShards, meta.maxDocId)
     writeSegments(dir, m)
+    BlockIndex.clearTombstones(dir)
     sweepUnreferenced(dir, m)
     m
   }
+
+  /** Mark documents DELETED in the sidecar without touching committed
+    * segment data — the same tombstone files, replay detection, and
+    * Lucene stale-until-compact semantics as [[BlockIndex.delete]] (the
+    * implementation is shared; only the directory differs). The sidecar
+    * lives in its own directory, so deletes are per-structure: run the
+    * same delete against the block index dir AND the sidecar dir.
+    * [[phraseSearch]]/[[proximitySearch]] anti-join the tombstones;
+    * the df selectivity probe keeps pre-delete counts until [[compact]]
+    * folds the deletes out physically (heuristic-only, never affects
+    * which docs are returned).
+    */
+  def delete(ids: DataFrame, dir: String): BlockIndex.TombMeta =
+    BlockIndex.delete(ids, dir)
+
+  /** Filter position rows down to live (untombstoned) docs; identity
+    * when no delete was ever committed.
+    */
+  private def antiJoinTombstones(spark: SparkSession, dir: String,
+      rows: DataFrame): DataFrame =
+    BlockIndex.readTombMeta(dir).filter(_.gens.nonEmpty).fold(rows) { m =>
+      val t = BlockIndex.tombstones(spark, dir).get.distinct()
+      rows.join(
+        if (m.nIds <= BlockIndex.BroadcastTombCap) broadcast(t) else t,
+        Seq("docId"), "left_anti")
+    }
 
   private def sweepUnreferenced(dir: String,
       committed: PosSegmentsMeta): Unit = {
@@ -536,7 +573,10 @@ object PositionalIndex {
     val dfs = perSeg.flatMap(_._2.toSeq)
       .groupMapReduce(_._1)(_._2)(_ + _)
     if (qTerms.exists(t => dfs.getOrElse(t, 0L) == 0L)) return None
-    val rows = perSeg.map(_._1).reduce(_ union _)
+    // tombstoned docs vanish before any matching; the df probe above
+    // keeps stale (pre-delete) counts until compact — heuristic-only
+    val rows = antiJoinTombstones(spark, dir,
+      perSeg.map(_._1).reduce(_ union _))
     val (rareTerm, rareDf) = dfs.minBy(_._2)
     val filtered =
       if (dfs.values.max / math.max(rareDf, 1L) < SkewRatio) rows

@@ -1,0 +1,143 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source-code-corpus curation operators: secret scanning and license
+  * detection — the two compliance filters every code training pipeline
+  * runs before anything else (a leaked credential must never reach a
+  * training shard; license class decides whether a file may be trained
+  * on at all).
+  *
+  * Like [[TextPipeline]]'s PII scrubbing, every operator is a per-row
+  * Column expression — embarrassingly parallel, no shuffle, inside
+  * whole-stage codegen — and every pattern is portable between Java
+  * regex and RE2 (no backtracking constructs), so a DuckDB oracle can
+  * replay the exact semantics.
+  */
+object CodeOps {
+
+  // ---------------------------------------------------------------------
+  // Secret scanning
+  // ---------------------------------------------------------------------
+
+  /** AWS access key id: fixed `AKIA` prefix + 16 uppercase base-36 chars
+    * (the published id format — high precision, the canonical scanner
+    * pattern).
+    */
+  val AwsKeyPattern = "AKIA[0-9A-Z]{16}"
+
+  /** GitHub personal access token (classic): `ghp_` + 36 base-62 chars. */
+  val GithubTokenPattern = "ghp_[A-Za-z0-9]{36}"
+
+  /** PEM private-key header: `-----BEGIN ... PRIVATE KEY-----` with any
+    * algorithm qualifier (RSA/EC/OPENSSH/none). The header alone marks
+    * the document — the key body need not be well-formed to be a leak.
+    */
+  val PrivateKeyPattern = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+
+  def awsKeyCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(AwsKeyPattern), lit(0)))
+
+  def githubTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(GithubTokenPattern), lit(0)))
+
+  def privateKeyCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PrivateKeyPattern), lit(0)))
+
+  /** Total secret matches across all three detectors. The patterns are
+    * mutually exclusive by construction (distinct fixed prefixes), so
+    * the sum never double-counts a span.
+    */
+  def secretCount(text: Column): Column =
+    awsKeyCount(text) + githubTokenCount(text) + privateKeyCount(text)
+
+  /** Replace every detected secret with a typed placeholder, in a fixed
+    * pass order (AWS → GitHub → private key) so engine and oracle agree
+    * byte-for-byte. Three codegen'd regexp_replace passes.
+    */
+  def secretScrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, AwsKeyPattern, "<AWS_KEY>"),
+        GithubTokenPattern, "<GH_TOKEN>"),
+      PrivateKeyPattern, "<PRIVATE_KEY>")
+
+  // ---------------------------------------------------------------------
+  // License detection
+  // ---------------------------------------------------------------------
+
+  /** SPDX short-form identifier line (the machine-readable header the
+    * ecosystem standardized on). Group 1 captures the license id.
+    */
+  val SpdxPattern = "SPDX-License-Identifier: ([A-Za-z0-9.+\\-]+)"
+
+  /** Classify a file's license: an SPDX identifier wins outright; else
+    * the first matching classic header phrase (checked in a FIXED order,
+    * most-distinctive first — MIT's grant sentence, Apache's name+version,
+    * GPL's name, MPL's name, BSD's redistribution clause); else
+    * `unknown`. Phrase matching is case-insensitive `contains` — licence
+    * headers survive reflowing and comment-marker prefixes, which anchored
+    * regexes would not.
+    */
+  def licenseOf(text: Column): Column = {
+    val t = lower(coalesce(text, lit("")))
+    val spdx = regexp_extract(coalesce(text, lit("")), SpdxPattern, 1)
+    when(spdx =!= "", spdx)
+      .when(t.contains("permission is hereby granted, free of charge"),
+        "MIT")
+      .when(t.contains("apache license") && t.contains("version 2.0"),
+        "Apache-2.0")
+      .when(t.contains("gnu general public license"), "GPL")
+      .when(t.contains("mozilla public license"), "MPL-2.0")
+      .when(t.contains("redistribution and use in source and binary forms"),
+        "BSD")
+      .otherwise("unknown")
+  }
+
+  /** The permissive set a typical code-training policy admits. */
+  val PermissiveLicenses: Seq[String] =
+    Seq("MIT", "Apache-2.0", "BSD", "MPL-2.0")
+
+  /** Training admission: permissively-licensed AND secret-free. */
+  def trainable(text: Column): Column =
+    licenseOf(text).isin(PermissiveLicenses: _*) && secretCount(text) === 0
+
+  // ---------------------------------------------------------------------
+  // Import / dependency extraction
+  // ---------------------------------------------------------------------
+
+  /** Module-reference patterns, one per syntax family, RE2-portable;
+    * group 1 captures the module. `import a.b.c` covers Java/Scala/Python
+    * (and deliberately also fires on the `import x` tail of a Python
+    * `from m import x` line — both names are dependencies).
+    */
+  val ImportPattern = "import ([A-Za-z_][A-Za-z0-9_.]*)"
+  val FromImportPattern = "from ([A-Za-z_][A-Za-z0-9_.]*) import"
+  val IncludePattern = "#include <([A-Za-z0-9_./]+)>"
+
+  /** The distinct modules a file references, across all three families
+    * (first-occurrence order; per-row Column logic, no shuffle).
+    */
+  def importedModules(text: Column): Column =
+    array_distinct(concat(
+      regexp_extract_all(text, lit(ImportPattern), lit(1)),
+      regexp_extract_all(text, lit(FromImportPattern), lit(1)),
+      regexp_extract_all(text, lit(IncludePattern), lit(1))))
+
+  /** The file→module dependency edge list: one row per (id, module),
+    * already distinct per file. The narrow explode keeps extraction
+    * shuffle-free; downstream graph ops ([[graft.pipeline.GraphOps]]
+    * PageRank/HITS over module nodes) add their own exchanges.
+    */
+  def importEdges(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(importedModules(col(textCol))).as("module"))
+
+  /** Reverse-dependency counts: how many files reference each module —
+    * the degree table dependency-centrality starts from. One map-combined
+    * aggregation.
+    */
+  def moduleDependents(edges: DataFrame): DataFrame =
+    edges.groupBy(col("module")).agg(count(lit(1)).as("n_files"))
+}

@@ -941,6 +941,36 @@ object TextPipeline {
     words.select(col("word"), col("cnt"),
       array_join(split(trim(col("enc"), "|"), "\\|\\|"), " ").as("seg"))
 
+  /** Encode the corpus under a trained BPE model: per document, the word
+    * count and the sub-word token count after [[bpeTrain]]'s merges — the
+    * number that prices a document against a training token budget (cf.
+    * [[selectToTokenBudget]]), computed under the ACTUAL tokenizer rather
+    * than the whitespace proxy. One tokenize pass joined against the
+    * vocabulary-sized segmentation relation (tiny next to the corpus —
+    * the planner broadcasts it); words outside the trained vocabulary
+    * fall back to character-level encoding (length(word) symbols), which
+    * is exactly what an untrained BPE encoder would emit. Total: zero-
+    * token documents ride the left join back with counts 0.
+    *
+    * Output: (id, n_words, n_bpe_tokens).
+    */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+      words: DataFrame): DataFrame = {
+    val seg = words.select(col("word"),
+      size(split(trim(col("enc"), "|"), "\\|\\|")).cast("long").as("__ns"))
+    val per = docs
+      .select(col(idCol).as("id"),
+        explode(Analyzer.tokensCol(col(textCol))).as("word"))
+      .join(seg, Seq("word"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("__ns"), length(col("word")).cast("long")))
+          .as("n_bpe_tokens"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .na.fill(0L, Seq("n_words", "n_bpe_tokens"))
+  }
+
   // ---------------------------------------------------------------------
   // Exact duplicate-span detection (substring dedup)
   // ---------------------------------------------------------------------

@@ -85,6 +85,42 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoned sidecar: deleted docs vanish from phrase/proximity; compact reclaims") {
+    val sp = spark
+    import sp.implicits._
+    val docs = modelDocs((1L to 40L).map { id =>
+      (id, "", s"alpha beta gamma doc$id alpha beta")
+    })
+    val dir = Files.createTempDirectory("graft-pos-tomb").toString
+    PositionalIndex.build(docs, dir, nShards = 4)
+    def phraseIds() = PositionalIndex.phraseSearch(spark, dir, "alpha beta", 100)
+      .collect().map(_.getLong(0)).toSet
+    def proxIds() = PositionalIndex.proximitySearch(spark, dir, "beta gamma", 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(phraseIds() == (1L to 40L).toSet)
+    val victims = (1L to 40L).filter(_ % 4 == 2)
+    PositionalIndex.delete(victims.toDF("docId"), dir)
+    val live = (1L to 40L).toSet -- victims
+    assert(phraseIds() == live)
+    assert(proxIds() == live)
+    // compact folds the deletes out physically: rows == a cold build over
+    // survivors, tombstone state cleared, queries unchanged
+    PositionalIndex.compact(dir) // plain sidecar + tombstones compacts
+    assert(graft.index.BlockIndex.readTombMeta(dir).isEmpty)
+    assert(phraseIds() == live && proxIds() == live)
+    val coldDir = Files.createTempDirectory("graft-pos-tomb-cold").toString
+    PositionalIndex.build(docs.where(!col("docId").isin(victims: _*)),
+      coldDir, nShards = 4)
+    def posRows(d: String) = PositionalIndex.phraseSearch(spark, d, "alpha", 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(posRows(dir) == posRows(coldDir))
+    // a rebuild drops stale tombstones with the rest of the directory
+    PositionalIndex.delete(Seq(3L).toDF("docId"), dir)
+    PositionalIndex.build(docs, dir, nShards = 4)
+    assert(graft.index.BlockIndex.readTombMeta(dir).isEmpty)
+    assert(phraseIds() == (1L to 40L).toSet)
+  }
+
   test("proximityHits: minimal covering window, order-free, single term, absent term") {
     val docs = modelDocs(Seq(
       (1L, "", "table big scan"), // cover spans positions 0..2
