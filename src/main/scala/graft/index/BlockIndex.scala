@@ -674,11 +674,20 @@ object BlockIndex {
     * `ids` must have a `docId` column; ids absent from the index are
     * tolerated (the anti-join ignores them).
     */
-  def delete(ids: DataFrame, dir: String): TombMeta = {
+  def delete(ids: DataFrame, dir: String,
+      genName: Option[String] = None): TombMeta = {
     val cur = readTombMeta(dir).getOrElse(TombMeta(Nil, 0L))
+    // a caller-keyed generation (e.g. a streaming micro-batch id) makes
+    // replay detectable BEFORE the delete set is even counted — the
+    // exactly-once hook foreachBatch delete sinks rely on, exactly like
+    // [[refresh]]'s genName
+    genName.map(g => s"tomb-$g").foreach { gen =>
+      if (cur.gens.contains(gen)) return cur
+    }
     val b = ids.agg(min(col("docId")), max(col("docId")), count(lit(1))).head()
     if (b.getLong(2) == 0L) return cur
-    val gen = s"tomb-${b.getLong(0)}-${b.getLong(1)}-${b.getLong(2)}"
+    val gen = genName.map(g => s"tomb-$g")
+      .getOrElse(s"tomb-${b.getLong(0)}-${b.getLong(1)}-${b.getLong(2)}")
     if (cur.gens.contains(gen)) return cur
     ids.select(col("docId").cast("long").as("docId"))
       .write.mode("overwrite").parquet(s"$dir/$gen")

@@ -485,8 +485,9 @@ object PositionalIndex {
     * folds the deletes out physically (heuristic-only, never affects
     * which docs are returned).
     */
-  def delete(ids: DataFrame, dir: String): BlockIndex.TombMeta =
-    BlockIndex.delete(ids, dir)
+  def delete(ids: DataFrame, dir: String,
+      genName: Option[String] = None): BlockIndex.TombMeta =
+    BlockIndex.delete(ids, dir, genName)
 
   /** Filter position rows down to live (untombstoned) docs; identity
     * when no delete was ever committed.

@@ -204,6 +204,41 @@ object StreamOps {
       }
       .start()
 
+  /** foreachBatch hook for a CDC-style DELETE stream: each micro-batch
+    * of docIds commits one tombstone generation keyed by the batch id
+    * ([[graft.index.BlockIndex.delete]]'s genName), so a replayed batch
+    * is detected before any work — the delete-side twin of
+    * [[indexRefreshBatch]]. The optional positional sidecar tombstones
+    * the SAME ids under the SAME marker; both commits are idempotent by
+    * name, so a crash between them converges on replay (the committed
+    * one no-ops, the other commits). Compaction folds deletes out on the
+    * refresh sink's existing maintenance cadence — or call compact()
+    * directly as maintenance.
+    */
+  def indexDeleteBatch(batch: DataFrame, batchId: Long, dir: String,
+      genTag: String = "", posDir: Option[String] = None): Unit = {
+    import graft.index.{BlockIndex, PositionalIndex}
+    val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
+    val ids = batch.select(col("docId").cast("long").as("docId"))
+    posDir.foreach(pd => PositionalIndex.delete(ids, pd, Some(marker)))
+    BlockIndex.delete(ids, dir, Some(marker))
+  }
+
+  /** A live delete stream against a persisted index: every micro-batch
+    * of docIds tombstones via [[indexDeleteBatch]]; concurrent readers
+    * see each commit atomically and never a half-applied delete set.
+    */
+  def indexDeleteSink(ids: DataFrame, dir: String, checkpointDir: String,
+      posDir: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    ids.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        indexDeleteBatch(batch, batchId, dir,
+          genTag = runTag(checkpointDir), posDir = posDir)
+      }
+      .start()
+
   /** Incremental per-term document-frequency / Σtf maintenance across
     * micro-batches. Each input row is one new (term, doc) posting; the
     * emitted row is the term's accumulated totals after the batch. State

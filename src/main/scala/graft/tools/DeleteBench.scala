@@ -1,0 +1,70 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Tombstone deletes at 2M-doc scale, measured: the per-query cost of the
+  * tombstone anti-join (query before vs after a 1% delete), the delete
+  * commit itself (one tiny parquet write — the whole point vs the
+  * reference's only alternative, a full rebuild), the compaction that
+  * folds deletes out physically, and the full survivor rebuild it
+  * replaces. Prints a correctness probe: post-delete hits exclude the
+  * victims; post-compact stats equal a cold build over survivors.
+  *
+  * Usage: runMain graft.tools.DeleteBench [corpusDir] [deletePct]
+  */
+object DeleteBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus2m"
+    val delPct = if (args.length > 1) args(1).toInt else 1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val all = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"),
+        concat_ws("/", col("repo"), col("path")).as("title"),
+        col("content").as("body"))
+    val n = all.count()
+    val layout = BlockIndex.Layout(blockSpan = 65536, nShards = 16)
+    val victims = all.select(col("docId"))
+      .where(pmod(col("docId"), lit(100)) < delPct)
+    val nVictims = victims.count()
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[del] $label%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+    def fresh() = java.nio.file.Files.createTempDirectory("delbench").toString
+    val q = "id0 def select"
+    def top(dir: String) = BlockIndex.bm25TopK(spark, dir, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+
+    val dir = fresh()
+    timed(s"build_${n}_docs") { BlockIndex.build(all, dir, layout) }
+    top(dir) // JIT/codegen warmup (untimed)
+    val before = timed("query_before_delete") { top(dir) }
+    timed(s"delete_${nVictims}_docs") { BlockIndex.delete(victims, dir) }
+    val after = timed("query_after_delete") { top(dir) }
+    // stale-stats contract at scale: surviving docs keep their scores
+    val expect = before.filter(_._1 % 100 >= delPct)
+    println(s"[del] post-delete==struck-out-prefix: " +
+      (after.map(_._1) == expect.map(_._1).take(after.size)))
+    timed("compact_fold") { BlockIndex.compact(dir) }
+    timed("query_after_compact") { top(dir) }
+    val coldDir = fresh()
+    timed(s"survivor_rebuild_${n - nVictims}_docs") {
+      BlockIndex.build(all.where(pmod(col("docId"), lit(100)) >= delPct),
+        coldDir, layout)
+    }
+    println(s"[del] compacted==cold-survivor-build(stats+top10): " +
+      (BlockIndex.readStats(dir) == BlockIndex.readStats(coldDir) &&
+        top(dir) == top(coldDir)))
+    spark.stop()
+  }
+}

@@ -348,6 +348,33 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(meta.maxDocId == docs.agg(max(col("docId"))).head().getLong(0))
   }
 
+  test("delete then refresh: tombstones persist across segment commits; compact folds both") {
+    val d = tmpDir("blockidx-tomb-refresh").toString
+    BlockIndex.build(docs.where(col("docId") < 300), d, layout)
+    val sp = spark
+    import sp.implicits._
+    val victims = topk(d, "table", 200).map(_._1).take(3)
+    assert(victims.size == 3)
+    BlockIndex.delete(victims.toDF("docId"), d)
+    // a later segment commit must NOT resurrect the tombstoned docs...
+    BlockIndex.refresh(docs.where(col("docId") >= 300), d)
+    val hits = topk(d, "table", 1000).map(_._1).toSet
+    assert(victims.forall(!hits.contains(_)))
+    // ...while the delta's docs are searchable
+    assert(hits.exists(_ >= 300))
+    assert(BlockIndex.readTombMeta(d).exists(_.nIds == 3))
+    // compact folds segments AND tombstones in one pass: identical to a
+    // cold build over (full corpus minus victims)
+    BlockIndex.compact(d)
+    assert(BlockIndex.readTombMeta(d).isEmpty)
+    val coldSurv = tmpDir("blockidx-tomb-refresh-cold").toString
+    BlockIndex.build(docs.where(!col("docId").isin(victims: _*)),
+      coldSurv, layout)
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldSurv))
+    for (q <- Seq("table", "spark join fast window"))
+      assert(topk(d, q) == topk(coldSurv, q), s"query '$q'")
+  }
+
   test("overwrite rebuild drops stale tombstones; compact without segments or tombstones rejects") {
     val d = tmpDir("blockidx-tomb-overwrite").toString
     BlockIndex.build(docs.where(col("docId") < 100), d, layout)

@@ -177,6 +177,48 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(posts(dir) == posts(coldDir))
   }
 
+  test("streaming delete sink: tombstones per batch, replay no-op, sidecar paired") {
+    import graft.index.{BlockIndex, PositionalIndex}
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("stream-del-idx").toString
+    val pdir = java.nio.file.Files.createTempDirectory("stream-del-pos").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream-del-ckpt").toString
+    val docs = (1L to 30L)
+      .map(i => (i, "", s"alpha beta doc$i common words", ""))
+      .toDF("docId", "title", "body", "url")
+    BlockIndex.build(docs, dir, BlockIndex.Layout(blockSpan = 16, nShards = 4))
+    PositionalIndex.build(docs, pdir, nShards = 4)
+    def liveIds() = BlockIndex.bm25TopK(spark, dir, "alpha", 100)
+      .collect().map(_.getLong(0)).toSet
+    def phraseIds() = PositionalIndex.phraseSearch(spark, pdir, "alpha beta", 100)
+      .collect().map(_.getLong(0)).toSet
+    val in = MemoryStream[Long]
+    val q = StreamOps.indexDeleteSink(
+      in.toDF.toDF("docId"), dir, ckpt, posDir = Some(pdir))
+    try {
+      in.addData(2L, 4L); q.processAllAvailable()
+      assert(liveIds() == (1L to 30L).toSet -- Set(2L, 4L))
+      assert(phraseIds() == (1L to 30L).toSet -- Set(2L, 4L))
+      in.addData(6L); q.processAllAvailable()
+      assert(liveIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L))
+    } finally q.stop()
+    // redelivered micro-batch (same checkpoint + batchId): no new
+    // generation on either structure
+    val before = (BlockIndex.readTombMeta(dir), BlockIndex.readTombMeta(pdir))
+    StreamOps.indexDeleteBatch(Seq(6L).toDF("docId"), batchId = 1L, dir,
+      genTag = StreamOps.runTag(ckpt), posDir = Some(pdir))
+    assert((BlockIndex.readTombMeta(dir), BlockIndex.readTombMeta(pdir)) == before)
+    // a DIFFERENT stream (fresh checkpoint, batchIds restart at 0) is
+    // NOT a replay — its deletes must apply
+    val ckpt2 = java.nio.file.Files.createTempDirectory("stream-del-ckpt2").toString
+    StreamOps.indexDeleteBatch(Seq(8L).toDF("docId"), batchId = 0L, dir,
+      genTag = StreamOps.runTag(ckpt2), posDir = Some(pdir))
+    assert(liveIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L, 8L))
+    assert(phraseIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L, 8L))
+  }
+
   test("watermarked window aggregation drops late events beyond the watermark") {
     val sp = spark
     import sp.implicits._
