@@ -67,6 +67,8 @@ object Bench {
     // tombstoned twin of the block index (1/7 of docs deleted, broadcast
     // regime): bm25_wand_tombstoned_top10 measures what the per-query
     // anti-join costs relative to bm25_wand_top10
+    val gramDir = java.nio.file.Files.createTempDirectory("graft-bench-gram").toString
+    val shufDir = java.nio.file.Files.createTempDirectory("graft-bench-shuf").toString
     val tombDir = java.nio.file.Files.createTempDirectory("graft-bench-tomb").toString
     BlockIndex.build(docs, tombDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8))
     BlockIndex.delete(
@@ -272,6 +274,26 @@ object Bench {
           Seq(GateQueries.TermsQ, GateQueries.ScoredQ, GateQueries.FuzzyQ),
           topN = 20)
         graft.pipeline.EvalOps.rankEval(ranked, qrels, k = 10).count()
+      }),
+      // content trigram (code-grep) index: one-shuffle sharded build,
+      // then three driver-routed indexed substring searches (in-token,
+      // cross-word, multi-word)
+      "gram_index_build" -> (() => {
+        graft.index.GramIndex.build(documents, "doc_id", "text", gramDir,
+          k = 3, nShards = 16)
+        1L
+      }),
+      "substring_search" -> (() => {
+        Seq("tabl", "ark tab", "spark table").map(n =>
+          graft.index.GramIndex.substringSearchIndexed(spark, gramDir,
+            documents, "doc_id", "text", n).count()).sum
+      }),
+      // deterministic shuffled training export: one exchange on shard,
+      // per-partition sort, partitioned parquet write
+      "shuffle_export" -> (() => {
+        graft.pipeline.TextPipeline.writeShuffledShards(documents, "doc_id",
+          shufDir, nShards = 16, seed = "bench")
+        1L
       }))
 
     // Query-path entries run once UNTIMED first: they model steady-state
@@ -279,7 +301,8 @@ object Bench {
     // cache warmth is the realistic regime — and cold first-runs swing
     // ±20% on this VM, which round 2 showed misattributes regressions.
     // Build entries stay cold/single-run: a batch build IS a cold job.
-    val warmupSkip = Set("ivf_build", "pos_index_build", "pos_refresh_10pct")
+    val warmupSkip = Set("ivf_build", "pos_index_build", "pos_refresh_10pct",
+      "gram_index_build", "shuffle_export")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:

@@ -122,6 +122,20 @@ object GateQueries {
     })
   }
 
+  /** Persistent content trigram index ([[graft.index.GramIndex]]) built
+    * once per corpus directory — q101b's substring search runs against
+    * the sharded on-disk artifact with driver-routed shard reads.
+    */
+  private val gramDirs = scala.collection.mutable.Map.empty[String, String]
+  def gramIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    gramDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-gramidx").toString
+      graft.index.GramIndex.build(documents(spark, dir), "doc_id", "text", d,
+        k = 3, nShards = 8)
+      d
+    })
+  }
+
   private val sq8Dirs = scala.collection.mutable.Map.empty[String, String]
   def sq8IndexDir(spark: SparkSession, dir: String): String = synchronized {
     sq8Dirs.getOrElseUpdate(dir, {
@@ -3346,7 +3360,79 @@ object GateQueries {
               |                  sum(coalesce(p.n_words, 0))::DOUBLE, 6)
               |       ELSE 0.0 END AS fertility
               |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
-              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)))
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
+    // Literal case-sensitive substring (code-grep) search: trigram
+    // prefilter + exact contains verify. Three needles exercise the three
+    // regimes — in-token ("tabl"), cross-word ("ark tab"), and
+    // shorter-than-k fallback ("qu", full verify scan). The oracle is the
+    // semantic ground truth the prefilter must not change: a plain
+    // contains() over the corpus.
+    Gate("q101_substring_search",
+      (s, d) => {
+        val docs = documents(s, d)
+        Seq("tabl", "ark tab", "qu").map { needle =>
+          graft.index.GramIndex.substringSearch(docs, "doc_id", "text", needle)
+            .select(lit(needle).as("needle"), col("docId").as("doc_id"))
+        }.reduce(_ union _).orderBy(col("needle"), col("doc_id"))
+      },
+      Some(substringOracleSql)),
+
+    // The same three searches against the PERSISTED sharded trigram
+    // index (driver-routed shard reads + pushed In(gram)) — must equal
+    // the same ground truth.
+    Gate("q101b_substring_search_indexed",
+      (s, d) => {
+        val docs = documents(s, d)
+        val idx = gramIndexDir(s, d)
+        Seq("tabl", "ark tab", "qu").map { needle =>
+          graft.index.GramIndex
+            .substringSearchIndexed(s, idx, docs, "doc_id", "text", needle)
+            .select(lit(needle).as("needle"), col("docId").as("doc_id"))
+        }.reduce(_ union _).orderBy(col("needle"), col("doc_id"))
+      },
+      Some(substringOracleSql)),
+
+    // Deterministic global shuffle + shard assignment for training
+    // export: md5(seed-id) hex key, first-16-bit shard mod 8, 1-based
+    // rank within shard by (key, id). The oracle recomputes the whole
+    // permutation — key, shard arithmetic, and rank — in DuckDB.
+    Gate("q102_shuffle_shards",
+      (s, d) => TextPipeline.shuffleAssign(
+          documents(s, d).select(col("doc_id")), "doc_id", 8, "s42")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+      Some {
+        def nib(i: Int) =
+          s"""(CASE WHEN ascii(substring(key, $i, 1)) >= 97
+             |      THEN ascii(substring(key, $i, 1)) - 87
+             |      ELSE ascii(substring(key, $i, 1)) - 48 END)""".stripMargin
+        s"""WITH keyed AS (
+           |  SELECT doc_id, md5('s42-' || doc_id::VARCHAR) AS key
+           |  FROM documents),
+           |sh AS (
+           |  SELECT doc_id, key,
+           |    ((((${nib(1)}) * 16 + ${nib(2)}) * 16 +
+           |       ${nib(3)}) * 16 + ${nib(4)}) % 8 AS shard
+           |  FROM keyed)
+           |SELECT doc_id, shard::BIGINT AS shard,
+           |  (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id))::BIGINT AS pos
+           |FROM sh ORDER BY shard, pos""".stripMargin
+      }))
+
+  /** Ground truth shared by q101/q101b: the needle regimes as plain
+    * contains() — the trigram prefilter is an optimization that must be
+    * invisible in the result.
+    */
+  private lazy val substringOracleSql: String =
+    """SELECT needle, doc_id FROM (
+      |  SELECT 'tabl' AS needle, doc_id FROM documents
+      |    WHERE contains(text, 'tabl')
+      |  UNION ALL SELECT 'ark tab' AS needle, doc_id FROM documents
+      |    WHERE contains(text, 'ark tab')
+      |  UNION ALL SELECT 'qu' AS needle, doc_id FROM documents
+      |    WHERE contains(text, 'qu')
+      |) ORDER BY needle, doc_id""".stripMargin
 
   /** The deterministically-salted import text shared by q98/q98b: built
     * from the corpus ON BOTH SIDES (the prose corpus has no code lines).

@@ -1,0 +1,147 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Character k-gram (default trigram) index over RAW document content +
+  * literal substring search — the code-grep capability the analyzed word
+  * index structurally lacks: a substring query can cross token
+  * boundaries ("ark tab"), live inside a token ("tabl"), and is
+  * CASE-SENSITIVE, none of which the lowercase/punctuation-split
+  * analyzer (reference index.go tokenize) can express. The design is the
+  * public trigram-index pattern of Google Code Search (R. Cox, "Regular
+  * Expression Matching with a Trigram Index", 2012) and Zoekt: gram
+  * posting lists prefilter to candidate documents, an exact `contains`
+  * verify removes gram-coincidence false positives.
+  *
+  * Query plan (the 100 TB shape): the needle's distinct k-grams are
+  * computed DRIVER-SIDE (a handful of strings); candidates are the docs
+  * holding ALL of them — one groupBy-count over the gram-filtered
+  * posting scan (pushed `In(gram, …)` on the persisted layout, touching
+  * only the ≤|grams| shards the driver routes to); the verify join then
+  * reads content for ONLY the candidates. Needles shorter than k cannot
+  * use the index and fall back to a full verify scan — the documented
+  * contract, same as every trigram-index engine.
+  *
+  * Persisted layout mirrors [[PositionalIndex]]: parquet partitioned by
+  * `shard = pmod(xxhash64(gram), nShards)`, sorted by (gram, docId)
+  * within files so row-group stats serve the pushed filter; `_grammeta
+  * .json` (atomic) records k and nShards.
+  */
+object GramIndex {
+
+  /** Distinct k-grams of the raw text as a narrow Column op; text
+    * shorter than k (including null ≡ empty) has none. No `$`-padding —
+    * unlike the vocabulary k-grams (reference index_kgram.go:39-54)
+    * these serve containment, not prefix/suffix anchoring.
+    */
+  def gramsCol(text: Column, k: Int): Column = {
+    require(k >= 2, s"gram size must be >= 2, got $k")
+    val t = coalesce(text, lit(""))
+    val n = length(t) - (k - 1)
+    // sequence(1, n) would generate DESCENDING [1, 0] for empty text —
+    // guard the short-text case to an empty array instead
+    when(n >= 1,
+      array_distinct(transform(sequence(lit(1), n), i => t.substr(i, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** (gram, docId) posting rows — distinct per doc by construction
+    * (gramsCol dedups inside the array), so no shuffle-side distinct.
+    */
+  def gramPostings(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame =
+    docs.select(col(idCol).cast("long").as("docId"),
+        explode(gramsCol(col(textCol), k)).as("gram"))
+
+  /** Doc ids whose text contains ALL of the needle's grams — the
+    * index-side prefilter (superset of the true result).
+    */
+  private def candidates(postings: DataFrame, grams: Seq[String]): DataFrame =
+    postings.where(col("gram").isin(grams: _*))
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("__ng"))
+      .where(col("__ng") === grams.size)
+      .select(col("docId"))
+
+  /** Literal case-sensitive substring search over an (id, text) relation:
+    * gram-prefiltered + contains-verified. Returns the matching ids as
+    * one `docId` column. The postings relation is derived inline; reuse
+    * [[gramPostings]] (cached) or the persisted index for repeated
+    * queries.
+    */
+  def substringSearch(docs: DataFrame, idCol: String, textCol: String,
+      needle: String, k: Int = 3): DataFrame =
+    searchWithPostings(docs, idCol, textCol, needle, k,
+      gramPostings(docs, idCol, textCol, k))
+
+  private def searchWithPostings(docs: DataFrame, idCol: String,
+      textCol: String, needle: String, k: Int,
+      postings: => DataFrame): DataFrame = {
+    require(needle.nonEmpty, "empty needle matches everything; refusing")
+    val t = coalesce(col(textCol), lit(""))
+    val verified = docs.select(col(idCol).cast("long").as("docId"), t.as("__t"))
+    if (needle.length < k)
+      // needle too short for any gram: full verify scan (contract)
+      verified.where(contains(col("__t"), lit(needle))).select(col("docId"))
+    else {
+      val grams = needle.sliding(k).toSeq.distinct
+      verified.join(candidates(postings, grams), Seq("docId"), "left_semi")
+        .where(contains(col("__t"), lit(needle)))
+        .select(col("docId"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Persisted sharded layout
+  // ---------------------------------------------------------------------
+
+  private def metaPath(dir: String) = s"$dir/_grammeta.json"
+
+  /** Build the persisted gram index: one shuffle (repartition by shard),
+    * files sorted by (gram, docId). Overwrites `dir`.
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      k: Int = 3, nShards: Int = 16): Unit = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    MetaIO.deleteIfExists(dir, recursive = true)
+    gramPostings(docs, idCol, textCol, k)
+      .withColumn("shard",
+        pmod(xxhash64(col("gram")), lit(nShards.toLong)).cast("int"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("gram"), col("docId"))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    MetaIO.writeAtomic(metaPath(dir),
+      s"""{"k":$k,"nShards":$nShards}""".getBytes("UTF-8"))
+  }
+
+  def readMeta(dir: String): (Int, Int) = {
+    val s = MetaIO.readString(metaPath(dir))
+    def f(key: String) = (s""""$key"\\s*:\\s*(\\d+)""").r.findFirstMatchIn(s)
+      .map(_.group(1).toInt)
+      .getOrElse(sys.error(s"malformed ${metaPath(dir)}: $s"))
+    (f("k"), f("nShards"))
+  }
+
+  /** Substring search against the persisted index: the driver routes the
+    * needle's grams to their shards (same XXH64 arithmetic as the
+    * writer), reads ONLY those shard directories with a pushed
+    * `In(gram, …)`, and verifies candidates against `docs`.
+    */
+  def substringSearchIndexed(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      needle: String): DataFrame = {
+    val (k, nShards) = readMeta(dir)
+    searchWithPostings(docs, idCol, textCol, needle, k, {
+      val grams = needle.sliding(k).toSeq.distinct
+      val shardPaths = grams.map(g => BlockIndex.shardOf(g, nShards))
+        .distinct.sorted.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
+      if (shardPaths.isEmpty)
+        spark.range(0).select(col("id").as("docId"),
+          lit("").as("gram"))
+      else
+        spark.read.option("basePath", dir).parquet(shardPaths: _*)
+          .select(col("gram"), col("docId"))
+    })
+  }
+}

@@ -1051,4 +1051,69 @@ object TextPipeline {
               col("n_tokens").cast("double"), 6))
           .as("dup_frac"))
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic global shuffle + sharded training export
+  // ---------------------------------------------------------------------
+
+  /** Seeded deterministic shuffle key: `md5(seed || '-' || id)` as the
+    * lowercase hex string. Lexicographic order over identical ASCII hex
+    * is engine-independent, so the induced permutation — the "global
+    * shuffle" a training run wants over its final corpus — reproduces
+    * everywhere without RNG state; a different seed is a different
+    * permutation.
+    */
+  def shuffleKey(seed: String, id: Column): Column =
+    md5(concat_ws("-", lit(seed), id.cast("string")))
+
+  private def hexNib(c: Column): Column = {
+    val a = ascii(c)
+    when(a >= 97, a - 87).otherwise(a - 48)
+  }
+
+  /** Shard from the key's first 16 bits (4 hex chars → 0..65535) mod
+    * nShards — uniform to 1/65536 for any shard count, same integer
+    * arithmetic in any engine with md5 (the 4-char generalization of
+    * [[hashBucket256]]).
+    */
+  def shuffleShard(key: Column, nShards: Int): Column = {
+    require(nShards > 0 && nShards <= 65536, "nShards in 1..65536")
+    val h = (1 to 4).map(i => hexNib(substring(key, i, 1)))
+      .reduce((acc, v) => acc * 16 + v)
+    pmod(h, lit(nShards))
+  }
+
+  /** Deterministic shuffle-shard assignment for training export: adds
+    * `shuffle_key`, `shard`, and `pos` (1-based rank within the shard by
+    * key order, id tie-break). The window partitions by SHARD — each
+    * partition is one output file's worth of rows (pick nShards so a
+    * shard is file-sized), so there is no global single-partition sort;
+    * [[writeShuffledShards]] is the write-side twin that never needs the
+    * rank at all (files are sorted by key within each shard directory).
+    */
+  def shuffleAssign(docs: DataFrame, idCol: String, nShards: Int,
+      seed: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(idCol))
+    docs.withColumn("shuffle_key", shuffleKey(seed, col(idCol)))
+      .withColumn("shard", shuffleShard(col("shuffle_key"), nShards).cast("long"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
+  /** Write the corpus as nShards deterministic shuffled shards:
+    * `dir/shard=S/…` with rows in shuffle-key order within each shard —
+    * one exchange on shard, a per-partition sort, no global ordering
+    * step. Reading shard directories in order replays the exact
+    * permutation [[shuffleAssign]] describes.
+    */
+  def writeShuffledShards(docs: DataFrame, idCol: String, dir: String,
+      nShards: Int, seed: String): Unit =
+    docs.withColumn("shuffle_key", shuffleKey(seed, col(idCol)))
+      .withColumn("shard", shuffleShard(col("shuffle_key"), nShards))
+      .repartition(col("shard"))
+      // leading `shard` matters: partitionBy's writer requires ordering by
+      // the partition column and would otherwise inject its own (unstable)
+      // sort, destroying the key order inside each shard file
+      .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
 }

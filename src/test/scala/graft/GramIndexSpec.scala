@@ -1,0 +1,72 @@
+package graft
+
+import graft.index.GramIndex
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GramIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "def readTable(path: String): DataFrame"),
+    (2L, "val table = spark.read.parquet(dir)"),
+    (3L, "TABLE scan merge join"), // uppercase: case-sensitivity probe
+    (4L, "ta ble split across a boundary"),
+    (5L, ""), // empty
+    (6L, null.asInstanceOf[String]), // null ≡ empty
+    (7L, "ab") // shorter than k
+  ).toDF("doc_id", "text")
+
+  private def bruteIds(needle: String): Set[Long] =
+    docs.where(coalesce(col("text"), lit("")).contains(needle))
+      .collect().map(_.getLong(0)).toSet
+
+  private def search(needle: String): Set[Long] =
+    GramIndex.substringSearch(docs, "doc_id", "text", needle)
+      .collect().map(_.getLong(0)).toSet
+
+  test("gramsCol: short/empty/null text yields no grams; k-length text is itself") {
+    val g = Seq(("", 0), ("ab", 0), ("abc", 1), ("abcd", 2))
+      .toDF("t", "n")
+      .select(size(GramIndex.gramsCol(col("t"), 3)).as("sz"), col("n"))
+      .collect()
+    g.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val one = Seq("abc").toDF("t")
+      .select(GramIndex.gramsCol(col("t"), 3)).head().getSeq[String](0)
+    assert(one == Seq("abc"))
+    val dup = Seq("aaaa").toDF("t")
+      .select(GramIndex.gramsCol(col("t"), 3)).head().getSeq[String](0)
+    assert(dup == Seq("aaa")) // distinct within doc
+  }
+
+  test("substring search ≡ brute contains: in-token, cross-boundary, absent, case") {
+    for (needle <- Seq("Table", "table", "read", "a b", "zzz", "): D"))
+      assert(search(needle) == bruteIds(needle), s"needle '$needle'")
+    // case-sensitive by contract: 'TABLE' matches only the uppercase doc
+    assert(search("TABLE") == Set(3L))
+  }
+
+  test("needle shorter than k falls back to the verify scan (exact)") {
+    for (needle <- Seq("ab", "t"))
+      assert(search(needle) == bruteIds(needle), s"needle '$needle'")
+  }
+
+  test("indexed path ≡ in-memory path ≡ brute, incl. gram absent from every shard") {
+    val dir = java.nio.file.Files.createTempDirectory("gramidx").toString
+    GramIndex.build(docs, "doc_id", "text", dir, k = 3, nShards = 4)
+    assert(GramIndex.readMeta(dir) == ((3, 4)))
+    for (needle <- Seq("Table", "table", "a b", "zzz", "ab"))
+      assert(
+        GramIndex.substringSearchIndexed(spark, dir, docs, "doc_id", "text",
+          needle).collect().map(_.getLong(0)).toSet == bruteIds(needle),
+        s"needle '$needle'")
+  }
+
+  test("empty needle is refused") {
+    intercept[IllegalArgumentException] {
+      GramIndex.substringSearch(docs, "doc_id", "text", "")
+    }
+  }
+}

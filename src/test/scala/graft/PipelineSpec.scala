@@ -1121,4 +1121,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(!scanPlan.replaceAll("\\s", "").contains("payload"),
       s"payload column not pruned:\n$scanPlan")
   }
+
+  test("shuffleAssign: deterministic permutation, seed-sensitive, dense per-shard ranks") {
+    val many = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    def runIt(seed: String) = TextPipeline.shuffleAssign(many, "doc_id", 8, seed)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = runIt("s1")
+    assert(runIt("s1") == a) // same seed → identical permutation
+    assert(runIt("s2") != a) // different seed → different permutation
+    // every doc exactly once; per-shard positions dense from 1
+    assert(a.map(_._1) == (1L to 200L).toSet)
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3) == (1L to rows.size).toSet)
+    }
+    // shard is what the key arithmetic says (spot-check via the column fns)
+    val chk = many.select(col("doc_id"),
+        TextPipeline.shuffleShard(
+          TextPipeline.shuffleKey("s1", col("doc_id")), 8).cast("long").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.foreach { case (id, sh, _) => assert(chk(id) == sh) }
+  }
+
+  test("writeShuffledShards: shard dirs sorted by key; union equals corpus; replayable") {
+    val many = (1L to 100L).map(i => (i, s"content of $i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shuf").toString
+    TextPipeline.writeShuffledShards(many, "doc_id", dir, 4, "s1")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 100)
+    assert(back.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (1L to 100L).toSet)
+    // within each shard directory, file order is shuffle-key order
+    val assign = TextPipeline.shuffleAssign(many, "doc_id", 4, "s1")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    for (sh <- 0 until 4) {
+      val stored = spark.read.parquet(s"$dir/shard=$sh")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val expected = assign.filter(_._2 == sh).sortBy(_._3).map(_._1).toSeq
+      assert(stored == expected, s"shard $sh order")
+    }
+  }
 }
