@@ -3188,57 +3188,14 @@ object GateQueries {
     // headerless → unknown default are all exercised.
     Gate("q96_license_detect",
       (s, d) => {
-        val t = coalesce(col("text"), lit(""))
-        val aug = when(pmod(col("doc_id"), lit(9)) === 0,
-            concat(lit("Permission is hereby granted, free of charge. " +
-              "SPDX-License-Identifier: GPL-3.0-only -- "), t))
-          .when(pmod(col("doc_id"), lit(9)) === 2,
-            concat(lit("SPDX-License-Identifier: Apache-2.0 -- "), t))
-          .when(pmod(col("doc_id"), lit(9)) === 4,
-            concat(lit("Licensed under the Apache License, Version 2.0 " +
-              "(the License) -- "), t))
-          .when(pmod(col("doc_id"), lit(9)) === 6,
-            concat(lit("Permission is hereby granted, free of charge, " +
-              "to any person -- "), t))
-          .when(pmod(col("doc_id"), lit(9)) === 8,
-            concat(lit("under the terms of the GNU General Public " +
-              "License -- "), t))
-          .otherwise(t)
-        documents(s, d).select(col("doc_id"), aug.as("__t"))
+        documents(s, d).select(col("doc_id"), licenseAugCol.as("__t"))
           .select(col("doc_id"),
             CodeOps.licenseOf(col("__t")).as("license"),
             CodeOps.trainable(col("__t")).as("trainable"))
           .orderBy(col("doc_id"))
       },
-      Some(s"""WITH aug AS (SELECT doc_id,
-              |  CASE WHEN doc_id % 9 = 0
-              |       THEN 'Permission is hereby granted, free of charge. SPDX-License-Identifier: GPL-3.0-only -- ' || coalesce(text, '')
-              |       WHEN doc_id % 9 = 2
-              |       THEN 'SPDX-License-Identifier: Apache-2.0 -- ' || coalesce(text, '')
-              |       WHEN doc_id % 9 = 4
-              |       THEN 'Licensed under the Apache License, Version 2.0 (the License) -- ' || coalesce(text, '')
-              |       WHEN doc_id % 9 = 6
-              |       THEN 'Permission is hereby granted, free of charge, to any person -- ' || coalesce(text, '')
-              |       WHEN doc_id % 9 = 8
-              |       THEN 'under the terms of the GNU General Public License -- ' || coalesce(text, '')
-              |       ELSE coalesce(text, '') END AS t
-              |  FROM documents),
-              |lic AS (SELECT doc_id, t,
-              |  CASE WHEN regexp_extract(t, '${CodeOps.SpdxPattern}', 1) <> ''
-              |       THEN regexp_extract(t, '${CodeOps.SpdxPattern}', 1)
-              |       WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN 'MIT'
-              |       WHEN contains(lower(t), 'apache license') AND contains(lower(t), 'version 2.0') THEN 'Apache-2.0'
-              |       WHEN contains(lower(t), 'gnu general public license') THEN 'GPL'
-              |       WHEN contains(lower(t), 'mozilla public license') THEN 'MPL-2.0'
-              |       WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN 'BSD'
-              |       ELSE 'unknown' END AS license
-              |  FROM aug)
-              |SELECT doc_id, license,
-              |  license IN ('MIT', 'Apache-2.0', 'BSD', 'MPL-2.0')
-              |  AND (len(regexp_extract_all(t, '${CodeOps.AwsKeyPattern}'))
-              |     + len(regexp_extract_all(t, '${CodeOps.GithubTokenPattern}'))
-              |     + len(regexp_extract_all(t, '${CodeOps.PrivateKeyPattern}'))) = 0
-              |    AS trainable
+      Some(s"""WITH $LicenseCtes
+              |SELECT doc_id, license, $TrainableSql AS trainable
               |FROM lic ORDER BY doc_id""".stripMargin)),
 
     // Corpus encoding under the trained BPE model: per-doc word and
@@ -3402,23 +3359,169 @@ object GateQueries {
           documents(s, d).select(col("doc_id")), "doc_id", 8, "s42")
         .select(col("doc_id"), col("shard"), col("pos"))
         .orderBy(col("shard"), col("pos")),
-      Some {
-        def nib(i: Int) =
-          s"""(CASE WHEN ascii(substring(key, $i, 1)) >= 97
-             |      THEN ascii(substring(key, $i, 1)) - 87
-             |      ELSE ascii(substring(key, $i, 1)) - 48 END)""".stripMargin
-        s"""WITH keyed AS (
-           |  SELECT doc_id, md5('s42-' || doc_id::VARCHAR) AS key
-           |  FROM documents),
-           |sh AS (
-           |  SELECT doc_id, key,
-           |    ((((${nib(1)}) * 16 + ${nib(2)}) * 16 +
-           |       ${nib(3)}) * 16 + ${nib(4)}) % 8 AS shard
-           |  FROM keyed)
-           |SELECT doc_id, shard::BIGINT AS shard,
-           |  (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id))::BIGINT AS pos
-           |FROM sh ORDER BY shard, pos""".stripMargin
-      }))
+      Some(s"""WITH ${shuffleCtes("s42", 8, "documents")}
+              |$ShuffleSelectSql""".stripMargin)),
+
+    // Regex (grep) search, trigram-prefiltered for the concatenation
+    // subset: two accelerated patterns (`.*` and `.+` joins) and one
+    // whose fragments are all shorter than k (full-scan fallback). The
+    // oracle is plain regexp_matches — RE2 partial match ≡ Java find on
+    // this subset, and the prefilter must be invisible.
+    Gate("q103_regex_search",
+      (s, d) => {
+        val docs = documents(s, d)
+        Seq("ark.*tab", "spark.+join", "qu.*ry").map { p =>
+          graft.index.GramIndex.regexSearch(docs, "doc_id", "text", p)
+            .select(lit(p).as("pattern"), col("docId").as("doc_id"))
+        }.reduce(_ union _).orderBy(col("pattern"), col("doc_id"))
+      },
+      Some(regexOracleSql)),
+
+    Gate("q103b_regex_search_indexed",
+      (s, d) => {
+        val docs = documents(s, d)
+        val idx = gramIndexDir(s, d)
+        Seq("ark.*tab", "spark.+join", "qu.*ry").map { p =>
+          graft.index.GramIndex
+            .regexSearchIndexed(s, idx, docs, "doc_id", "text", p)
+            .select(lit(p).as("pattern"), col("docId").as("doc_id"))
+        }.reduce(_ union _).orderBy(col("pattern"), col("doc_id"))
+      },
+      Some(regexOracleSql)),
+
+    // Curation v4 — the export end of the pipeline: compliance admission
+    // (q96's salted license corpus + secret-free), token-budget selection
+    // by size-desc priority (q94's prefix-sum contract), then the
+    // deterministic shuffled shard assignment (q102's arithmetic). One
+    // oracle chains all three formulations.
+    Gate("q104_curation_export",
+      (s, d) => {
+        val adm = documents(s, d)
+          .select(col("doc_id"), col("n_chars"), licenseAugCol.as("__t"))
+          .where(CodeOps.trainable(col("__t")))
+        val kept = TextPipeline.selectToTokenBudget(adm, "doc_id",
+            col("n_chars"), budget = 10000L,
+            priority = Seq(col("n_chars") -> false, col("doc_id") -> true))
+          .where(col("keep"))
+        TextPipeline.shuffleAssign(kept.select(col("id").as("doc_id")),
+            "doc_id", 4, "exp1")
+          .select(col("doc_id"), col("shard"), col("pos"))
+          .orderBy(col("shard"), col("pos"))
+      },
+      Some(s"""WITH $LicenseCtes,
+              |adm AS (
+              |  SELECT l.doc_id, d.n_chars FROM lic l
+              |  JOIN documents d ON d.doc_id = l.doc_id
+              |  WHERE $TrainableSql),
+              |sel AS (
+              |  SELECT doc_id, n_chars,
+              |    coalesce(sum(n_chars) OVER (
+              |      ORDER BY n_chars DESC, doc_id ASC
+              |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              |      AS cum_before
+              |  FROM adm),
+              |kept AS (
+              |  SELECT doc_id FROM sel WHERE cum_before + n_chars <= 10000),
+              |${shuffleCtes("exp1", 4, "kept")}
+              |$ShuffleSelectSql""".stripMargin)))
+
+  /** SQL twin of [[TextPipeline.shuffleKey]] + [[TextPipeline
+    * .shuffleShard]] over a relation `src(doc_id)` — CTEs
+    * `keyed(doc_id, key)` and `sh(doc_id, key, shard)`.
+    */
+  private def shuffleCtes(seed: String, nShards: Int, src: String): String = {
+    def nib(i: Int) =
+      s"""(CASE WHEN ascii(substring(key, $i, 1)) >= 97
+         |      THEN ascii(substring(key, $i, 1)) - 87
+         |      ELSE ascii(substring(key, $i, 1)) - 48 END)""".stripMargin
+    s"""keyed AS (
+       |  SELECT doc_id, md5('$seed-' || doc_id::VARCHAR) AS key
+       |  FROM $src),
+       |sh AS (
+       |  SELECT doc_id, key,
+       |    ((((${nib(1)}) * 16 + ${nib(2)}) * 16 +
+       |       ${nib(3)}) * 16 + ${nib(4)}) % $nShards AS shard
+       |  FROM keyed)""".stripMargin
+  }
+
+  /** Final select over [[shuffleCtes]]'s `sh`: the (doc_id, shard, pos)
+    * permutation.
+    */
+  private lazy val ShuffleSelectSql: String =
+    """SELECT doc_id, shard::BIGINT AS shard,
+      |  (row_number() OVER (PARTITION BY shard ORDER BY key, doc_id))::BIGINT AS pos
+      |FROM sh ORDER BY shard, pos""".stripMargin
+
+  /** Ground truth shared by q103/q103b. */
+  private lazy val regexOracleSql: String =
+    """SELECT pattern, doc_id FROM (
+      |  SELECT 'ark.*tab' AS pattern, doc_id FROM documents
+      |    WHERE regexp_matches(text, 'ark.*tab')
+      |  UNION ALL SELECT 'spark.+join' AS pattern, doc_id FROM documents
+      |    WHERE regexp_matches(text, 'spark.+join')
+      |  UNION ALL SELECT 'qu.*ry' AS pattern, doc_id FROM documents
+      |    WHERE regexp_matches(text, 'qu.*ry')
+      |) ORDER BY pattern, doc_id""".stripMargin
+
+  /** The deterministically-salted license corpus shared by q96 and q104:
+    * every license tier plus SPDX-beats-phrase precedence, built from the
+    * corpus ON BOTH SIDES.
+    */
+  private def licenseAugCol: org.apache.spark.sql.Column = {
+    val t = coalesce(col("text"), lit(""))
+    when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(lit("Permission is hereby granted, free of charge. " +
+          "SPDX-License-Identifier: GPL-3.0-only -- "), t))
+      .when(pmod(col("doc_id"), lit(9)) === 2,
+        concat(lit("SPDX-License-Identifier: Apache-2.0 -- "), t))
+      .when(pmod(col("doc_id"), lit(9)) === 4,
+        concat(lit("Licensed under the Apache License, Version 2.0 " +
+          "(the License) -- "), t))
+      .when(pmod(col("doc_id"), lit(9)) === 6,
+        concat(lit("Permission is hereby granted, free of charge, " +
+          "to any person -- "), t))
+      .when(pmod(col("doc_id"), lit(9)) === 8,
+        concat(lit("under the terms of the GNU General Public " +
+          "License -- "), t))
+      .otherwise(t)
+  }
+
+  /** SQL twin of [[licenseAugCol]] + the license classifier — final CTE
+    * `lic(doc_id, t, license)`.
+    */
+  private lazy val LicenseCtes: String =
+    s"""aug AS (SELECT doc_id,
+       |  CASE WHEN doc_id % 9 = 0
+       |       THEN 'Permission is hereby granted, free of charge. SPDX-License-Identifier: GPL-3.0-only -- ' || coalesce(text, '')
+       |       WHEN doc_id % 9 = 2
+       |       THEN 'SPDX-License-Identifier: Apache-2.0 -- ' || coalesce(text, '')
+       |       WHEN doc_id % 9 = 4
+       |       THEN 'Licensed under the Apache License, Version 2.0 (the License) -- ' || coalesce(text, '')
+       |       WHEN doc_id % 9 = 6
+       |       THEN 'Permission is hereby granted, free of charge, to any person -- ' || coalesce(text, '')
+       |       WHEN doc_id % 9 = 8
+       |       THEN 'under the terms of the GNU General Public License -- ' || coalesce(text, '')
+       |       ELSE coalesce(text, '') END AS t
+       |  FROM documents),
+       |lic AS (SELECT doc_id, t,
+       |  CASE WHEN regexp_extract(t, '${CodeOps.SpdxPattern}', 1) <> ''
+       |       THEN regexp_extract(t, '${CodeOps.SpdxPattern}', 1)
+       |       WHEN contains(lower(t), 'permission is hereby granted, free of charge') THEN 'MIT'
+       |       WHEN contains(lower(t), 'apache license') AND contains(lower(t), 'version 2.0') THEN 'Apache-2.0'
+       |       WHEN contains(lower(t), 'gnu general public license') THEN 'GPL'
+       |       WHEN contains(lower(t), 'mozilla public license') THEN 'MPL-2.0'
+       |       WHEN contains(lower(t), 'redistribution and use in source and binary forms') THEN 'BSD'
+       |       ELSE 'unknown' END AS license
+       |  FROM aug)""".stripMargin
+
+  /** Training admission over `lic` rows ([[graft.pipeline.CodeOps
+    * .trainable]]'s SQL twin): permissive license AND secret-free.
+    */
+  private lazy val TrainableSql: String =
+    s"""license IN ('MIT', 'Apache-2.0', 'BSD', 'MPL-2.0')
+       |  AND (len(regexp_extract_all(t, '${CodeOps.AwsKeyPattern}'))
+       |     + len(regexp_extract_all(t, '${CodeOps.GithubTokenPattern}'))
+       |     + len(regexp_extract_all(t, '${CodeOps.PrivateKeyPattern}'))) = 0""".stripMargin
 
   /** Ground truth shared by q101/q101b: the needle regimes as plain
     * contains() — the trigram prefilter is an optimization that must be

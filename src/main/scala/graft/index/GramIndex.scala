@@ -123,25 +123,92 @@ object GramIndex {
     (f("k"), f("nShards"))
   }
 
-  /** Substring search against the persisted index: the driver routes the
-    * needle's grams to their shards (same XXH64 arithmetic as the
-    * writer), reads ONLY those shard directories with a pushed
-    * `In(gram, …)`, and verifies candidates against `docs`.
+  /** Posting rows for exactly these grams, read from ONLY the shard
+    * directories the driver routes them to (same XXH64 arithmetic as the
+    * writer) with the `In(gram, …)` filter pushed to parquet.
+    */
+  private def indexedPostings(spark: SparkSession, dir: String,
+      grams: Seq[String], nShards: Int): DataFrame = {
+    val shardPaths = grams.map(g => BlockIndex.shardOf(g, nShards))
+      .distinct.sorted.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
+    if (shardPaths.isEmpty)
+      spark.range(0).select(col("id").as("docId"), lit("").as("gram"))
+    else
+      spark.read.option("basePath", dir).parquet(shardPaths: _*)
+        .select(col("gram"), col("docId"))
+  }
+
+  /** Substring search against the persisted index — driver-routed shard
+    * reads, then the same candidates-then-verify plan as
+    * [[substringSearch]].
     */
   def substringSearchIndexed(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String,
       needle: String): DataFrame = {
     val (k, nShards) = readMeta(dir)
-    searchWithPostings(docs, idCol, textCol, needle, k, {
-      val grams = needle.sliding(k).toSeq.distinct
-      val shardPaths = grams.map(g => BlockIndex.shardOf(g, nShards))
-        .distinct.sorted.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
-      if (shardPaths.isEmpty)
-        spark.range(0).select(col("id").as("docId"),
-          lit("").as("gram"))
-      else
-        spark.read.option("basePath", dir).parquet(shardPaths: _*)
-          .select(col("gram"), col("docId"))
-    })
+    searchWithPostings(docs, idCol, textCol, needle, k,
+      indexedPostings(spark, dir,
+        needle.sliding(k).toSeq.distinct, nShards))
+  }
+
+  // ---------------------------------------------------------------------
+  // Regex search (grep) — trigram-prefiltered for the concatenation
+  // subset (Cox 2012 §"Regular Expression Matching with a Trigram
+  // Index": a concatenation's required gram set is the AND of its
+  // parts')
+  // ---------------------------------------------------------------------
+
+  /** Literal fragments of a grep-shaped pattern: `lit1.*lit2.+lit3` →
+    * Some(Seq(lit1, lit2, lit3)). A pattern whose fragments contain any
+    * OTHER regex metacharacter is outside the accelerated subset → None
+    * (callers full-scan; an invalid pattern still fails loudly in the
+    * verify, same as grep).
+    */
+  private[graft] def literalFragments(pattern: String): Option[Seq[String]] = {
+    val meta = "[](){}^$|?*+\\."
+    val parts = pattern.split("""\.\*|\.\+""", -1).toSeq
+    if (parts.exists(_.exists(meta.contains(_)))) None
+    else Some(parts.filter(_.nonEmpty))
+  }
+
+  /** Required grams of the accelerated subset — every k-gram of every
+    * literal fragment (fragments shorter than k contribute none); empty
+    * when the pattern is outside the subset or gram-free.
+    */
+  private def patternGrams(pattern: String, k: Int): Seq[String] =
+    literalFragments(pattern).toSeq.flatten
+      .flatMap(_.sliding(k).filter(_.length == k)).distinct
+
+  private def regexWithPostings(docs: DataFrame, idCol: String,
+      textCol: String, pattern: String, k: Int,
+      postings: => DataFrame): DataFrame = {
+    require(pattern.nonEmpty, "empty pattern matches everything; refusing")
+    val verified = docs.select(col(idCol).cast("long").as("docId"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val grams = patternGrams(pattern, k)
+    val base =
+      if (grams.isEmpty) verified
+      else verified.join(candidates(postings, grams), Seq("docId"), "left_semi")
+    // find-anywhere semantics (Java Matcher.find ≡ RE2 partial match on
+    // the supported subset)
+    base.where(col("__t").rlike(pattern)).select(col("docId"))
+  }
+
+  /** Regex (grep) search over an (id, text) relation: trigram-prefiltered
+    * when the pattern is literal fragments joined by `.*`/`.+`, full
+    * verify scan otherwise.
+    */
+  def regexSearch(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String, k: Int = 3): DataFrame =
+    regexWithPostings(docs, idCol, textCol, pattern, k,
+      gramPostings(docs, idCol, textCol, k))
+
+  /** [[regexSearch]] against the persisted sharded index. */
+  def regexSearchIndexed(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      pattern: String): DataFrame = {
+    val (k, nShards) = readMeta(dir)
+    regexWithPostings(docs, idCol, textCol, pattern, k,
+      indexedPostings(spark, dir, patternGrams(pattern, k), nShards))
   }
 }

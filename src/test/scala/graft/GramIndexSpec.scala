@@ -69,4 +69,41 @@ class GramIndexSpec extends AnyFunSuite {
       GramIndex.substringSearch(docs, "doc_id", "text", "")
     }
   }
+
+  test("literalFragments: concatenation subset in, everything else out") {
+    assert(GramIndex.literalFragments("abc.*def") == Some(Seq("abc", "def")))
+    assert(GramIndex.literalFragments("a.+b.*c") == Some(Seq("a", "b", "c")))
+    assert(GramIndex.literalFragments(".*") == Some(Seq()))
+    assert(GramIndex.literalFragments("plain") == Some(Seq("plain")))
+    for (p <- Seq("a.b", "a[x]b", "a|b", "a?b", "ab+", "a\\db", "^a", "a$"))
+      assert(GramIndex.literalFragments(p).isEmpty, s"pattern '$p'")
+  }
+
+  private def bruteRegexIds(pattern: String): Set[Long] =
+    docs.where(coalesce(col("text"), lit("")).rlike(pattern))
+      .collect().map(_.getLong(0)).toSet
+
+  test("regex search ≡ brute rlike: accelerated subset and fallback patterns") {
+    val patterns = Seq(
+      "read.*Frame", // accelerated, matches doc 1 only (case-sensitive)
+      "ta.+ble", // accelerated fragments "ta"/"ble": only "ble" grams
+      "spark.*parquet", // accelerated, doc 2
+      "zz.*yy", // accelerated, no match
+      "t[aA]ble", // outside subset → full scan
+      "rea?d") // outside subset → full scan
+    for (p <- patterns)
+      assert(GramIndex.regexSearch(docs, "doc_id", "text", p)
+        .collect().map(_.getLong(0)).toSet == bruteRegexIds(p),
+        s"pattern '$p'")
+  }
+
+  test("indexed regex ≡ in-memory ≡ brute") {
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-re").toString
+    GramIndex.build(docs, "doc_id", "text", dir, k = 3, nShards = 4)
+    for (p <- Seq("read.*Frame", "spark.*parquet", "zz.*yy", "t[aA]ble"))
+      assert(
+        GramIndex.regexSearchIndexed(spark, dir, docs, "doc_id", "text", p)
+          .collect().map(_.getLong(0)).toSet == bruteRegexIds(p),
+        s"pattern '$p'")
+  }
 }
