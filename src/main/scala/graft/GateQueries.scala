@@ -3423,7 +3423,60 @@ object GateQueries {
               |kept AS (
               |  SELECT doc_id FROM sel WHERE cum_before + n_chars <= 10000),
               |${shuffleCtes("exp1", 4, "kept")}
-              |$ShuffleSelectSql""".stripMargin)))
+              |$ShuffleSelectSql""".stripMargin)),
+
+    // grep -c / -o over the corpus: per-doc non-overlapping occurrence
+    // count (replace arithmetic), 1-based first offset, and the raw
+    // ±40-char excerpt around the first match — plain string arithmetic
+    // identical in both engines, riding the gram-prefiltered plan.
+    Gate("q105_grep_stats",
+      (s, d) => {
+        val docs = documents(s, d)
+        Seq("ark tab", "tabl").map { needle =>
+          graft.index.GramIndex.grepStats(docs, "doc_id", "text", needle)
+            .select(lit(needle).as("needle"), col("docId").as("doc_id"),
+              col("n_matches"), col("first_off"), col("excerpt"))
+        }.reduce(_ union _).orderBy(col("needle"), col("doc_id"))
+      },
+      Some(grepOracleSql)),
+
+    // The same stats riding the persisted index's candidate prefilter —
+    // the prefilter must be invisible in the result.
+    Gate("q105b_grep_stats_indexed",
+      (s, d) => {
+        val docs = documents(s, d)
+        val idx = gramIndexDir(s, d)
+        Seq("ark tab", "tabl").map { needle =>
+          graft.index.GramIndex
+            .grepStatsIndexed(s, idx, docs, "doc_id", "text", needle)
+            .select(lit(needle).as("needle"), col("docId").as("doc_id"),
+              col("n_matches"), col("first_off"), col("excerpt"))
+        }.reduce(_ union _).orderBy(col("needle"), col("doc_id"))
+      },
+      Some(grepOracleSql)))
+
+  /** Ground truth shared by q105/q105b: the grep statistics as plain
+    * string arithmetic over every containing doc.
+    */
+  private lazy val grepOracleSql: String = {
+    def one(n: String) = {
+      val len = n.length
+      s"""SELECT '$n' AS needle, doc_id,
+         |  ((length(t) - length(replace(t, '$n', ''))) / $len)::BIGINT
+         |    AS n_matches,
+         |  instr(t, '$n')::BIGINT AS first_off,
+         |  substring(t, greatest(instr(t, '$n') - 40, 1),
+         |    instr(t, '$n') - greatest(instr(t, '$n') - 40, 1) + $len + 40)
+         |    AS excerpt
+         |FROM (SELECT doc_id, coalesce(text, '') AS t FROM documents)
+         |WHERE contains(t, '$n')""".stripMargin
+    }
+    s"""SELECT needle, doc_id, n_matches, first_off, excerpt FROM (
+       |${one("ark tab")}
+       |UNION ALL
+       |${one("tabl")}
+       |) ORDER BY needle, doc_id""".stripMargin
+  }
 
   /** SQL twin of [[TextPipeline.shuffleKey]] + [[TextPipeline
     * .shuffleShard]] over a relation `src(doc_id)` — CTEs

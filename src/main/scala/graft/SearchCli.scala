@@ -68,15 +68,23 @@ object SearchCli {
     // When serving a tombstoned index, the corpus-derived positions must
     // exclude the deleted docs too — the bundle already does.
     val rawPositions = graft.index.PositionalIndex.positionsStream(docs)
-    val positions = Some(idxDir.flatMap(BlockIndex.tombstones(spark, _))
+    val tombs = idxDir.flatMap(BlockIndex.tombstones(spark, _))
+    val positions = Some(tombs
       .fold(rawPositions)(t => rawPositions.join(
         org.apache.spark.sql.functions.broadcast(t.distinct()),
         Seq("docId"), "left_anti")))
+    // Grep mode scans the raw corpus — likewise tombstone-filtered so
+    // substring hits cannot resurrect docs the index already excludes
+    val liveDocs = Some(tombs.fold(docs)(t => docs.join(
+      org.apache.spark.sql.functions.broadcast(t.distinct()),
+      Seq("docId"), "left_anti")))
     val engine = idxDir match {
       case Some(d) =>
-        new QueryEngine(BlockIndex.asBundle(spark, d, k), positions = positions)
+        new QueryEngine(BlockIndex.asBundle(spark, d, k),
+          positions = positions, rawDocs = liveDocs)
       case None =>
-        new QueryEngine(IndexBuilder.build(docs, k = k), positions = positions)
+        new QueryEngine(IndexBuilder.build(docs, k = k),
+          positions = positions, rawDocs = liveDocs)
     }
     (engine, docs)
   }

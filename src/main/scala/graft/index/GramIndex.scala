@@ -75,7 +75,10 @@ object GramIndex {
     searchWithPostings(docs, idCol, textCol, needle, k,
       gramPostings(docs, idCol, textCol, k))
 
-  private def searchWithPostings(docs: DataFrame, idCol: String,
+  /** Matching (docId, __t) rows — the shared core of the substring
+    * query plans; `__t` stays available for match statistics.
+    */
+  private def matchedWithPostings(docs: DataFrame, idCol: String,
       textCol: String, needle: String, k: Int,
       postings: => DataFrame): DataFrame = {
     require(needle.nonEmpty, "empty needle matches everything; refusing")
@@ -83,13 +86,64 @@ object GramIndex {
     val verified = docs.select(col(idCol).cast("long").as("docId"), t.as("__t"))
     if (needle.length < k)
       // needle too short for any gram: full verify scan (contract)
-      verified.where(contains(col("__t"), lit(needle))).select(col("docId"))
+      verified.where(contains(col("__t"), lit(needle)))
     else {
       val grams = needle.sliding(k).toSeq.distinct
       verified.join(candidates(postings, grams), Seq("docId"), "left_semi")
         .where(contains(col("__t"), lit(needle)))
-        .select(col("docId"))
     }
+  }
+
+  private def searchWithPostings(docs: DataFrame, idCol: String,
+      textCol: String, needle: String, k: Int,
+      postings: => DataFrame): DataFrame =
+    matchedWithPostings(docs, idCol, textCol, needle, k, postings)
+      .select(col("docId"))
+
+  /** Per-match statistics and a first-occurrence excerpt (grep's -c and
+    * -o views): occurrence count by replace-arithmetic (non-overlapping,
+    * as both engines' replace is), 1-based first offset, and the raw
+    * slice of ±ctx characters around the first match — plain string
+    * arithmetic any engine reproduces.
+    *
+    * This path is ONE NARROW PASS (filter + per-row expressions, no
+    * shuffle) — inline gram postings would cost a corpus explode to save
+    * a corpus scan, a strictly losing trade. The gram prefilter pays only
+    * when the postings are PERSISTED: [[grepStatsIndexed]].
+    */
+  def grepStats(docs: DataFrame, idCol: String, textCol: String,
+      needle: String, ctx: Int = 40): DataFrame = {
+    require(needle.nonEmpty, "empty needle matches everything; refusing")
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val t = coalesce(col(textCol), lit(""))
+    statsOf(docs.select(col(idCol).cast("long").as("docId"), t.as("__t"))
+      .where(contains(col("__t"), lit(needle))), needle, ctx)
+  }
+
+  /** [[grepStats]] riding the persisted index's candidate prefilter:
+    * only gram-plausible docs are verified and measured.
+    */
+  def grepStatsIndexed(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, needle: String,
+      ctx: Int = 40): DataFrame = {
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val (k, nShards) = readMeta(dir)
+    statsOf(matchedWithPostings(docs, idCol, textCol, needle, k,
+      indexedPostings(spark, dir,
+        needle.sliding(k).toSeq.distinct, nShards)), needle, ctx)
+  }
+
+  private def statsOf(matched: DataFrame, needle: String,
+      ctx: Int): DataFrame = {
+    val len = needle.length
+    val off = instr(col("__t"), needle)
+    val start = greatest(off - ctx, lit(1))
+    matched.select(col("docId"),
+      ((length(col("__t")) -
+        length(replace(col("__t"), lit(needle), lit("")))) / len)
+        .cast("long").as("n_matches"),
+      off.cast("long").as("first_off"),
+      col("__t").substr(start, off - start + len + ctx).as("excerpt"))
   }
 
   // ---------------------------------------------------------------------

@@ -25,7 +25,15 @@ final class QueryEngine(
       * does). None ⇒ [[phraseQuery]] fails loudly instead of returning
       * silently-empty results.
       */
-    val positions: Option[DataFrame] = None
+    val positions: Option[DataFrame] = None,
+    /** Raw document-model relation (docId, title, body, url) for the Grep
+      * extension mode — case-sensitive literal substring search over the
+      * UNANALYZED body, which no analyzed-postings mode can express.
+      * None ⇒ [[grepQuery]] fails loudly. When serving a tombstoned
+      * index, pass the tombstone-filtered relation (SearchCli.resolve
+      * does) so Grep cannot resurrect deleted docs.
+      */
+    val rawDocs: Option[DataFrame] = None
 ) extends Serializable {
 
   private def spark = index.postings.sparkSession
@@ -572,6 +580,24 @@ final class QueryEngine(
     * modes — every reference name resolves exactly as the reference's
     * registry does.
     */
+  /** Grep mode — the third serving extension: case-sensitive literal
+    * substring search over the RAW body (code-grep), ranked by
+    * occurrence count (non-overlapping, docId ties). One narrow pass
+    * over the corpus relation; a persisted deployment uses
+    * [[graft.index.GramIndex.substringSearchIndexed]]'s gram-routed
+    * plan instead. Same loud-without-rawDocs contract as
+    * [[phraseQuery]]'s.
+    */
+  def grepQuery(needle: String): DataFrame = {
+    val docs = rawDocs.getOrElse(throw new IllegalStateException(
+      "grep queries need the raw corpus — construct QueryEngine with " +
+        "rawDocs = Some(docs)"))
+    if (needle.isEmpty) scoredEmpty
+    else graft.index.GramIndex.grepStats(docs, "docId", "body", needle)
+      .select(col("docId"), col("n_matches").cast("double").as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
   def byName(name: String): String => DataFrame = name match {
     case "Classic TF-IDF" => vectorSpaceQuery
     case "Boolean" => booleanQuery
@@ -580,6 +606,7 @@ final class QueryEngine(
     case "Wildcard" => wildcardQuery
     case "Phrase" => phraseQuery
     case "Proximity" => proximityQuery
+    case "Grep" => grepQuery
     case _ => q => bm25Query(q)
   }
 

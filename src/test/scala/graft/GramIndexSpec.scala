@@ -70,6 +70,22 @@ class GramIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("grepStats: hand-computed counts/offsets/excerpts; non-overlapping replace semantics") {
+    val d = Seq((1L, "xx tabl tabl xx"), (2L, "aaaa"), (3L, "no match"))
+      .toDF("doc_id", "text")
+    val r1 = GramIndex.grepStats(d, "doc_id", "text", "tabl", ctx = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(r1 == Map(1L -> ((2L, 4L, "xx tabl ta"))))
+    // "aa" in "aaaa": non-overlapping count 2, excerpt clamps at both ends
+    val r2 = GramIndex.grepStats(d, "doc_id", "text", "aa", ctx = 3)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(r2 == Map(2L -> ((2L, 1L, "aaaa"))))
+  }
+
   test("literalFragments: concatenation subset in, everything else out") {
     assert(GramIndex.literalFragments("abc.*def") == Some(Seq("abc", "def")))
     assert(GramIndex.literalFragments("a.+b.*c") == Some(Seq("a", "b", "c")))

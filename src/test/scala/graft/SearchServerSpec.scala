@@ -18,7 +18,8 @@ class SearchServerSpec extends AnyFunSuite {
   private lazy val docs = CorpusSource.readDocsCsv(
     spark, SparkSessionFixture.resourcePath("example.csv"))
   private lazy val engine = new QueryEngine(IndexBuilder.build(docs, k = 3),
-    positions = Some(graft.index.PositionalIndex.positionsStream(docs)))
+    positions = Some(graft.index.PositionalIndex.positionsStream(docs)),
+    rawDocs = Some(docs))
 
   private lazy val server: SearchServer = {
     val s = new SearchServer(engine, docs, port = 0)
@@ -91,6 +92,15 @@ class SearchServerSpec extends AnyFunSuite {
     // matching term; doc 2 brackets its lone 'matrix' occurrence
     assert(body.contains("[channel]"), body)
     assert(body.contains("[matrix]"), body)
+  }
+
+  test("Grep algorithm over HTTP: case-sensitive raw substring hits render") {
+    val (code, body) = get("?q=Cohen&alg=Grep")
+    assert(code == 200)
+    assert(body.contains("results=1"), body)
+    assert(body.contains("Cohen's kappa"))
+    // lowercase needle misses the capitalized body text
+    assert(get("?q=cohen&alg=Grep")._2.contains("results=0"))
   }
 
   test("Proximity algorithm over HTTP: tightest window first, pair bracketed") {

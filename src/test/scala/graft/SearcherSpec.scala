@@ -255,6 +255,33 @@ class SearcherSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bare.proximityQuery("merge sort") }
   }
 
+  test("Grep mode: raw case-sensitive substring ranking, dispatched by name, loud without rawDocs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "readTable readTable calls", ""), // 2 occurrences
+      (2L, "", "a readTable here", ""), // 1 occurrence
+      (3L, "", "readtable lowercase only", ""), // case mismatch → excluded
+      (4L, "", "nothing relevant", "")
+    ).toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false),
+      rawDocs = Some(docs))
+    val got = e.byName("Grep")("readTable").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == Seq((1L, 2.0), (2L, 1.0)))
+    // crosses token boundaries — inexpressible in any analyzed mode
+    assert(e.grepQuery("ble read").collect().map(_.getLong(0)).toSeq
+      == Seq(1L))
+    assert(e.grepQuery("").count() == 0)
+    // unknown alg still falls back to BM25, whose lowercased analyzed
+    // view ALSO matches the case-mismatched doc 3 — the analyzed and raw
+    // modes really differ on exactly that doc
+    assert(e.byName("NoSuchAlg")("readTable").collect().map(_.getLong(0))
+      .toSet == Set(1L, 2L, 3L))
+    val bare = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    intercept[IllegalStateException] { bare.grepQuery("readTable") }
+  }
+
   test("moreLikeThis: seed's top tf·idf terms drive BM25, seed excluded") {
     val sp = spark
     import sp.implicits._
