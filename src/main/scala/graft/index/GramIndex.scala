@@ -30,6 +30,16 @@ import org.apache.spark.sql.functions._
   */
 object GramIndex {
 
+  /** Cap on gram posting lists any indexed query intersects: the
+    * rarest few grams already bound the candidate set, and every extra
+    * list costs a full posting read for (at best) marginal pruning —
+    * the same selectivity economics as the phrase path's rarest-term
+    * semi-join. Measured at 2M docs (BENCH.md): all-gram AND on a
+    * 9-gram needle read every fat keyword gram's list and lost to the
+    * raw scan it exists to avoid.
+    */
+  val MaxQueryGrams = 3
+
   /** Distinct k-grams of the raw text as a narrow Column op; text
     * shorter than k (including null ≡ empty) has none. No `$`-padding —
     * unlike the vocabulary k-grams (reference index_kgram.go:39-54)
@@ -72,33 +82,30 @@ object GramIndex {
     */
   def substringSearch(docs: DataFrame, idCol: String, textCol: String,
       needle: String, k: Int = 3): DataFrame =
-    searchWithPostings(docs, idCol, textCol, needle, k,
+    matchedVerify(docs, idCol, textCol, needle, allGrams(needle, k),
       gramPostings(docs, idCol, textCol, k))
+      .select(col("docId"))
 
-  /** Matching (docId, __t) rows — the shared core of the substring
-    * query plans; `__t` stays available for match statistics.
+  /** Matching (docId, __t) rows — the shared core of the substring query
+    * plans; `__t` stays available for match statistics. `grams` is the
+    * (possibly rarest-subset) gram requirement; empty ⇒ full verify scan
+    * (needle shorter than k, or pattern outside the gram-able subset).
     */
-  private def matchedWithPostings(docs: DataFrame, idCol: String,
-      textCol: String, needle: String, k: Int,
+  private def matchedVerify(docs: DataFrame, idCol: String,
+      textCol: String, needle: String, grams: Seq[String],
       postings: => DataFrame): DataFrame = {
     require(needle.nonEmpty, "empty needle matches everything; refusing")
     val t = coalesce(col(textCol), lit(""))
     val verified = docs.select(col(idCol).cast("long").as("docId"), t.as("__t"))
-    if (needle.length < k)
-      // needle too short for any gram: full verify scan (contract)
+    if (grams.isEmpty)
       verified.where(contains(col("__t"), lit(needle)))
-    else {
-      val grams = needle.sliding(k).toSeq.distinct
+    else
       verified.join(candidates(postings, grams), Seq("docId"), "left_semi")
         .where(contains(col("__t"), lit(needle)))
-    }
   }
 
-  private def searchWithPostings(docs: DataFrame, idCol: String,
-      textCol: String, needle: String, k: Int,
-      postings: => DataFrame): DataFrame =
-    matchedWithPostings(docs, idCol, textCol, needle, k, postings)
-      .select(col("docId"))
+  private def allGrams(needle: String, k: Int): Seq[String] =
+    if (needle.length < k) Seq() else needle.sliding(k).toSeq.distinct
 
   /** Per-match statistics and a first-occurrence excerpt (grep's -c and
     * -o views): occurrence count by replace-arithmetic (non-overlapping,
@@ -128,9 +135,10 @@ object GramIndex {
       ctx: Int = 40): DataFrame = {
     require(ctx >= 0, s"ctx must be >= 0, got $ctx")
     val (k, nShards) = readMeta(dir)
-    statsOf(matchedWithPostings(docs, idCol, textCol, needle, k,
-      indexedPostings(spark, dir,
-        needle.sliding(k).toSeq.distinct, nShards)), needle, ctx)
+    val sel = rarestGrams(spark, dir, allGrams(needle, k), nShards,
+      MaxQueryGrams)
+    statsOf(matchedVerify(docs, idCol, textCol, needle, sel,
+      indexedPostings(spark, dir, sel, nShards)), needle, ctx)
   }
 
   private def statsOf(matched: DataFrame, needle: String,
@@ -151,9 +159,12 @@ object GramIndex {
   // ---------------------------------------------------------------------
 
   private def metaPath(dir: String) = s"$dir/_grammeta.json"
+  private def dfDir(dir: String) = s"$dir/_gramdf"
 
   /** Build the persisted gram index: one shuffle (repartition by shard),
-    * files sorted by (gram, docId). Overwrites `dir`.
+    * files sorted by (gram, docId), plus a per-gram df table (one row
+    * per distinct gram, same shard routing) that lets queries read only
+    * their RAREST grams' postings. Overwrites `dir`.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       k: Int = 3, nShards: Int = 16): Unit = {
@@ -165,8 +176,46 @@ object GramIndex {
       .repartition(col("shard"))
       .sortWithinPartitions(col("gram"), col("docId"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+    val spark = docs.sparkSession
+    val shardPaths = (0 until nShards).map(s => s"$dir/shard=$s")
+      .filter(MetaIO.exists)
+    if (shardPaths.nonEmpty)
+      spark.read.option("basePath", dir).parquet(shardPaths: _*)
+        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+        .withColumn("shard",
+          pmod(xxhash64(col("gram")), lit(nShards.toLong)).cast("int"))
+        .repartition(col("shard"))
+        .sortWithinPartitions(col("gram"))
+        .write.mode("overwrite").partitionBy("shard").parquet(dfDir(dir))
     MetaIO.writeAtomic(metaPath(dir),
       s"""{"k":$k,"nShards":$nShards}""".getBytes("UTF-8"))
+  }
+
+  /** The `maxGrams` rarest of the needle's grams by stored df (absent
+    * grams are df 0 — rarest of all: they prove emptiness with one
+    * posting read of nothing). Ties break lexicographically so the scan
+    * set is deterministic. Falls back to all grams on pre-df indexes.
+    *
+    * ANY subset of the required grams yields a candidate SUPERSET, so
+    * correctness is untouched — this is the same cost move as the
+    * phrase path's rarest-term semi-join and Zoekt's rarest-trigram
+    * iteration: a needle like "def select" has every gram in half the
+    * corpus, and intersecting all nine fat posting lists costs more
+    * than the verify it saves.
+    */
+  private def rarestGrams(spark: SparkSession, dir: String,
+      grams: Seq[String], nShards: Int, maxGrams: Int): Seq[String] = {
+    if (grams.size <= maxGrams || !MetaIO.exists(dfDir(dir))) return grams
+    val shardPaths = grams.map(g => BlockIndex.shardOf(g, nShards))
+      .distinct.sorted.map(s => s"${dfDir(dir)}/shard=$s")
+      .filter(MetaIO.exists)
+    if (shardPaths.isEmpty) return grams.sorted.take(maxGrams)
+    val dfs = spark.read.option("basePath", dfDir(dir))
+      .parquet(shardPaths: _*)
+      .where(col("gram").isin(grams: _*))
+      .select(col("gram"), col("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    grams.sortBy(g => (dfs.getOrElse(g, 0L), g)).take(maxGrams)
   }
 
   def readMeta(dir: String): (Int, Int) = {
@@ -200,9 +249,11 @@ object GramIndex {
       docs: DataFrame, idCol: String, textCol: String,
       needle: String): DataFrame = {
     val (k, nShards) = readMeta(dir)
-    searchWithPostings(docs, idCol, textCol, needle, k,
-      indexedPostings(spark, dir,
-        needle.sliding(k).toSeq.distinct, nShards))
+    val sel = rarestGrams(spark, dir, allGrams(needle, k), nShards,
+      MaxQueryGrams)
+    matchedVerify(docs, idCol, textCol, needle, sel,
+      indexedPostings(spark, dir, sel, nShards))
+      .select(col("docId"))
   }
 
   // ---------------------------------------------------------------------
@@ -233,13 +284,12 @@ object GramIndex {
     literalFragments(pattern).toSeq.flatten
       .flatMap(_.sliding(k).filter(_.length == k)).distinct
 
-  private def regexWithPostings(docs: DataFrame, idCol: String,
-      textCol: String, pattern: String, k: Int,
+  private def regexVerify(docs: DataFrame, idCol: String,
+      textCol: String, pattern: String, grams: Seq[String],
       postings: => DataFrame): DataFrame = {
     require(pattern.nonEmpty, "empty pattern matches everything; refusing")
     val verified = docs.select(col(idCol).cast("long").as("docId"),
       coalesce(col(textCol), lit("")).as("__t"))
-    val grams = patternGrams(pattern, k)
     val base =
       if (grams.isEmpty) verified
       else verified.join(candidates(postings, grams), Seq("docId"), "left_semi")
@@ -254,7 +304,7 @@ object GramIndex {
     */
   def regexSearch(docs: DataFrame, idCol: String, textCol: String,
       pattern: String, k: Int = 3): DataFrame =
-    regexWithPostings(docs, idCol, textCol, pattern, k,
+    regexVerify(docs, idCol, textCol, pattern, patternGrams(pattern, k),
       gramPostings(docs, idCol, textCol, k))
 
   /** [[regexSearch]] against the persisted sharded index. */
@@ -262,7 +312,9 @@ object GramIndex {
       docs: DataFrame, idCol: String, textCol: String,
       pattern: String): DataFrame = {
     val (k, nShards) = readMeta(dir)
-    regexWithPostings(docs, idCol, textCol, pattern, k,
-      indexedPostings(spark, dir, patternGrams(pattern, k), nShards))
+    val sel = rarestGrams(spark, dir, patternGrams(pattern, k), nShards,
+      MaxQueryGrams)
+    regexVerify(docs, idCol, textCol, pattern, sel,
+      indexedPostings(spark, dir, sel, nShards))
   }
 }

@@ -1,0 +1,138 @@
+package graft.tools
+
+import graft.index.GramIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Trigram (code-grep) index at 2M-doc scale: build cost and the
+  * question the structure exists to answer — how indexed substring /
+  * regex search compares to the full contains()/rlike() scan it
+  * replaces, across needle selectivity regimes. Prints a correctness
+  * probe per query (indexed result set ≡ scan result set).
+  *
+  * Usage: runMain graft.tools.GrepBench [corpusDir] [nShards]
+  */
+object GrepBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus2m"
+    val nShards = if (args.length > 1) args(1).toInt else 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"), col("content"))
+    val n = docs.count()
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[grep] $label%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      a
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("grepbench").toString
+    timed(s"gram_index_build_${n}_docs") {
+      GramIndex.build(docs, "docId", "content", dir, k = 3,
+        nShards = nShards)
+    }
+    println(s"[grep] index_bytes " +
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).toArray
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum)
+
+    def ids(df: org.apache.spark.sql.DataFrame): Long = df.count()
+
+    // needle regimes: rare (one repo/path fragment), mid (a keyword
+    // bigram), head (a keyword present in most docs)
+    val needles = Seq("id1999999", "def select", "def")
+    for (needle <- needles) {
+      // warm each path once untimed (steady-state serving regime)
+      ids(GramIndex.substringSearchIndexed(spark, dir, docs, "docId",
+        "content", needle))
+      val a = timed(s"indexed_substring<$needle>") {
+        ids(GramIndex.substringSearchIndexed(spark, dir, docs, "docId",
+          "content", needle))
+      }
+      ids(docs.where(contains(col("content"), lit(needle))))
+      val b = timed(s"scan_substring<$needle>") {
+        ids(docs.where(contains(col("content"), lit(needle))))
+      }
+      val c = GramIndex.substringSearchIndexed(spark, dir, docs, "docId",
+        "content", needle).collect().map(_.getLong(0)).toSet
+      val d = docs.where(contains(col("content"), lit(needle)))
+        .select(col("docId")).collect().map(_.getLong(0)).toSet
+      println(s"[grep] <$needle> hits=$a scan=$b equal=${c == d}")
+    }
+
+    val patterns = Seq("id1999.*select", "struct.+id42001")
+    for (p <- patterns) {
+      ids(GramIndex.regexSearchIndexed(spark, dir, docs, "docId",
+        "content", p))
+      val a = timed(s"indexed_regex<$p>") {
+        ids(GramIndex.regexSearchIndexed(spark, dir, docs, "docId",
+          "content", p))
+      }
+      ids(docs.where(col("content").rlike(p)))
+      val b = timed(s"scan_regex<$p>") {
+        ids(docs.where(col("content").rlike(p)))
+      }
+      println(s"[grep] <$p> hits=$a scan=$b")
+    }
+
+    // -----------------------------------------------------------------
+    // The index's OWN regime: gram-DIVERSE content. The CorpusGen corpus
+    // has only ~2.2k distinct trigrams (30 keywords + idN identifiers) —
+    // min df > 100, so NO selective gram exists and the prefilter
+    // structurally cannot prune (the WAND scattered-id analogue). Real
+    // source code has a long gram tail; model it with md5→base64
+    // identifiers (~62³ possible grams) and ask for a rare needle.
+    // -----------------------------------------------------------------
+    // two corpus sizes: the indexed query's cost is O(df of its rare
+    // grams) — FLAT in corpus size — while the scan is O(corpus). The
+    // crossover is wherever the scan stops being a warm-page-cache
+    // memory sweep (locally: tens of GB; on 100 TB object storage:
+    // everywhere).
+    for (divN <- Seq(n / 4, n)) {
+      val divDocs = spark.range(divN)
+        .select(col("id").as("docId"),
+          concat_ws(" ", (0 until 8).map(j =>
+            base64(unhex(md5(concat(lit(s"w$j-"), col("id")))))): _*)
+            .as("content"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      divDocs.count()
+      val divDir = java.nio.file.Files.createTempDirectory("grepbench-div")
+        .toString
+      timed(s"diverse_gram_index_build_${divN}_docs") {
+        GramIndex.build(divDocs, "docId", "content", divDir, k = 3,
+          nShards = nShards)
+      }
+      // a needle that exists exactly where doc 123456's first identifier
+      // does (and in gram-coincidental docs the verify removes)
+      val divNeedle = divDocs.where(col("docId") === 123456L)
+        .head().getString(1).substring(2, 14)
+      for (needle <- Seq(divNeedle)) {
+        ids(GramIndex.substringSearchIndexed(spark, divDir, divDocs, "docId",
+          "content", needle))
+        val a = timed(s"diverse${divN}_indexed<$needle>") {
+          ids(GramIndex.substringSearchIndexed(spark, divDir, divDocs,
+            "docId", "content", needle))
+        }
+        ids(divDocs.where(contains(col("content"), lit(needle))))
+        val b = timed(s"diverse${divN}_scan<$needle>") {
+          ids(divDocs.where(contains(col("content"), lit(needle))))
+        }
+        val c = GramIndex.substringSearchIndexed(spark, divDir, divDocs,
+          "docId", "content", needle).collect().map(_.getLong(0)).toSet
+        val d = divDocs.where(contains(col("content"), lit(needle)))
+          .select(col("docId")).collect().map(_.getLong(0)).toSet
+        println(s"[grep] diverse$divN<$needle> hits=$a scan=$b equal=${c == d}")
+      }
+      divDocs.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -57,7 +57,10 @@ class GramIndexSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("gramidx").toString
     GramIndex.build(docs, "doc_id", "text", dir, k = 3, nShards = 4)
     assert(GramIndex.readMeta(dir) == ((3, 4)))
-    for (needle <- Seq("Table", "table", "a b", "zzz", "ab"))
+    // needles over MaxQueryGrams grams exercise rarest-gram selection
+    // (df-ranked subset → candidate superset → identical verified result)
+    for (needle <- Seq("Table", "table", "a b", "zzz", "ab",
+        "read.parquet", "spark.read.parquet(dir)", "split across a bound"))
       assert(
         GramIndex.substringSearchIndexed(spark, dir, docs, "doc_id", "text",
           needle).collect().map(_.getLong(0)).toSet == bruteIds(needle),

@@ -48,6 +48,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(elsewhere.count() == 0) // and nowhere else → pruning is sound
   }
 
+  test("gram index query: In(gram) pushed to parquet; needle grams live only in routed shards") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (1L to 50L).map(i => (i, s"some content block $i with spark"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gram-plan").toString
+    graft.index.GramIndex.build(docs, "doc_id", "text", dir, k = 3,
+      nShards = 8)
+    val needle = "spark"
+    val grams = needle.sliding(3).toSeq
+    // the candidate scan pushes the gram filter to the parquet reader
+    val scan = spark.read.option("basePath", dir).parquet(s"$dir/shard=*")
+      .where(col("gram").isin(grams: _*))
+    assert(planOf(scan).contains("PushedFilters: [In(gram"),
+      s"gram filter not pushed:\n${planOf(scan)}")
+    // routing is sound: each gram's postings live ONLY in its hash shard
+    for (g <- grams) {
+      val home = graft.index.BlockIndex.shardOf(g, 8)
+      val there = spark.read.option("basePath", dir)
+        .parquet(s"$dir/shard=$home").where(col("gram") === g)
+      assert(there.count() > 0, s"gram '$g' missing from its shard")
+      val others = (0 until 8).filter(_ != home)
+      val elsewhere = spark.read.option("basePath", dir)
+        .parquet(others.map(s => s"$dir/shard=$s"): _*)
+        .where(col("gram") === g)
+      assert(elsewhere.count() == 0, s"gram '$g' leaked outside its shard")
+    }
+  }
+
   test("BM25 scoring plan broadcasts the query-term relations") {
     val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
     val df = e.bm25Query("spark join", Some(10))
