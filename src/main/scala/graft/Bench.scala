@@ -288,6 +288,12 @@ object Bench {
           graft.index.GramIndex.substringSearchIndexed(spark, gramDir,
             documents, "doc_id", "text", n).count()).sum
       }),
+      // the same three needles as ONE batch: shared df probe, one
+      // postings read, one verify join
+      "substring_search_batched" -> (() =>
+        graft.index.GramIndex.substringSearchBatch(spark, gramDir,
+          documents, "doc_id", "text",
+          Seq("tabl", "ark tab", "spark table")).count()),
       // deterministic shuffled training export: one exchange on shard,
       // per-partition sort, partitioned parquet write
       "shuffle_export" -> (() => {

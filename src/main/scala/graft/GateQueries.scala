@@ -136,6 +136,25 @@ object GateQueries {
     })
   }
 
+  /** Segmented gram index: half the corpus cold-built, the rest
+    * committed via [[graft.index.GramIndex.refresh]] — q101d must equal
+    * the full-corpus ground truth (the gram twin of [[posSegIndexDir]]).
+    */
+  private val gramSegDirs = scala.collection.mutable.Map.empty[String, String]
+  def gramSegIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    gramSegDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-gramidx-seg").toString
+      val docs = documents(spark, dir)
+      val mid = docs.agg(max(col("doc_id")) / 2).head().getDouble(0).toLong
+      graft.index.GramIndex.build(docs.where(col("doc_id") <= mid),
+        "doc_id", "text", d, k = 3, nShards = 8)
+      graft.index.GramIndex.refresh(docs.where(col("doc_id") > mid),
+        "doc_id", "text", d)
+      d
+    })
+  }
+
   private val sq8Dirs = scala.collection.mutable.Map.empty[String, String]
   def sq8IndexDir(spark: SparkSession, dir: String): String = synchronized {
     sq8Dirs.getOrElseUpdate(dir, {
@@ -3338,6 +3357,31 @@ object GateQueries {
     // The same three searches against the PERSISTED sharded trigram
     // index (driver-routed shard reads + pushed In(gram)) — must equal
     // the same ground truth.
+    // All three needles in ONE batch (shared df probe, one postings
+    // read, one verify join — the bm25TopKBatch analogue for grep, incl.
+    // the shorter-than-k needle's full-scan side) — same ground truth.
+    Gate("q101c_substring_search_batched",
+      (s, d) => graft.index.GramIndex.substringSearchBatch(
+          s, gramIndexDir(s, d), documents(s, d), "doc_id", "text",
+          Seq("tabl", "ark tab", "qu"))
+        .select(col("needle"), col("docId").as("doc_id"))
+        .orderBy(col("needle"), col("doc_id")),
+      Some(substringOracleSql)),
+
+    // The same searches against a SEGMENTED gram index (half cold-built,
+    // half committed incrementally) — refresh must be invisible.
+    Gate("q101d_substring_search_segmented",
+      (s, d) => {
+        val docs = documents(s, d)
+        val idx = gramSegIndexDir(s, d)
+        Seq("tabl", "ark tab", "qu").map { needle =>
+          graft.index.GramIndex
+            .substringSearchIndexed(s, idx, docs, "doc_id", "text", needle)
+            .select(lit(needle).as("needle"), col("docId").as("doc_id"))
+        }.reduce(_ union _).orderBy(col("needle"), col("doc_id"))
+      },
+      Some(substringOracleSql)),
+
     Gate("q101b_substring_search_indexed",
       (s, d) => {
         val docs = documents(s, d)

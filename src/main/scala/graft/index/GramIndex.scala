@@ -134,11 +134,12 @@ object GramIndex {
       idCol: String, textCol: String, needle: String,
       ctx: Int = 40): DataFrame = {
     require(ctx >= 0, s"ctx must be >= 0, got $ctx")
-    val (k, nShards) = readMeta(dir)
-    val sel = rarestGrams(spark, dir, allGrams(needle, k), nShards,
+    val m = gramMeta(spark, dir)
+    val sel = rarestGrams(spark, dir, allGrams(needle, m.k), m.nShards,
       MaxQueryGrams)
-    statsOf(matchedVerify(docs, idCol, textCol, needle, sel,
-      indexedPostings(spark, dir, sel, nShards)), needle, ctx)
+    statsOf(liveOnly(spark, dir,
+      matchedVerify(docs, idCol, textCol, needle, sel,
+        indexedPostings(spark, dir, sel, m.nShards))), needle, ctx)
   }
 
   private def statsOf(matched: DataFrame, needle: String,
@@ -164,31 +165,45 @@ object GramIndex {
   /** Build the persisted gram index: one shuffle (repartition by shard),
     * files sorted by (gram, docId), plus a per-gram df table (one row
     * per distinct gram, same shard routing) that lets queries read only
-    * their RAREST grams' postings. Overwrites `dir`.
+    * their RAREST grams' postings. Overwrites `dir`. The meta file is
+    * the commit marker and records the corpus's maxDocId — the
+    * disjointness floor [[refresh]] enforces.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      k: Int = 3, nShards: Int = 16): Unit = {
+      k: Int = 3, nShards: Int = 16): Unit =
+    buildFromPostings(gramPostings(docs, idCol, textCol, k), dir, k, nShards)
+
+  /** The write half of [[build]], also the engine of [[compact]] (which
+    * re-segments from STORED (gram, docId) rows — no re-gramming).
+    */
+  private def buildFromPostings(rows: DataFrame, dir: String,
+      k: Int, nShards: Int): Unit = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     MetaIO.deleteIfExists(dir, recursive = true)
-    gramPostings(docs, idCol, textCol, k)
+    rows
       .withColumn("shard",
         pmod(xxhash64(col("gram")), lit(nShards.toLong)).cast("int"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("gram"), col("docId"))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
-    val spark = docs.sparkSession
+    val spark = rows.sparkSession
     val shardPaths = (0 until nShards).map(s => s"$dir/shard=$s")
       .filter(MetaIO.exists)
-    if (shardPaths.nonEmpty)
-      spark.read.option("basePath", dir).parquet(shardPaths: _*)
-        .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-        .withColumn("shard",
-          pmod(xxhash64(col("gram")), lit(nShards.toLong)).cast("int"))
-        .repartition(col("shard"))
-        .sortWithinPartitions(col("gram"))
-        .write.mode("overwrite").partitionBy("shard").parquet(dfDir(dir))
+    val maxDocId =
+      if (shardPaths.isEmpty) -1L
+      else {
+        val back = spark.read.option("basePath", dir).parquet(shardPaths: _*)
+        back.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+          .withColumn("shard",
+            pmod(xxhash64(col("gram")), lit(nShards.toLong)).cast("int"))
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("gram"))
+          .write.mode("overwrite").partitionBy("shard").parquet(dfDir(dir))
+        back.agg(max(col("docId"))).head().getLong(0)
+      }
     MetaIO.writeAtomic(metaPath(dir),
-      s"""{"k":$k,"nShards":$nShards}""".getBytes("UTF-8"))
+      s"""{"k":$k,"nShards":$nShards,"maxDocId":$maxDocId}"""
+        .getBytes("UTF-8"))
   }
 
   /** The `maxGrams` rarest of the needle's grams by stored df (absent
@@ -205,16 +220,9 @@ object GramIndex {
     */
   private def rarestGrams(spark: SparkSession, dir: String,
       grams: Seq[String], nShards: Int, maxGrams: Int): Seq[String] = {
-    if (grams.size <= maxGrams || !MetaIO.exists(dfDir(dir))) return grams
-    val shardPaths = grams.map(g => BlockIndex.shardOf(g, nShards))
-      .distinct.sorted.map(s => s"${dfDir(dir)}/shard=$s")
-      .filter(MetaIO.exists)
-    if (shardPaths.isEmpty) return grams.sorted.take(maxGrams)
-    val dfs = spark.read.option("basePath", dfDir(dir))
-      .parquet(shardPaths: _*)
-      .where(col("gram").isin(grams: _*))
-      .select(col("gram"), col("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (grams.size <= maxGrams) return grams
+    val dfs = readGramDfs(spark, dir, grams, nShards)
+    if (dfs.isEmpty) return grams // pre-df index (or empty): no basis
     grams.sortBy(g => (dfs.getOrElse(g, 0L), g)).take(maxGrams)
   }
 
@@ -228,17 +236,21 @@ object GramIndex {
 
   /** Posting rows for exactly these grams, read from ONLY the shard
     * directories the driver routes them to (same XXH64 arithmetic as the
-    * writer) with the `In(gram, …)` filter pushed to parquet.
+    * writer) with the `In(gram, …)` filter pushed to parquet — union'd
+    * across the live segments when the root is segmented (a doc's grams
+    * live in exactly one segment, so the union is disjoint by docId).
     */
   private def indexedPostings(spark: SparkSession, dir: String,
       grams: Seq[String], nShards: Int): DataFrame = {
-    val shardPaths = grams.map(g => BlockIndex.shardOf(g, nShards))
-      .distinct.sorted.map(s => s"$dir/shard=$s").filter(MetaIO.exists)
-    if (shardPaths.isEmpty)
-      spark.range(0).select(col("id").as("docId"), lit("").as("gram"))
-    else
-      spark.read.option("basePath", dir).parquet(shardPaths: _*)
-        .select(col("gram"), col("docId"))
+    val shards = grams.map(g => BlockIndex.shardOf(g, nShards))
+      .distinct.sorted
+    segDirs(dir).flatMap { seg =>
+      val paths = shards.map(sh => s"$seg/shard=$sh").filter(MetaIO.exists)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", seg).parquet(paths: _*)
+        .select(col("gram"), col("docId")))
+    }.reduceOption(_ union _).getOrElse(
+      spark.range(0).select(col("id").as("docId"), lit("").as("gram")))
   }
 
   /** Substring search against the persisted index — driver-routed shard
@@ -248,11 +260,12 @@ object GramIndex {
   def substringSearchIndexed(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String,
       needle: String): DataFrame = {
-    val (k, nShards) = readMeta(dir)
-    val sel = rarestGrams(spark, dir, allGrams(needle, k), nShards,
+    val m = gramMeta(spark, dir)
+    val sel = rarestGrams(spark, dir, allGrams(needle, m.k), m.nShards,
       MaxQueryGrams)
-    matchedVerify(docs, idCol, textCol, needle, sel,
-      indexedPostings(spark, dir, sel, nShards))
+    liveOnly(spark, dir,
+      matchedVerify(docs, idCol, textCol, needle, sel,
+        indexedPostings(spark, dir, sel, m.nShards)))
       .select(col("docId"))
   }
 
@@ -298,6 +311,100 @@ object GramIndex {
     base.where(col("__t").rlike(pattern)).select(col("docId"))
   }
 
+  /** Batched substring search against the persisted index — the
+    * [[graft.index.BlockIndex.bm25TopKBatch]] analogue for grep, and the
+    * direct answer to the measured per-query multi-job floor (BENCH.md's
+    * grep study: an indexed query that touches kilobytes still costs two
+    * scheduled jobs; a batch shares them). One df probe for the union of
+    * all needles' grams, ONE postings read with the union'd pushed
+    * `In(gram, …)`, per-needle candidate counting via a broadcast
+    * (gram, needle) map, and one verify join with a column-vs-column
+    * contains. Needles shorter than k verify against the full corpus
+    * inside the same pass (their candidate set is every doc — the
+    * documented fallback, batched). Output: (needle, docId) rows.
+    */
+  def substringSearchBatch(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      needles: Seq[String]): DataFrame = {
+    require(needles.nonEmpty && needles.forall(_.nonEmpty),
+      "needles must be non-empty")
+    val meta0 = gramMeta(spark, dir)
+    val (k, nShards) = (meta0.k, meta0.nShards)
+    val t = coalesce(col(textCol), lit(""))
+    val base = docs.select(col(idCol).cast("long").as("docId"), t.as("__t"))
+    val uniq = needles.distinct
+
+    // one df probe for the union of every needle's grams
+    val gramsByNeedle: Map[String, Seq[String]] = {
+      val all = uniq.flatMap(n => allGrams(n, k)).distinct
+      val dfs = readGramDfs(spark, dir, all, nShards)
+      uniq.map { n =>
+        val g = allGrams(n, k)
+        n -> (if (g.size <= MaxQueryGrams) g
+              else g.sortBy(x => (dfs.getOrElse(x, 0L), x))
+                .take(MaxQueryGrams))
+      }.toMap
+    }
+    val (grammed, scanned) = uniq.partition(n => gramsByNeedle(n).nonEmpty)
+
+    val verifiedGrammed: Option[DataFrame] =
+      if (grammed.isEmpty) None
+      else {
+        val unionGrams = grammed.flatMap(gramsByNeedle).distinct
+        val postings = indexedPostings(spark, dir, unionGrams, nShards)
+          .where(col("gram").isin(unionGrams: _*))
+        // (gram, needle, required): a gram may serve several needles
+        val mapping = grammed.flatMap(n =>
+          gramsByNeedle(n).map(g => (g, n, gramsByNeedle(n).size)))
+        val mapDf = spark.createDataFrame(mapping)
+          .toDF("gram", "needle", "required")
+        val cand = postings.join(broadcast(mapDf), "gram")
+          .groupBy(col("needle"), col("required"), col("docId"))
+          .agg(count(lit(1)).as("__ng"))
+          .where(col("__ng") === col("required"))
+          .select(col("needle"), col("docId"))
+        Some(cand.join(base, "docId")
+          .where(contains(col("__t"), col("needle")))
+          .select(col("needle"), col("docId")))
+      }
+    val verifiedScanned: Option[DataFrame] =
+      if (scanned.isEmpty) None
+      else {
+        val nd = spark.createDataFrame(scanned.map(Tuple1(_)))
+          .toDF("needle")
+        Some(base.crossJoin(broadcast(nd))
+          .where(contains(col("__t"), col("needle")))
+          .select(col("needle"), col("docId")))
+      }
+    liveOnly(spark, dir,
+      (verifiedGrammed.toSeq ++ verifiedScanned.toSeq).reduce(_ union _))
+  }
+
+  /** Stored df of exactly these grams (absent grams simply missing),
+    * summed driver-side from the routed df shards of every live segment;
+    * empty map when the index predates the df table. Tombstoned docs
+    * keep their df contributions until [[compact]] — heuristic-only
+    * (selection order), never result-affecting.
+    */
+  private def readGramDfs(spark: SparkSession, dir: String,
+      grams: Seq[String], nShards: Int): Map[String, Long] = {
+    if (grams.isEmpty) return Map.empty
+    val shards = grams.map(g => BlockIndex.shardOf(g, nShards))
+      .distinct.sorted
+    segDirs(dir).flatMap { seg =>
+      val paths = shards.map(sh => s"${dfDir(seg)}/shard=$sh")
+        .filter(MetaIO.exists)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", dfDir(seg))
+        .parquet(paths: _*)
+        .where(col("gram").isin(grams: _*))
+        .select(col("gram"), col("df")))
+    }.reduceOption(_ union _)
+      .map(_.groupBy(col("gram")).agg(sum(col("df")).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      .getOrElse(Map.empty)
+  }
+
   /** Regex (grep) search over an (id, text) relation: trigram-prefiltered
     * when the pattern is literal fragments joined by `.*`/`.+`, full
     * verify scan otherwise.
@@ -311,10 +418,186 @@ object GramIndex {
   def regexSearchIndexed(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String,
       pattern: String): DataFrame = {
-    val (k, nShards) = readMeta(dir)
-    val sel = rarestGrams(spark, dir, patternGrams(pattern, k), nShards,
-      MaxQueryGrams)
-    regexVerify(docs, idCol, textCol, pattern, sel,
-      indexedPostings(spark, dir, sel, nShards))
+    val m = gramMeta(spark, dir)
+    val sel = rarestGrams(spark, dir, patternGrams(pattern, m.k),
+      m.nShards, MaxQueryGrams)
+    liveOnly(spark, dir,
+      regexVerify(docs, idCol, textCol, pattern, sel,
+        indexedPostings(spark, dir, sel, m.nShards)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Segments (incremental refresh) + tombstone deletes — the same
+  // Lucene/LSM model as BlockIndex/PositionalIndex, gram-index-sized:
+  // each segment is a complete plain gram index (its _grammeta.json is
+  // the commit marker), `_gramsegments.json` is the atomically-replaced
+  // commit point, and deletes are the shared tombstone files.
+  // ---------------------------------------------------------------------
+
+  val GramSegmentsName = "_gramsegments.json"
+
+  /** Committed state of a segmented root: ordered segment names ("." =
+    * the root itself), the uniform k and shard count, and the highest
+    * committed docId (the disjointness floor for [[refresh]]).
+    */
+  final case class GramSegMeta(
+      segs: Seq[String], k: Int, nShards: Int, maxDocId: Long)
+
+  def isSegmented(dir: String): Boolean =
+    MetaIO.exists(s"$dir/$GramSegmentsName")
+
+  /** True iff `dir` holds a committed gram index (plain or segmented). */
+  def exists(dir: String): Boolean =
+    MetaIO.exists(metaPath(dir)) || isSegmented(dir)
+
+  private def segDirs(dir: String): Seq[String] =
+    if (!isSegmented(dir)) Seq(dir)
+    else readSegments(dir).segs.map(s => if (s == ".") dir else s"$dir/$s")
+
+  def readSegments(dir: String): GramSegMeta = {
+    val s = MetaIO.readString(s"$dir/$GramSegmentsName")
+    val kv = """"(\w+)":(-?\d+)""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toLong).toMap
+    val segs = """"segs":\[([^\]]*)\]""".r.findFirstMatchIn(s).map(_.group(1))
+      .getOrElse("").split(",").map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty).toSeq
+    GramSegMeta(segs, kv("k").toInt, kv("nShards").toInt, kv("maxDocId"))
+  }
+
+  private def writeSegments(dir: String, m: GramSegMeta): Unit = {
+    val segsJson = m.segs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    MetaIO.writeAtomic(s"$dir/$GramSegmentsName",
+      s"""{"k":${m.k},"nShards":${m.nShards},"maxDocId":${m.maxDocId},"nonce":${System.nanoTime()},"segs":$segsJson}"""
+        .getBytes("UTF-8"))
+  }
+
+  /** Current metadata whether segmented or plain; plain roots read the
+    * maxDocId recorded at build completion (pre-maxDocId metas fall back
+    * to one column-pruned max scan).
+    */
+  private def gramMeta(spark: SparkSession, dir: String): GramSegMeta =
+    if (isSegmented(dir)) readSegments(dir)
+    else {
+      val (k, nShards) = readMeta(dir)
+      val maxDoc = """"maxDocId":(-?\d+)""".r
+        .findFirstMatchIn(MetaIO.readString(metaPath(dir)))
+        .map(_.group(1).toLong)
+        .getOrElse {
+          val paths = (0 until nShards).map(sh => s"$dir/shard=$sh")
+            .filter(MetaIO.exists)
+          if (paths.isEmpty) -1L
+          else spark.read.option("basePath", dir).parquet(paths: _*)
+            .agg(max(col("docId"))).head().getLong(0)
+        }
+      GramSegMeta(Seq("."), k, nShards, maxDoc)
+    }
+
+  /** Incrementally add `newDocs`' grams WITHOUT touching committed data:
+    * the delta is built as a brand-new complete segment and committed by
+    * atomically replacing `_gramsegments.json` — readers see the old
+    * index until the commit instant; a kill before it leaves the old
+    * index intact and the half-built segment invisible. `newDocs.docId`
+    * must exceed the committed maxDocId. A caller-keyed `genName` (e.g.
+    * a streaming micro-batch id) makes replay a detectable no-op before
+    * any work; the default range name makes a killed refresh rebuild its
+    * own directory.
+    */
+  def refresh(newDocs: DataFrame, idCol: String, textCol: String,
+      dir: String, genName: Option[String] = None): GramSegMeta = {
+    val spark = newDocs.sparkSession
+    val meta = gramMeta(spark, dir)
+    genName.map(g => s"gseg-$g").foreach { gen =>
+      if (isSegmented(dir) && readSegments(dir).segs.contains(gen))
+        return readSegments(dir)
+    }
+    val b = newDocs.agg(min(col(idCol).cast("long")),
+      max(col(idCol).cast("long")), count(lit(1))).head()
+    if (b.getLong(2) == 0L) { // empty delta: commit = current state
+      if (!isSegmented(dir)) writeSegments(dir, meta)
+      return readSegments(dir)
+    }
+    val (minNew, maxNew) = (b.getLong(0), b.getLong(1))
+    val gen = genName.map(g => s"gseg-$g").getOrElse(s"gseg-$minNew-$maxNew")
+    if (isSegmented(dir) && readSegments(dir).segs.contains(gen))
+      return readSegments(dir)
+    require(minNew > meta.maxDocId,
+      s"refresh docIds must exceed committed maxDocId=${meta.maxDocId}, got min=$minNew")
+    build(newDocs, idCol, textCol, s"$dir/$gen", meta.k, meta.nShards)
+    val m = GramSegMeta(meta.segs :+ gen, meta.k, meta.nShards, maxNew)
+    writeSegments(dir, m)
+    m
+  }
+
+  /** Mark documents DELETED without touching committed segment data —
+    * the same tombstone files, replay detection, and stale-until-compact
+    * semantics as [[BlockIndex.delete]] (implementation shared; only the
+    * directory differs). Every indexed query path anti-joins the
+    * tombstones; the per-gram df table keeps pre-delete counts until
+    * [[compact]] (selection-order heuristic only).
+    */
+  def delete(ids: DataFrame, dir: String,
+      genName: Option[String] = None): BlockIndex.TombMeta =
+    BlockIndex.delete(ids, dir, genName)
+
+  private def liveOnly(spark: SparkSession, dir: String,
+      rel: DataFrame): DataFrame =
+    BlockIndex.readTombMeta(dir).filter(_.gens.nonEmpty).fold(rel) { m =>
+      val t = BlockIndex.tombstones(spark, dir).get.distinct()
+      rel.join(
+          if (m.nIds <= BlockIndex.BroadcastTombCap) broadcast(t) else t,
+          Seq("docId"), "left_anti")
+        // the using-column join moves docId first; restore rel's order
+        .select(rel.columns.map(col).toIndexedSeq: _*)
+    }
+
+  /** Fold all committed segments back into ONE — rebuilt from the STORED
+    * (gram, docId) rows with tombstoned docs dropped, no re-gramming —
+    * then commit the singleton list, clear tombstone state, and sweep
+    * unreferenced segment data. Single-writer maintenance op.
+    */
+  def compact(dir: String): GramSegMeta = {
+    val tomb = BlockIndex.readTombMeta(dir).filter(_.gens.nonEmpty)
+    require(isSegmented(dir) || tomb.nonEmpty,
+      s"$dir is not a segmented gram index and has no tombstones to fold out")
+    val spark = SparkSession.active
+    val meta = gramMeta(spark, dir)
+    if (meta.segs.size == 1 && meta.segs.head != "." && tomb.isEmpty) {
+      sweepUnreferenced(dir, meta)
+      return meta
+    }
+    val gen = s"gseg-compact-${meta.maxDocId}-${meta.segs.size}" +
+      tomb.fold("")(t => s"-d${t.nIds}")
+    val rows0 = segDirs(dir).flatMap { seg =>
+      val nSh = readMeta(seg)._2
+      val paths = (0 until nSh).map(sh => s"$seg/shard=$sh")
+        .filter(MetaIO.exists)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", seg).parquet(paths: _*)
+        .select(col("gram"), col("docId")))
+    }.reduceOption(_ union _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long)].toDF("gram", "docId")
+    }
+    val rows = liveOnly(spark, dir, rows0)
+    buildFromPostings(rows, s"$dir/$gen", meta.k, meta.nShards)
+    val m = GramSegMeta(Seq(gen), meta.k, meta.nShards, meta.maxDocId)
+    writeSegments(dir, m)
+    BlockIndex.clearTombstones(dir)
+    sweepUnreferenced(dir, m)
+    m
+  }
+
+  private def sweepUnreferenced(dir: String,
+      committed: GramSegMeta): Unit = {
+    val referenced = committed.segs.toSet
+    MetaIO.list(dir)
+      .filter(n => n.startsWith("gseg-") && !referenced.contains(n))
+      .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+    if (!referenced.contains(".")) {
+      MetaIO.list(dir).filter(_.startsWith("shard="))
+        .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
+      MetaIO.deleteIfExists(dfDir(dir), recursive = true)
+      MetaIO.deleteIfExists(metaPath(dir))
+    }
   }
 }

@@ -125,8 +125,10 @@ object StreamOps {
       compactEvery: Int = 0,
       genTag: String = "",
       posDir: Option[String] = None,
-      posShards: Int = 8): Unit = {
-    import graft.index.{BlockIndex, PositionalIndex}
+      posShards: Int = 8,
+      gramDir: Option[String] = None,
+      gramShards: Int = 8): Unit = {
+    import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
       col("title").cast("string"), col("body").cast("string"),
@@ -146,6 +148,15 @@ object StreamOps {
       if (!PositionalIndex.exists(pd))
         PositionalIndex.build(
           corpusCols.withColumn("docId", lit(0L)).limit(0), pd, posShards)
+    }
+    // the optional gram (code-grep) sidecar follows the same discipline:
+    // committed FIRST under the same marker, so the block marker check
+    // gates it and a crash between commits converges on replay
+    gramDir.foreach { gd =>
+      if (!GramIndex.exists(gd))
+        GramIndex.build(
+          corpusCols.withColumn("docId", lit(0L)).limit(0),
+          "docId", "body", gd, nShards = gramShards)
     }
     if (BlockIndex.isSegmented(dir)) {
       val segs = graft.index.BlockIndex.readSegments(dir).segs
@@ -172,11 +183,18 @@ object StreamOps {
           PositionalIndex.readSegments(pd).segs.size >= compactEvery)
         PositionalIndex.compact(pd)
     }
+    if (compactEvery > 0) gramDir.foreach { gd =>
+      if (GramIndex.isSegmented(gd) &&
+          GramIndex.readSegments(gd).segs.size >= compactEvery)
+        GramIndex.compact(gd)
+    }
     val start =
       math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
     val docs = graft.sources.CorpusSource.withDenseDocIds(
       corpusCols, idSortCols.map(col), firstId = start)
     posDir.foreach(pd => PositionalIndex.refresh(docs, pd, Some(marker)))
+    gramDir.foreach(gd =>
+      GramIndex.refresh(docs, "docId", "body", gd, Some(marker)))
     BlockIndex.refresh(docs, dir, genName = Some(marker))
   }
 
@@ -195,12 +213,15 @@ object StreamOps {
       idSortCols: Seq[String],
       compactEvery: Int = 0,
       posDir: Option[String] = None,
-      posShards: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      posShards: Int = 8,
+      gramDir: Option[String] = None,
+      gramShards: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery,
-          genTag = runTag(checkpointDir), posDir = posDir, posShards = posShards)
+          genTag = runTag(checkpointDir), posDir = posDir, posShards = posShards,
+          gramDir = gramDir, gramShards = gramShards)
       }
       .start()
 
@@ -216,11 +237,13 @@ object StreamOps {
     * directly as maintenance.
     */
   def indexDeleteBatch(batch: DataFrame, batchId: Long, dir: String,
-      genTag: String = "", posDir: Option[String] = None): Unit = {
-    import graft.index.{BlockIndex, PositionalIndex}
+      genTag: String = "", posDir: Option[String] = None,
+      gramDir: Option[String] = None): Unit = {
+    import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val ids = batch.select(col("docId").cast("long").as("docId"))
     posDir.foreach(pd => PositionalIndex.delete(ids, pd, Some(marker)))
+    gramDir.foreach(gd => GramIndex.delete(ids, gd, Some(marker)))
     BlockIndex.delete(ids, dir, Some(marker))
   }
 
@@ -229,13 +252,13 @@ object StreamOps {
     * see each commit atomically and never a half-applied delete set.
     */
   def indexDeleteSink(ids: DataFrame, dir: String, checkpointDir: String,
-      posDir: Option[String] = None)
+      posDir: Option[String] = None, gramDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexDeleteBatch(batch, batchId, dir,
-          genTag = runTag(checkpointDir), posDir = posDir)
+          genTag = runTag(checkpointDir), posDir = posDir, gramDir = gramDir)
       }
       .start()
 

@@ -67,6 +67,104 @@ class GramIndexSpec extends AnyFunSuite {
         s"needle '$needle'")
   }
 
+  test("batched search ≡ per-needle indexed search, incl. short-needle fallback and dup needles") {
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-batch").toString
+    GramIndex.build(docs, "doc_id", "text", dir, k = 3, nShards = 4)
+    val needles = Seq("Table", "table", "a b", "zzz", "ab",
+      "spark.read.parquet(dir)", "Table") // dup on purpose
+    val batch = GramIndex.substringSearchBatch(spark, dir, docs, "doc_id",
+        "text", needles)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val perNeedle = needles.distinct.flatMap { n =>
+      GramIndex.substringSearchIndexed(spark, dir, docs, "doc_id", "text", n)
+        .collect().map(r => (n, r.getLong(0)))
+    }.toSet
+    assert(batch == perNeedle)
+    intercept[IllegalArgumentException] {
+      GramIndex.substringSearchBatch(spark, dir, docs, "doc_id", "text", Seq())
+    }
+  }
+
+  private lazy val many = (1L to 40L)
+    .map(i => (i, s"content block$i " + (if (i <= 20) "alphaBase" else "betaDelta")))
+    .toDF("doc_id", "text")
+
+  test("refresh commits a delta segment: old+new searchable, ≡ cold build, replay no-op, floor enforced") {
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-seg").toString
+    GramIndex.build(many.where(col("doc_id") <= 20), "doc_id", "text", dir,
+      k = 3, nShards = 4)
+    val m1 = GramIndex.refresh(many.where(col("doc_id") > 20), "doc_id",
+      "text", dir)
+    assert(GramIndex.isSegmented(dir) && m1.maxDocId == 40L)
+    def ids(n: String) = GramIndex
+      .substringSearchIndexed(spark, dir, many, "doc_id", "text", n)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids("alphaBase") == (1L to 20L).toSet)
+    assert(ids("betaDelta") == (21L to 40L).toSet)
+    assert(ids("ent block") == (1L to 40L).toSet) // spans both segments
+    // ≡ cold build over the whole corpus, incl. batch and grep stats
+    val cold = java.nio.file.Files.createTempDirectory("gramidx-cold").toString
+    GramIndex.build(many, "doc_id", "text", cold, k = 3, nShards = 4)
+    for (n <- Seq("alphaBase", "betaDelta", "ent block", "zzz"))
+      assert(ids(n) == GramIndex
+        .substringSearchIndexed(spark, cold, many, "doc_id", "text", n)
+        .collect().map(_.getLong(0)).toSet, s"needle '$n'")
+    assert(GramIndex.substringSearchBatch(spark, dir, many, "doc_id",
+        "text", Seq("alphaBase", "betaDelta"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      GramIndex.substringSearchBatch(spark, cold, many, "doc_id",
+        "text", Seq("alphaBase", "betaDelta"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // replay (same default range name) is a no-op
+    val m2 = GramIndex.refresh(many.where(col("doc_id") > 20), "doc_id",
+      "text", dir)
+    assert(m2.segs == m1.segs)
+    // the disjointness floor is enforced
+    intercept[IllegalArgumentException] {
+      GramIndex.refresh(many.where(col("doc_id") === 5), "doc_id", "text",
+        dir)
+    }
+  }
+
+  test("delete hides docs on every indexed path; compact folds segments + tombstones ≡ cold survivor build") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-del").toString
+    GramIndex.build(many.where(col("doc_id") <= 20), "doc_id", "text", dir,
+      k = 3, nShards = 4)
+    GramIndex.refresh(many.where(col("doc_id") > 20), "doc_id", "text", dir)
+    GramIndex.delete(Seq(5L, 25L).toDF("docId"), dir)
+    def ids(n: String) = GramIndex
+      .substringSearchIndexed(spark, dir, many, "doc_id", "text", n)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids("alphaBase") == (1L to 20L).toSet - 5L)
+    assert(ids("betaDelta") == (21L to 40L).toSet - 25L)
+    assert(GramIndex.regexSearchIndexed(spark, dir, many, "doc_id", "text",
+      "alpha.*ase").collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).toSet - 5L)
+    assert(GramIndex.grepStatsIndexed(spark, dir, many, "doc_id", "text",
+      "betaDelta").collect().map(_.getLong(0)).toSet ==
+      (21L to 40L).toSet - 25L)
+    assert(GramIndex.substringSearchBatch(spark, dir, many, "doc_id",
+        "text", Seq("alphaBase", "qq")) // qq = short-needle full-scan side
+      .collect().map(_.getLong(1)).toSet == (1L to 20L).toSet - 5L)
+    // replayed delete (same id set → same generation name) is a no-op
+    val before = graft.index.BlockIndex.readTombMeta(dir)
+    GramIndex.delete(Seq(5L, 25L).toDF("docId"), dir)
+    assert(graft.index.BlockIndex.readTombMeta(dir) == before)
+    // compact: singleton segment, tombstones cleared, ≡ cold survivor build
+    GramIndex.compact(dir)
+    assert(graft.index.BlockIndex.readTombMeta(dir).isEmpty)
+    assert(GramIndex.readSegments(dir).segs.size == 1)
+    val cold = java.nio.file.Files.createTempDirectory("gramidx-surv").toString
+    GramIndex.build(many.where(!col("doc_id").isin(5L, 25L)), "doc_id",
+      "text", cold, k = 3, nShards = 4)
+    for (n <- Seq("alphaBase", "betaDelta", "ent block"))
+      assert(ids(n) == GramIndex
+        .substringSearchIndexed(spark, cold, many, "doc_id", "text", n)
+        .collect().map(_.getLong(0)).toSet, s"needle '$n'")
+  }
+
   test("empty needle is refused") {
     intercept[IllegalArgumentException] {
       GramIndex.substringSearch(docs, "doc_id", "text", "")

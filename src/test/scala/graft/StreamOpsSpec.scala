@@ -49,8 +49,10 @@ class StreamOpsSpec extends AnyFunSuite {
       ("Beta doc", "tables join on keys", "u2"))
     val b2 = Seq(("Gamma doc", "spark tables stream quickly", "u3"))
     val in = MemoryStream[(String, String, String)]
+    val gdir = java.nio.file.Files.createTempDirectory("stream-gram").toString
     val q = StreamOps.indexRefreshSink(
-      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"))
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"),
+      gramDir = Some(gdir), gramShards = 4)
     try {
       in.addData(b1: _*); q.processAllAvailable()
       val afterB1 = BlockIndex.readStats(dir)._1.nDocs
@@ -72,6 +74,19 @@ class StreamOpsSpec extends AnyFunSuite {
     def hits(d: String) = BlockIndex.bm25TopK(spark, d, "spark tables", 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(hits(dir) == hits(coldDir) && hits(dir).nonEmpty)
+    // the gram sidecar co-committed per batch: raw substring search over
+    // the streamed index == over a cold gram build of the same corpus
+    val gcold = java.nio.file.Files.createTempDirectory("stream-gram-cold")
+      .toString
+    graft.index.GramIndex.build(coldDocs, "docId", "body", gcold,
+      nShards = 4)
+    for (needle <- Seq("les join", "spark ta", "zzz"))
+      assert(graft.index.GramIndex.substringSearchIndexed(spark, gdir,
+          coldDocs, "docId", "body", needle)
+        .collect().map(_.getLong(0)).toSet ==
+        graft.index.GramIndex.substringSearchIndexed(spark, gcold,
+          coldDocs, "docId", "body", needle)
+        .collect().map(_.getLong(0)).toSet, s"needle '$needle'")
     // redelivered micro-batch (same checkpoint + batchId) must not
     // double-commit
     val segsBefore = BlockIndex.readSegments(dir).segs
@@ -194,13 +209,21 @@ class StreamOpsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     def phraseIds() = PositionalIndex.phraseSearch(spark, pdir, "alpha beta", 100)
       .collect().map(_.getLong(0)).toSet
+    val gdir = java.nio.file.Files.createTempDirectory("stream-del-gram")
+      .toString
+    graft.index.GramIndex.build(docs, "docId", "body", gdir, nShards = 4)
+    def grepIds() = graft.index.GramIndex.substringSearchIndexed(spark,
+        gdir, docs, "docId", "body", "common wor")
+      .collect().map(_.getLong(0)).toSet
     val in = MemoryStream[Long]
     val q = StreamOps.indexDeleteSink(
-      in.toDF.toDF("docId"), dir, ckpt, posDir = Some(pdir))
+      in.toDF.toDF("docId"), dir, ckpt, posDir = Some(pdir),
+      gramDir = Some(gdir))
     try {
       in.addData(2L, 4L); q.processAllAvailable()
       assert(liveIds() == (1L to 30L).toSet -- Set(2L, 4L))
       assert(phraseIds() == (1L to 30L).toSet -- Set(2L, 4L))
+      assert(grepIds() == (1L to 30L).toSet -- Set(2L, 4L))
       in.addData(6L); q.processAllAvailable()
       assert(liveIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L))
     } finally q.stop()
@@ -214,9 +237,11 @@ class StreamOpsSpec extends AnyFunSuite {
     // NOT a replay — its deletes must apply
     val ckpt2 = java.nio.file.Files.createTempDirectory("stream-del-ckpt2").toString
     StreamOps.indexDeleteBatch(Seq(8L).toDF("docId"), batchId = 0L, dir,
-      genTag = StreamOps.runTag(ckpt2), posDir = Some(pdir))
+      genTag = StreamOps.runTag(ckpt2), posDir = Some(pdir),
+      gramDir = Some(gdir))
     assert(liveIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L, 8L))
     assert(phraseIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L, 8L))
+    assert(grepIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L, 8L))
   }
 
   test("watermarked window aggregation drops late events beyond the watermark") {
