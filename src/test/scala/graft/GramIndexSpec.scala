@@ -165,6 +165,20 @@ class GramIndexSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).toSet, s"needle '$n'")
   }
 
+  test("plain (never-refreshed) index with tombstones is compactable; no-op compact rejected") {
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-plaindel").toString
+    GramIndex.build(many, "doc_id", "text", dir, k = 3, nShards = 4)
+    intercept[IllegalArgumentException] { GramIndex.compact(dir) }
+    GramIndex.delete(Seq(7L).toDF("docId"), dir)
+    GramIndex.compact(dir)
+    assert(graft.index.BlockIndex.readTombMeta(dir).isEmpty)
+    assert(GramIndex.substringSearchIndexed(spark, dir, many, "doc_id",
+        "text", "alphaBase").collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).toSet - 7L)
+  }
+
   test("empty needle is refused") {
     intercept[IllegalArgumentException] {
       GramIndex.substringSearch(docs, "doc_id", "text", "")
