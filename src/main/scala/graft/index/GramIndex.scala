@@ -71,7 +71,11 @@ object GramIndex {
     postings.where(col("gram").isin(grams: _*))
       .groupBy(col("docId"))
       .agg(count(lit(1)).as("__ng"))
-      .where(col("__ng") === grams.size)
+      // >= not ==: with unique ids they are equivalent (posting rows are
+      // distinct per (gram, docId)), but duplicated input ids inflate the
+      // count and == would then FALSELY EXCLUDE a matching doc; >= keeps
+      // candidates a superset in every case, and the verify stays exact
+      .where(col("__ng") >= grams.size)
       .select(col("docId"))
 
   /** Literal case-sensitive substring search over an (id, text) relation:
@@ -361,7 +365,7 @@ object GramIndex {
         val cand = postings.join(broadcast(mapDf), "gram")
           .groupBy(col("needle"), col("required"), col("docId"))
           .agg(count(lit(1)).as("__ng"))
-          .where(col("__ng") === col("required"))
+          .where(col("__ng") >= col("required")) // superset-safe, as above
           .select(col("needle"), col("docId"))
         Some(cand.join(base, "docId")
           .where(contains(col("__t"), col("needle")))
