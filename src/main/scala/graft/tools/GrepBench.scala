@@ -68,6 +68,23 @@ object GrepBench {
       println(s"[grep] <$needle> hits=$a scan=$b equal=${c == d}")
     }
 
+    // batch vs sequential: the same needles in ONE pass (shared df
+    // probe + postings read + verify join)
+    ids(GramIndex.substringSearchBatch(spark, dir, docs, "docId",
+      "content", needles))
+    val batchSec = timed(s"indexed_substring_batch3") {
+      ids(GramIndex.substringSearchBatch(spark, dir, docs, "docId",
+        "content", needles))
+    }
+    val batchSet = GramIndex.substringSearchBatch(spark, dir, docs,
+      "docId", "content", needles)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val seqSet = needles.flatMap(n =>
+      GramIndex.substringSearchIndexed(spark, dir, docs, "docId",
+        "content", n).collect().map(r => (n, r.getLong(0)))).toSet
+    println(s"[grep] batch3 rows=$batchSec equal_to_sequential=" +
+      (batchSet == seqSet))
+
     val patterns = Seq("id1999.*select", "struct.+id42001")
     for (p <- patterns) {
       ids(GramIndex.regexSearchIndexed(spark, dir, docs, "docId",
