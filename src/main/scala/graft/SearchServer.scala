@@ -102,11 +102,28 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
       // (PositionalIndex.previewSnippets) — one bounded job per request
       val terms = graft.analysis.Analyzer.tokenize(query)
       val ids = rows.map(_.getAs[Long]("docId"))
+      val pageDocs = docs.where(org.apache.spark.sql.functions.col("docId")
+        .isin(ids.map(Long.box): _*))
       val snippets: Map[Long, String] =
-        if (ids.isEmpty || terms.isEmpty) Map.empty
+        if (ids.isEmpty) Map.empty
+        else if (alg == "Grep" && query.nonEmpty)
+          // Grep hits are RAW substring matches (possibly crossing token
+          // boundaries), so the preview is the raw ±ctx-char excerpt
+          // with the needle bracketed — not the token-based KWIC window
+          graft.index.GramIndex.grepStats(pageDocs, "docId", "body",
+              query, ctx = 24)
+            .collect().map { r =>
+              val ex = r.getAs[String]("excerpt")
+              val i = ex.indexOf(query)
+              val marked =
+                if (i < 0) ex
+                else ex.substring(0, i) + "[" + query + "]" +
+                  ex.substring(i + query.length)
+              r.getLong(0) -> marked
+            }.toMap
+        else if (terms.isEmpty) Map.empty
         else graft.index.PositionalIndex.previewSnippets(
-            docs.where(org.apache.spark.sql.functions.col("docId")
-              .isin(ids.map(Long.box): _*)), terms, ctx = 3)
+            pageDocs, terms, ctx = 3)
           .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       val hits = rows.map { r =>
         val id = r.getAs[Long]("docId")

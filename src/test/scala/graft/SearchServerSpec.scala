@@ -94,11 +94,18 @@ class SearchServerSpec extends AnyFunSuite {
     assert(body.contains("[matrix]"), body)
   }
 
-  test("Grep algorithm over HTTP: case-sensitive raw substring hits render") {
+  test("Grep algorithm over HTTP: case-sensitive raw substring hits render with raw excerpt") {
     val (code, body) = get("?q=Cohen&alg=Grep")
     assert(code == 200)
     assert(body.contains("results=1"), body)
     assert(body.contains("Cohen's kappa"))
+    // the snippet is the RAW excerpt with the needle bracketed (not the
+    // token-based KWIC window)
+    assert(body.contains("[Cohen]"), body)
+    // a needle crossing a token boundary still previews
+    val (_, crossBody) = get("?q=rater+reliability&alg=Grep")
+    assert(crossBody.contains("results=1"), crossBody)
+    assert(crossBody.contains("[rater reliability]"), crossBody)
     // lowercase needle misses the capitalized body text
     assert(get("?q=cohen&alg=Grep")._2.contains("results=0"))
   }
