@@ -225,7 +225,17 @@ object GramIndex {
   private def rarestGrams(spark: SparkSession, dir: String,
       grams: Seq[String], nShards: Int, maxGrams: Int): Seq[String] = {
     if (grams.size <= maxGrams) return grams
-    val dfs = readGramDfs(spark, dir, grams, nShards)
+    rarestOf(grams, readGramDfs(spark, dir, grams, nShards), maxGrams)
+  }
+
+  /** Selection half of [[rarestGrams]] against an already-read df map —
+    * shared with the batch path so single-needle and batched queries pick
+    * IDENTICAL gram subsets (including the all-grams fallback on pre-df
+    * indexes, where no selection basis exists).
+    */
+  private def rarestOf(grams: Seq[String], dfs: Map[String, Long],
+      maxGrams: Int): Seq[String] = {
+    if (grams.size <= maxGrams) return grams
     if (dfs.isEmpty) return grams // pre-df index (or empty): no basis
     grams.sortBy(g => (dfs.getOrElse(g, 0L), g)).take(maxGrams)
   }
@@ -338,16 +348,12 @@ object GramIndex {
     val base = docs.select(col(idCol).cast("long").as("docId"), t.as("__t"))
     val uniq = needles.distinct
 
-    // one df probe for the union of every needle's grams
+    // one df probe for the union of every needle's grams; per-needle
+    // selection then matches the single-needle path exactly (rarestOf)
     val gramsByNeedle: Map[String, Seq[String]] = {
       val all = uniq.flatMap(n => allGrams(n, k)).distinct
       val dfs = readGramDfs(spark, dir, all, nShards)
-      uniq.map { n =>
-        val g = allGrams(n, k)
-        n -> (if (g.size <= MaxQueryGrams) g
-              else g.sortBy(x => (dfs.getOrElse(x, 0L), x))
-                .take(MaxQueryGrams))
-      }.toMap
+      uniq.map(n => n -> rarestOf(allGrams(n, k), dfs, MaxQueryGrams)).toMap
     }
     val (grammed, scanned) = uniq.partition(n => gramsByNeedle(n).nonEmpty)
 

@@ -575,11 +575,6 @@ final class QueryEngine(
     ranked.select(col("docId")).join(docs, "docId")
       .groupBy(col(facetCol)).agg(count(lit(1)).as("cnt"))
 
-  /** Algorithm registry (reference server.go:39-53); unknown names fall
-    * back to BM25. "Phrase" and "Proximity" are this engine's extension
-    * modes — every reference name resolves exactly as the reference's
-    * registry does.
-    */
   /** Grep mode — the third serving extension: case-sensitive literal
     * substring search over the RAW body (code-grep), ranked by
     * occurrence count (non-overlapping, docId ties). One narrow pass
@@ -598,6 +593,11 @@ final class QueryEngine(
       .orderBy(col("score").desc, col("docId").asc)
   }
 
+  /** Algorithm registry (reference server.go:39-53); unknown names fall
+    * back to BM25. "Phrase", "Proximity", and "Grep" are this engine's
+    * extension modes — every reference name resolves exactly as the
+    * reference's registry does.
+    */
   def byName(name: String): String => DataFrame = name match {
     case "Classic TF-IDF" => vectorSpaceQuery
     case "Boolean" => booleanQuery

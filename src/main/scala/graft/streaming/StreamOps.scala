@@ -175,17 +175,31 @@ object StreamOps {
     // their batch-keyed names are safe to lose. Compacting AFTER the
     // refresh would fold the CURRENT batch's marker too — and a crash
     // before the offset commit would then replay it undetected.
+    //
+    // That justification gates the BLOCK index only. The sidecars commit
+    // FIRST, so a crash between a sidecar refresh and the block refresh
+    // replays this batch with the sidecar marker already committed: its
+    // compact() would fold that marker away while preserving maxDocId,
+    // and the subsequent sidecar refresh — no longer a detectable replay
+    // — would fail its docId floor check forever. Guard: a sidecar that
+    // already holds the CURRENT batch's marker is mid-replay of an
+    // uncommitted batch and must not compact this cycle (its refresh
+    // below no-ops; compaction runs on the next committed batch).
     if (compactEvery > 0 && BlockIndex.isSegmented(dir) &&
         BlockIndex.readSegments(dir).segs.size >= compactEvery)
       BlockIndex.compact(dir)
     if (compactEvery > 0) posDir.foreach { pd =>
-      if (PositionalIndex.isSegmented(pd) &&
-          PositionalIndex.readSegments(pd).segs.size >= compactEvery)
+      if (PositionalIndex.isSegmented(pd) && {
+            val segs = PositionalIndex.readSegments(pd).segs
+            segs.size >= compactEvery && !segs.contains(s"pseg-$marker")
+          })
         PositionalIndex.compact(pd)
     }
     if (compactEvery > 0) gramDir.foreach { gd =>
-      if (GramIndex.isSegmented(gd) &&
-          GramIndex.readSegments(gd).segs.size >= compactEvery)
+      if (GramIndex.isSegmented(gd) && {
+            val segs = GramIndex.readSegments(gd).segs
+            segs.size >= compactEvery && !segs.contains(s"gseg-$marker")
+          })
         GramIndex.compact(gd)
     }
     val start =

@@ -72,7 +72,7 @@ object GrepBench {
     // probe + postings read + verify join)
     ids(GramIndex.substringSearchBatch(spark, dir, docs, "docId",
       "content", needles))
-    val batchSec = timed(s"indexed_substring_batch3") {
+    val batchRows = timed(s"indexed_substring_batch3") {
       ids(GramIndex.substringSearchBatch(spark, dir, docs, "docId",
         "content", needles))
     }
@@ -82,7 +82,7 @@ object GrepBench {
     val seqSet = needles.flatMap(n =>
       GramIndex.substringSearchIndexed(spark, dir, docs, "docId",
         "content", n).collect().map(r => (n, r.getLong(0)))).toSet
-    println(s"[grep] batch3 rows=$batchSec equal_to_sequential=" +
+    println(s"[grep] batch3 rows=$batchRows equal_to_sequential=" +
       (batchSet == seqSet))
 
     val patterns = Seq("id1999.*select", "struct.+id42001")

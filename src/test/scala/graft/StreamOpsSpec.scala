@@ -192,6 +192,84 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(posts(dir) == posts(coldDir))
   }
 
+  test("crash between sidecar and block commit: replayed batch must not compact its own sidecar marker away") {
+    import graft.index.{BlockIndex, GramIndex, PositionalIndex}
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-idx-x").toString
+    val pd = java.nio.file.Files.createTempDirectory("stream-pos-x").toString
+    val gd = java.nio.file.Files.createTempDirectory("stream-gram-x").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val batches = Seq(
+      Seq(("A1", "spark data alpha", "u1"), ("A2", "join keys beta", "u2")),
+      Seq(("B1", "spark stream gamma", "u3")),
+      Seq(("C1", "tables merge delta", "u4")))
+    def commit(i: Int, compactEvery: Int = 2): Unit =
+      StreamOps.indexRefreshBatch(
+        batches(i).toDF("title", "body", "url"), batchId = i.toLong, dir,
+        layout, Seq("title"), compactEvery = compactEvery, genTag = "t",
+        posDir = Some(pd), posShards = 4, gramDir = Some(gd), gramShards = 4)
+    commit(0); commit(1)
+    // ---- simulate a crash inside batch 2: both sidecars committed their
+    // segment under the batch marker, the block index did NOT, and the
+    // stream restarts (foreachBatch redelivers batch 2)
+    val start = math.max(BlockIndex.committedMaxDocId(spark, dir) + 1L, 1L)
+    val docs2 = graft.sources.CorpusSource.withDenseDocIds(
+      batches(2).toDF("title", "body", "url")
+        .select(col("title").cast("string"), col("body").cast("string"),
+          col("url").cast("string")),
+      Seq(col("title")), firstId = start)
+    PositionalIndex.refresh(docs2, pd, Some("bt-2"))
+    GramIndex.refresh(docs2, "docId", "body", gd, Some("bt-2"))
+    assert(GramIndex.readSegments(gd).segs.contains("gseg-bt-2"))
+    assert(GramIndex.readSegments(gd).segs.size >= 2,
+      "precondition: sidecar over the compaction threshold mid-replay")
+    // ---- the replay: compactEvery is armed and the sidecar is over the
+    // threshold, but folding gseg-bt-2 / pseg-bt-2 now would erase the
+    // replay markers (maxDocId survives compaction) and poison the stream
+    // with a permanent docId-floor failure. Must converge instead.
+    commit(2)
+    assert(GramIndex.readSegments(gd).segs.contains("gseg-bt-2"),
+      "mid-replay sidecar compaction folded the uncommitted batch's marker")
+    assert(BlockIndex.readSegments(dir).segs.contains("seg-bt-2"))
+    // the stream stays alive: the NEXT batch commits and may compact
+    StreamOps.indexRefreshBatch(
+      Seq(("D1", "spark tables epsilon", "u5")).toDF("title", "body", "url"),
+      batchId = 3L, dir, layout, Seq("title"), compactEvery = 2,
+      genTag = "t", posDir = Some(pd), posShards = 4, gramDir = Some(gd),
+      gramShards = 4)
+    // all three structures equal a cold build over the union corpus
+    var next = 1L
+    val all = batches :+ Seq(("D1", "spark tables epsilon", "u5"))
+    val coldDocs = all.flatMap { b =>
+      val rows = b.sortBy(_._1).zipWithIndex.map { case ((t, bd, u), i) =>
+        (next + i, t, bd, u)
+      }
+      next += b.size
+      rows
+    }.toDF("docId", "title", "body", "url")
+    val coldDir = java.nio.file.Files.createTempDirectory("stream-x-cold").toString
+    BlockIndex.build(coldDocs, coldDir, layout)
+    assert(BlockIndex.readStats(dir) == BlockIndex.readStats(coldDir))
+    def posts(d: String) = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(posts(dir) == posts(coldDir))
+    val gcold = java.nio.file.Files.createTempDirectory("stream-x-gcold").toString
+    GramIndex.build(coldDocs, "docId", "body", gcold, nShards = 4)
+    for (needle <- Seq("les mer", "spark ta", "zzz"))
+      assert(GramIndex.substringSearchIndexed(spark, gd, coldDocs, "docId",
+          "body", needle).collect().map(_.getLong(0)).toSet ==
+        GramIndex.substringSearchIndexed(spark, gcold, coldDocs, "docId",
+          "body", needle).collect().map(_.getLong(0)).toSet, s"needle '$needle'")
+    for (phrase <- Seq("tables merge", "spark tables", "spark"))
+      assert(PositionalIndex.phraseSearch(spark, pd, phrase, 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        PositionalIndex.phraseHits(PositionalIndex.positionsStream(coldDocs),
+            graft.analysis.Analyzer.tokenize(phrase))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        s"phrase '$phrase'")
+  }
+
   test("streaming delete sink: tombstones per batch, replay no-op, sidecar paired") {
     import graft.index.{BlockIndex, PositionalIndex}
     val sp = spark
