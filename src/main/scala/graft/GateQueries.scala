@@ -2365,6 +2365,36 @@ object GateQueries {
              |  round(quantile_cont(value, 0.95), 6) AS p95
              |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // The t-digest-style sketch path users actually run at 100 TB
+    // (q75 is the exact-sort twin). approx_percentile's result is rank-
+    // bounded within n/accuracy of the target, so it must lie inside the
+    // EXACT quantile envelope around p — checked Spark-side with 50×
+    // slack (±0.005 rank vs the ≤1/10000 guarantee) so the gate is
+    // insensitive to sketch merge order, and hash-compared against the
+    // oracle's literal `true`s. A sketch bug that misplaces a quantile
+    // flips a boolean and fails the hash.
+    Gate("q106_percentiles_approx",
+      (s, d) => {
+        val ev = events(s, d)
+        val approx = EventOps.groupPercentilesApprox(ev, "value",
+          Seq("event_type"), Seq(0.5, 0.95), accuracy = 10000)
+        val env = ev.groupBy(col("event_type")).agg(
+          percentile(col("value"), lit(0.495)).as("__l50"),
+          percentile(col("value"), lit(0.505)).as("__h50"),
+          percentile(col("value"), lit(0.945)).as("__l95"),
+          percentile(col("value"), lit(0.955)).as("__h95"))
+        approx.join(env, "event_type")
+          .select(col("event_type"), col("n_events"),
+            (col("p50") >= col("__l50") - 1e-9 &&
+              col("p50") <= col("__h50") + 1e-9).as("p50_in_envelope"),
+            (col("p95") >= col("__l95") - 1e-9 &&
+              col("p95") <= col("__h95") + 1e-9).as("p95_in_envelope"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*)::BIGINT AS n_events,
+             |  true AS p50_in_envelope, true AS p95_in_envelope
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Weekly cohort retention keyed on first signup; after the activity
     // distinct a user is at most one row per (cohort, offset), so the
     // plain count IS the distinct-user count on both sides.
@@ -3414,7 +3444,8 @@ object GateQueries {
     Gate("q103_regex_search",
       (s, d) => {
         val docs = documents(s, d)
-        Seq("ark.*tab", "spark.+join", "qu.*ry").map { p =>
+        Seq("ark.*tab", "spark.+join", "qu.*ry",
+          "(spark|group) tab", "tab(le|ular)").map { p =>
           graft.index.GramIndex.regexSearch(docs, "doc_id", "text", p)
             .select(lit(p).as("pattern"), col("docId").as("doc_id"))
         }.reduce(_ union _).orderBy(col("pattern"), col("doc_id"))
@@ -3425,7 +3456,8 @@ object GateQueries {
       (s, d) => {
         val docs = documents(s, d)
         val idx = gramIndexDir(s, d)
-        Seq("ark.*tab", "spark.+join", "qu.*ry").map { p =>
+        Seq("ark.*tab", "spark.+join", "qu.*ry",
+          "(spark|group) tab", "tab(le|ular)").map { p =>
           graft.index.GramIndex
             .regexSearchIndexed(s, idx, docs, "doc_id", "text", p)
             .select(lit(p).as("pattern"), col("docId").as("doc_id"))
@@ -3558,6 +3590,10 @@ object GateQueries {
       |    WHERE regexp_matches(text, 'spark.+join')
       |  UNION ALL SELECT 'qu.*ry' AS pattern, doc_id FROM documents
       |    WHERE regexp_matches(text, 'qu.*ry')
+      |  UNION ALL SELECT '(spark|group) tab' AS pattern, doc_id FROM documents
+      |    WHERE regexp_matches(text, '(spark|group) tab')
+      |  UNION ALL SELECT 'tab(le|ular)' AS pattern, doc_id FROM documents
+      |    WHERE regexp_matches(text, 'tab(le|ular)')
       |) ORDER BY pattern, doc_id""".stripMargin
 
   /** The deterministically-salted license corpus shared by q96 and q104:

@@ -219,8 +219,17 @@ object Analyzer {
   // Column expressions (index build — executors)
   // ---------------------------------------------------------------------
 
-  /** tokens of a string column, duplicates and order preserved. */
-  def tokensCol(c: Column): Column = tokensUdf(c)
+  /** tokens of a string column, duplicates and order preserved — the
+    * native codegen'd [[TokensExpr]] (zero-copy byte scan; no ScalaUDF
+    * boundary on 100 TB pipeline passes).
+    */
+  def tokensCol(c: Column): Column = TokensExpr.column(c)
+
+  /** ScalaUDF twin of [[tokensCol]] over the SAME scanner
+    * ([[tokenizeFast]]) — semantics pin for the native expression's
+    * equivalence spec; never on a hot path.
+    */
+  def tokensColUdf(c: Column): Column = tokensUdf(c)
 
   /** code-identifier subtokens of a string column ([[subtokenizeFast]]). */
   def subtokensCol(c: Column): Column = subtokensUdf(c)
@@ -251,8 +260,15 @@ object Analyzer {
   def wildcardTokensCol(c: Column): Column =
     transform(filter(split(c, WildcardTokenPattern), t => t =!= lit("")), t => lower(t))
 
-  /** Whitespace word count — the document-length definition. */
-  def wordCountCol(c: Column): Column = wordCountUdf(c)
+  /** Whitespace word count — the document-length definition — as the
+    * native codegen'd [[WordCountExpr]].
+    */
+  def wordCountCol(c: Column): Column = WordCountExpr.column(c)
+
+  /** ScalaUDF twin of [[wordCountCol]] ([[wordCountFast]]) — semantics
+    * pin for the native expression's equivalence spec only.
+    */
+  def wordCountColUdf(c: Column): Column = wordCountUdf(c)
 
   /** array<struct<_1: term, _2: tf>> of a document — [[tokenTfFast]]. */
   def tokenTfCol(title: Column, body: Column): Column = tokenTfUdf(title, body)

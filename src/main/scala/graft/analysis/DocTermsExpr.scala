@@ -155,7 +155,7 @@ object DocTermsExpr {
     * value computed. (The array may be the tokenizer's lowercased copy —
     * case changes never affect whitespace classification.)
     */
-  private def wordCountBytes(bytes: Array[Byte]): Int = {
+  private[analysis] def wordCountBytes(bytes: Array[Byte]): Int = {
     if (bytes == null) return 0
     val n = bytes.length
     var count = 0

@@ -1,0 +1,151 @@
+package graft.analysis
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `array<string>` of a document's analyzer tokens — duplicates and
+  * order preserved — computed directly over the UTF8String BYTES, the
+  * single-column twin of [[DocTermsExpr]] (which folds tf aggregation
+  * in and serves the index build).
+  *
+  * Why not the scanner UDF ([[Analyzer.tokensCol]]'s former body): the
+  * ~15 pipeline operators that tokenize per document (unigram/bigram
+  * NLL, OOV rate, importance weights, collocations, co-occurrence,
+  * chunking, BPE corpus passes, …) paid the ScalaUDF serialization
+  * boundary — UTF8String→String decode, one String per token, then the
+  * encoder back to InternalRows — on EVERY corpus pass; at 100 TB the
+  * allocation traffic is the scaling ceiling (BENCH.md §3), exactly as
+  * measured for the build path before [[DocTermsExpr]]. Here tokens are
+  * zero-copy UTF8String views into one owned lowercased byte array and
+  * `doGenCode` emits a plain static call, so tokenization stays inside
+  * whole-stage codegen (plan-asserted in PlanQualitySpec).
+  *
+  * Semantics are IDENTICAL to [[Analyzer.tokenizeFast]] and the regex
+  * twin [[Analyzer.tokensColRegex]] (reference helper.go:10-18), spec-
+  * pinned on goldens + seeded fuzz: maximal ASCII-alnum runs, lowercased
+  * — in UTF-8 every byte of a non-ASCII character is ≥ 0x80, so the
+  * byte scan reproduces the ASCII-only analyzer exactly. null ⇒ empty
+  * array (the UDF's Seq.empty).
+  */
+case class TokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tokens expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    TokensExpr.compute(if (s == null) null else s.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.analysis.TokensExpr.compute(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokensExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "tokens"
+}
+
+object TokensExpr {
+
+  def column(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      TokensExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  /** Static entry point used by both eval and the generated code. */
+  def compute(s: UTF8String): GenericArrayData = {
+    if (s == null) return Empty
+    val bytes = DocTermsExpr.ownedBytes(s)
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var i = 0
+    var start = -1
+    while (i <= n) {
+      val alnum = i < n && {
+        val c = bytes(i)
+        (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') ||
+          (c >= 'A' && c <= 'Z' && { bytes(i) = (c + 32).toByte; true })
+      }
+      if (alnum) { if (start < 0) start = i }
+      else if (start >= 0) {
+        out += UTF8String.fromBytes(bytes, start, i - start)
+        start = -1
+      }
+      i += 1
+    }
+    if (out.isEmpty) Empty else new GenericArrayData(out.toArray)
+  }
+}
+
+/** Unicode White_Space word count (`strings.Fields` semantics, the
+  * document-length definition — reference document.go:47-49) as a native
+  * codegen'd expression over the raw UTF-8 bytes; the single-column twin
+  * of the `dl` half of [[DocTermsExpr]], sharing its byte walk. Read-only
+  * over the (possibly shared) backing array — no copy at all. null ⇒ 0.
+  */
+case class WordCountExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"word_count expects string, got ${child.dataType}")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    WordCountExpr.compute(if (s == null) null else s.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        int ${ev.value} =
+          graft.analysis.WordCountExpr.compute(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordCountExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_count"
+}
+
+object WordCountExpr {
+
+  def column(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      WordCountExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  /** Static entry point used by both eval and the generated code. The
+    * byte walk never mutates, so the UTF8String's own backing array is
+    * read directly (getBytes copies only for non-exactly-backed views).
+    */
+  def compute(s: UTF8String): Int =
+    if (s == null) 0 else DocTermsExpr.wordCountBytes(s.getBytes)
+}

@@ -568,6 +568,75 @@ object BlockIndex {
     committed
   }
 
+  /** Bounded-write-amplification maintenance — the Lucene
+    * TieredMergePolicy shape, minimally: policy triggers, partial merge.
+    *
+    *   - Tombstone-fraction trigger: when committed tombstone rows
+    *     exceed `tombFraction` of the docId space, escalate to the full
+    *     [[compact]] — a delete set that big should be reclaimed, not
+    *     carried per query.
+    *   - Segment-count trigger: when the committed segment count
+    *     exceeds `maxSegments`, fold the `mergeFactor` SMALLEST
+    *     segments (by on-disk bytes — the size-ratio half of the
+    *     policy: small segments merge together, the big ones are left
+    *     alone) into ONE new segment built from their stored decoded
+    *     rows. Never the whole index: under steady ingest each doc is
+    *     rewritten O(log n) times total, vs the every-N-batches full
+    *     fold's O(n²/N) cumulative writes.
+    *
+    * Partial merges do NOT apply tombstones (the tombstone files must
+    * keep gating the untouched segments, and stats keep the documented
+    * stale-until-compact semantics — a merge changes WHERE rows live,
+    * never WHICH rows exist), and never lower maxDocId. No-op below
+    * both triggers. Single-writer maintenance, like [[compact]].
+    */
+  def compactTiered(dir: String, maxSegments: Int, mergeFactor: Int = 0,
+      tombFraction: Double = 0.2): SegmentsMeta = {
+    require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val meta = segMeta(spark, dir)
+    val tomb = readTombMeta(dir).filter(_.gens.nonEmpty)
+    if (tomb.exists(t => meta.maxDocId >= 0 &&
+        t.nIds > tombFraction * (meta.maxDocId + 1)))
+      return compact(dir)
+    if (!isSegmented(dir) || meta.segs.size <= maxSegments) return meta
+    val mf = math.min(
+      if (mergeFactor >= 2) mergeFactor else math.max(2, maxSegments / 2),
+      meta.segs.size)
+    val skipTop = (n: String) => n.startsWith("seg-") || n.startsWith("tomb-")
+    val victims = meta.segs
+      .map(s => s -> MetaIO.dirBytes(if (s == ".") dir else s"$dir/$s", skipTop))
+      .sortBy { case (s, b) => (b, s) }
+      .take(mf).map(_._1)
+    val vDirs = victims.map(s => if (s == ".") dir else s"$dir/$s")
+    // deterministic name from the merged set's identity: a killed merge
+    // re-runs into its own directory (build resumes per shard)
+    val gen = "seg-tier-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(victims.mkString("|"))) +
+      s"-${victims.size}"
+    val postings = vDirs
+      .flatMap(d => plainBlocks(spark, d, meta.layout))
+      .map(decodePostings)
+      .reduceOption(_ union _)
+      .getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long, Int, Int)].toDF("term", "docId", "tf", "dl")
+      }
+    val lensPaths = vDirs.map(d => metaTablePath(d, DocLensName, LegacyDocLensName))
+    val docLens =
+      if (lensPaths.forall(_.nonEmpty))
+        lensPaths.flatten
+          .map(p => spark.read.parquet(p).select(col("docId"), col("len")))
+          .reduce(_ union _)
+      else // pre-doclens victim: derive lengths from the decoded rows
+        postings.select(col("docId"), col("dl").cast("long").as("len")).distinct()
+    buildFromPostings(postings, docLens, s"$dir/$gen", meta.layout)
+    val committed = commitSegments(spark, dir,
+      meta.segs.filterNot(victims.contains) :+ gen, meta.layout, meta.maxDocId)
+    sweepUnreferenced(dir, committed)
+    committed
+  }
+
   /** Delete every segment directory (and, when the root-held base `"."`
     * is unreferenced, the root's own index artifacts) that the committed
     * segment list does not reference — the old segments a compaction

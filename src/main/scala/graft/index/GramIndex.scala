@@ -284,17 +284,77 @@ object GramIndex {
   }
 
   // ---------------------------------------------------------------------
-  // Regex search (grep) — trigram-prefiltered for the concatenation
-  // subset (Cox 2012 §"Regular Expression Matching with a Trigram
-  // Index": a concatenation's required gram set is the AND of its
-  // parts')
+  // Regex search (grep) — trigram-prefiltered via the AND/OR gram query
+  // algebra of Cox 2012, "Regular Expression Matching with a Trigram
+  // Index": every regex is compiled to a NECESSARY boolean condition
+  // over trigram presence (AND across a concatenation's parts, OR
+  // across an alternation's branches); documents failing the condition
+  // cannot match, documents passing it are verified with the exact
+  // regex. Deliberate, sound simplification vs the full paper: the
+  // prefix/suffix/exact-set tracking that yields grams SPANNING a
+  // concatenation boundary (e.g. `cde` in `(abc)de`) is not done —
+  // dropping a necessary gram only widens the candidate superset, never
+  // loses a match, and the rlike verify stays exact.
   // ---------------------------------------------------------------------
 
+  /** Necessary-condition query over gram presence. `Any` = no
+    * constraint (the full-scan fallback when it reaches the root).
+    */
+  private[graft] sealed trait GramQ
+  private[graft] object GramQ {
+    case object Any extends GramQ
+    final case class Gram(g: String) extends GramQ
+    final case class And(qs: Seq[GramQ]) extends GramQ
+    final case class Or(qs: Seq[GramQ]) extends GramQ
+
+    def and(qs: Seq[GramQ]): GramQ = {
+      val flat = qs.flatMap {
+        case And(xs) => xs
+        case Any => Nil
+        case q => Seq(q)
+      }.distinct
+      flat match {
+        case Seq() => Any
+        case Seq(q) => q
+        case xs => And(xs)
+      }
+    }
+
+    /** OR is only as strong as its weakest branch: any `Any` branch
+      * makes the whole disjunction unconstrained.
+      */
+    def or(qs: Seq[GramQ]): GramQ = {
+      val flat = qs.flatMap {
+        case Or(xs) => xs
+        case q => Seq(q)
+      }.distinct
+      if (flat.isEmpty || flat.contains(Any)) Any
+      else if (flat.size == 1) flat.head
+      else Or(flat)
+    }
+
+    def gramsOf(q: GramQ): Seq[String] = {
+      def walk(q: GramQ): Seq[String] = q match {
+        case Gram(g) => Seq(g)
+        case And(xs) => xs.flatMap(walk)
+        case Or(xs) => xs.flatMap(walk)
+        case Any => Nil
+      }
+      walk(q).distinct
+    }
+  }
+
+  /** Total distinct grams a regex query may intersect before the
+    * prefilter is judged not worth its posting reads and the pattern
+    * falls back to the full verify scan. AND nodes are already pruned
+    * to their [[MaxQueryGrams]] rarest; this bounds pathological OR fans.
+    */
+  val MaxRegexGrams = 24
+
   /** Literal fragments of a grep-shaped pattern: `lit1.*lit2.+lit3` →
-    * Some(Seq(lit1, lit2, lit3)). A pattern whose fragments contain any
-    * OTHER regex metacharacter is outside the accelerated subset → None
-    * (callers full-scan; an invalid pattern still fails loudly in the
-    * verify, same as grep).
+    * Some(Seq(lit1, lit2, lit3)). Kept as the cheap detector for the
+    * pure-concatenation subset (and its spec); [[regexGramQuery]]
+    * subsumes it for query planning.
     */
   private[graft] def literalFragments(pattern: String): Option[Seq[String]] = {
     val meta = "[](){}^$|?*+\\."
@@ -303,23 +363,196 @@ object GramIndex {
     else Some(parts.filter(_.nonEmpty))
   }
 
-  /** Required grams of the accelerated subset — every k-gram of every
-    * literal fragment (fragments shorter than k contribute none); empty
-    * when the pattern is outside the subset or gram-free.
+  /** Compile a Java-regex pattern to its necessary gram condition.
+    * None ⇒ a construct outside the supported subset (bounded
+    * repetition `{m,n}`, backreferences, lookarounds, unknown escapes)
+    * — callers full-scan; the pattern still fails loudly in the verify
+    * if it is genuinely invalid, same as grep.
+    *
+    * Supported: literals, escapes of metacharacters, `.`, character
+    * classes `[…]` (opaque), groups `(…)` (non-capturing `(?:…)` too),
+    * alternation, postfix `*` `+` `?`, anchors `^` `$`, and class
+    * escapes `\d \D \w \W \s \S \b \B` (opaque one-position atoms).
+    * Semantics used per element:
+    *   - a maximal run of exactly-once literal chars requires ALL its
+    *     k-grams (runs shorter than k require nothing);
+    *   - `x?` / `x*` may be absent → contributes Any and breaks the run;
+    *   - `x+` guarantees ≥1 occurrence → contributes x's own condition,
+    *     and (for a literal char) extends the PRECEDING run before
+    *     breaking adjacency (`ab+c` requires "ab" — its k-grams if long
+    *     enough — but not "bc", since the c follows the LAST b);
+    *   - a group contributes its branches' OR.
     */
-  private def patternGrams(pattern: String, k: Int): Seq[String] =
-    literalFragments(pattern).toSeq.flatten
-      .flatMap(_.sliding(k).filter(_.length == k)).distinct
+  private[graft] def regexGramQuery(pattern: String, k: Int): Option[GramQ] = {
+    var i = 0
+    val n = pattern.length
+    val ClassEscapes = "dDwWsSbB"
+    val LiteralEscapes = "\\.()[]{}|*+?^$-/"
+
+    def peekPostfix(): Char =
+      if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '+' ||
+        pattern.charAt(i) == '?')) { val c = pattern.charAt(i); i += 1; c }
+      else ' '
+
+    // returns None on unsupported construct; propagates up
+    def parseAlt(depth: Int): Option[GramQ] = {
+      val branches = Seq.newBuilder[GramQ]
+      var more = true
+      while (more) {
+        parseConcat(depth) match {
+          case None => return None
+          case Some(q) => branches += q
+        }
+        if (i < n && pattern.charAt(i) == '|') i += 1
+        else more = false
+      }
+      Some(GramQ.or(branches.result()))
+    }
+
+    def parseConcat(depth: Int): Option[GramQ] = {
+      val parts = Seq.newBuilder[GramQ]
+      val run = new java.lang.StringBuilder
+      def flushRun(): Unit = {
+        if (run.length >= k) {
+          val s = run.toString
+          parts += GramQ.and(
+            (0 to s.length - k).map(j => GramQ.Gram(s.substring(j, j + k))))
+        }
+        run.setLength(0)
+      }
+      def literalChar(c: Char): Unit = peekPostfix() match {
+        case '*' | '?' => flushRun() // optional: excluded, adjacency broken
+        case '+' => run.append(c); flushRun() // ≥1: last copy ends the run
+        case _ => run.append(c)
+      }
+      while (i < n) {
+        val c = pattern.charAt(i)
+        c match {
+          case ')' =>
+            if (depth == 0) return None // unbalanced
+            flushRun(); return Some(GramQ.and(parts.result()))
+          case '|' =>
+            flushRun(); return Some(GramQ.and(parts.result()))
+          case '(' =>
+            i += 1
+            // skip a non-capturing group marker (other (?…) forms —
+            // lookarounds, flags — are out of the subset)
+            if (i + 1 < n && pattern.charAt(i) == '?') {
+              if (pattern.charAt(i + 1) == ':') i += 2 else return None
+            }
+            val inner = parseAlt(depth + 1) match {
+              case None => return None
+              case Some(q) => q
+            }
+            if (i >= n || pattern.charAt(i) != ')') return None
+            i += 1
+            flushRun()
+            peekPostfix() match {
+              case '*' | '?' => // optional group: no requirement
+              case _ => parts += inner // '+' or none: ≥1 occurrence
+            }
+          case '[' =>
+            i += 1
+            if (i < n && pattern.charAt(i) == '^') i += 1
+            if (i < n && pattern.charAt(i) == ']') i += 1 // leading ] literal
+            while (i < n && pattern.charAt(i) != ']') {
+              if (pattern.charAt(i) == '\\') i += 1
+              i += 1
+            }
+            if (i >= n) return None // unterminated class
+            i += 1
+            flushRun(); peekPostfix() // opaque one-position atom
+          case '.' =>
+            i += 1; flushRun(); peekPostfix()
+          case '^' | '$' =>
+            // zero-width anchor: conservatively breaks the literal run
+            i += 1; flushRun()
+          case '\\' =>
+            if (i + 1 >= n) return None
+            val e = pattern.charAt(i + 1)
+            i += 2
+            if (ClassEscapes.indexOf(e) >= 0) { flushRun(); peekPostfix() }
+            else if (LiteralEscapes.indexOf(e) >= 0) literalChar(e)
+            else return None // \1 backrefs, \p{…}, \Q…\E, …
+          case '{' | '}' =>
+            return None // bounded repetition: out of the subset
+          case '*' | '+' | '?' =>
+            return None // dangling postfix — invalid pattern anyway
+          case _ =>
+            i += 1; literalChar(c)
+        }
+      }
+      flushRun()
+      Some(GramQ.and(parts.result()))
+    }
+
+    val q = parseAlt(0)
+    if (i < n) None else q // trailing unparsed input (stray ')')
+  }
+
+  /** Prune each AND to its `maxGrams` RAREST gram conjuncts (absent
+    * grams are df 0 — rarest of all), exactly the [[rarestOf]] cost
+    * move; OR branches must ALL be kept (dropping one would strengthen
+    * the condition — unsound). A tree still holding more than
+    * [[MaxRegexGrams]] distinct grams collapses to Any: at that width
+    * the posting reads cost more than the scan they save.
+    */
+  private[graft] def pruneGramQuery(q: GramQ, dfs: Map[String, Long],
+      maxGrams: Int = MaxQueryGrams): GramQ = {
+    def walk(q: GramQ): GramQ = q match {
+      case GramQ.And(xs) =>
+        val (grams, rest) = xs.partition(_.isInstanceOf[GramQ.Gram])
+        val kept =
+          if (grams.size <= maxGrams || dfs.isEmpty) grams
+          else grams.collect { case g: GramQ.Gram => g }
+            .sortBy(g => (dfs.getOrElse(g.g, 0L), g.g)).take(maxGrams)
+        GramQ.and(kept ++ rest.map(walk))
+      case GramQ.Or(xs) => GramQ.or(xs.map(walk))
+      case other => other
+    }
+    val pruned = walk(q)
+    if (GramQ.gramsOf(pruned).size > MaxRegexGrams) GramQ.Any else pruned
+  }
+
+  /** Doc ids satisfying an arbitrary AND/OR gram condition: per-doc
+    * present-gram sets (ONE groupBy over the routed posting scan, like
+    * [[candidates]]) evaluated against the tree as a Column predicate.
+    * Duplicate input ids merge into one set — superset-safe.
+    */
+  private def candidatesOf(postings: DataFrame, q: GramQ): DataFrame = {
+    val grams = GramQ.gramsOf(q)
+    def ev(q: GramQ): Column = q match {
+      case GramQ.Gram(g) => array_contains(col("__gs"), g)
+      case GramQ.And(xs) => xs.map(ev).reduce(_ && _)
+      case GramQ.Or(xs) => xs.map(ev).reduce(_ || _)
+      case GramQ.Any => lit(true)
+    }
+    postings.where(col("gram").isin(grams: _*))
+      .groupBy(col("docId"))
+      .agg(collect_set(col("gram")).as("__gs"))
+      .where(ev(q))
+      .select(col("docId"))
+  }
 
   private def regexVerify(docs: DataFrame, idCol: String,
-      textCol: String, pattern: String, grams: Seq[String],
+      textCol: String, pattern: String, q: GramQ,
       postings: => DataFrame): DataFrame = {
     require(pattern.nonEmpty, "empty pattern matches everything; refusing")
     val verified = docs.select(col(idCol).cast("long").as("docId"),
       coalesce(col(textCol), lit("")).as("__t"))
-    val base =
-      if (grams.isEmpty) verified
-      else verified.join(candidates(postings, grams), Seq("docId"), "left_semi")
+    val base = q match {
+      case GramQ.Any => verified
+      case GramQ.Gram(g) =>
+        verified.join(candidates(postings, Seq(g)), Seq("docId"), "left_semi")
+      case GramQ.And(xs) if xs.forall(_.isInstanceOf[GramQ.Gram]) =>
+        // pure conjunction (the concatenation subset): the cheaper
+        // count-based intersection, same plan as substring search
+        verified.join(
+          candidates(postings, xs.collect { case g: GramQ.Gram => g.g }),
+          Seq("docId"), "left_semi")
+      case _ =>
+        verified.join(candidatesOf(postings, q), Seq("docId"), "left_semi")
+    }
     // find-anywhere semantics (Java Matcher.find ≡ RE2 partial match on
     // the supported subset)
     base.where(col("__t").rlike(pattern)).select(col("docId"))
@@ -415,24 +648,35 @@ object GramIndex {
       .getOrElse(Map.empty)
   }
 
-  /** Regex (grep) search over an (id, text) relation: trigram-prefiltered
-    * when the pattern is literal fragments joined by `.*`/`.+`, full
-    * verify scan otherwise.
+  /** Regex (grep) search over an (id, text) relation: prefiltered by
+    * the pattern's compiled AND/OR gram condition ([[regexGramQuery]]),
+    * full verify scan when the pattern is outside the supported subset
+    * or gram-free. Inline postings carry no df table, so AND nodes are
+    * kept whole (exactly the compiled necessary condition).
     */
   def regexSearch(docs: DataFrame, idCol: String, textCol: String,
-      pattern: String, k: Int = 3): DataFrame =
-    regexVerify(docs, idCol, textCol, pattern, patternGrams(pattern, k),
+      pattern: String, k: Int = 3): DataFrame = {
+    val q = pruneGramQuery(
+      regexGramQuery(pattern, k).getOrElse(GramQ.Any), Map.empty)
+    regexVerify(docs, idCol, textCol, pattern, q,
       gramPostings(docs, idCol, textCol, k))
+  }
 
-  /** [[regexSearch]] against the persisted sharded index. */
+  /** [[regexSearch]] against the persisted sharded index: one df probe
+    * for the compiled condition's grams, AND nodes pruned to their
+    * rarest [[MaxQueryGrams]], then driver-routed shard reads of only
+    * the surviving grams' postings.
+    */
   def regexSearchIndexed(spark: SparkSession, dir: String,
       docs: DataFrame, idCol: String, textCol: String,
       pattern: String): DataFrame = {
     val m = gramMeta(spark, dir)
-    val sel = rarestGrams(spark, dir, patternGrams(pattern, m.k),
-      m.nShards, MaxQueryGrams)
+    val q0 = regexGramQuery(pattern, m.k).getOrElse(GramQ.Any)
+    val q = pruneGramQuery(q0,
+      readGramDfs(spark, dir, GramQ.gramsOf(q0), m.nShards))
+    val sel = GramQ.gramsOf(q)
     liveOnly(spark, dir,
-      regexVerify(docs, idCol, textCol, pattern, sel,
+      regexVerify(docs, idCol, textCol, pattern, q,
         indexedPostings(spark, dir, sel, m.nShards)))
   }
 
@@ -593,6 +837,56 @@ object GramIndex {
     val m = GramSegMeta(Seq(gen), meta.k, meta.nShards, meta.maxDocId)
     writeSegments(dir, m)
     BlockIndex.clearTombstones(dir)
+    sweepUnreferenced(dir, m)
+    m
+  }
+
+  /** Tiered maintenance for the gram index — the same two triggers and
+    * partial-merge semantics as [[BlockIndex.compactTiered]]: tombstones
+    * past `tombFraction` of the docId space escalate to the full
+    * [[compact]]; a segment count past `maxSegments` folds the
+    * `mergeFactor` smallest segments (by on-disk bytes) into one, from
+    * their STORED (gram, docId) rows, tombstones untouched. No-op below
+    * both.
+    */
+  def compactTiered(dir: String, maxSegments: Int, mergeFactor: Int = 0,
+      tombFraction: Double = 0.2): GramSegMeta = {
+    require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
+    val spark = SparkSession.active
+    val meta = gramMeta(spark, dir)
+    val tomb = BlockIndex.readTombMeta(dir).filter(_.gens.nonEmpty)
+    if (tomb.exists(t => meta.maxDocId >= 0 &&
+        t.nIds > tombFraction * (meta.maxDocId + 1)))
+      return compact(dir)
+    if (!isSegmented(dir) || meta.segs.size <= maxSegments) return meta
+    val mf = math.min(
+      if (mergeFactor >= 2) mergeFactor else math.max(2, maxSegments / 2),
+      meta.segs.size)
+    val skipTop = (n: String) => n.startsWith("gseg-") || n.startsWith("tomb-")
+    val victims = meta.segs
+      .map(s => s -> MetaIO.dirBytes(if (s == ".") dir else s"$dir/$s", skipTop))
+      .sortBy { case (s, b) => (b, s) }
+      .take(mf).map(_._1)
+    val gen = "gseg-tier-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(victims.mkString("|"))) +
+      s"-${victims.size}"
+    val rows = victims.map(s => if (s == ".") dir else s"$dir/$s")
+      .flatMap { seg =>
+        val nSh = readMeta(seg)._2
+        val paths = (0 until nSh).map(sh => s"$seg/shard=$sh")
+          .filter(MetaIO.exists)
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", seg).parquet(paths: _*)
+          .select(col("gram"), col("docId")))
+      }.reduceOption(_ union _).getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long)].toDF("gram", "docId")
+      }
+    buildFromPostings(rows, s"$dir/$gen", meta.k, meta.nShards)
+    val m = GramSegMeta(
+      meta.segs.filterNot(victims.contains) :+ gen, meta.k, meta.nShards,
+      meta.maxDocId)
+    writeSegments(dir, m)
     sweepUnreferenced(dir, m)
     m
   }

@@ -146,6 +146,52 @@ object MetaIO {
       else fs.listStatus(hp).toSeq.map(_.getPath.getName)
     }
 
+  /** Total bytes of regular files under directory `p`, skipping TOP-LEVEL
+    * entries whose name matches `skipTop` — the segment-size measure for
+    * tiered compaction, where a root-held base segment ("." ) must not
+    * count its sibling segment/tombstone subdirectories. 0 when absent.
+    */
+  def dirBytes(p: String, skipTop: String => Boolean = _ => false): Long =
+    if (isLocal(p)) {
+      val lp = localPath(p)
+      if (!Files.isDirectory(lp)) {
+        if (Files.isRegularFile(lp)) Files.size(lp) else 0L
+      } else {
+        var total = 0L
+        val s = Files.list(lp)
+        try {
+          val it = s.iterator()
+          while (it.hasNext) {
+            val child = it.next()
+            if (!skipTop(child.getFileName.toString)) {
+              if (Files.isRegularFile(child)) total += Files.size(child)
+              else if (Files.isDirectory(child)) {
+                val w = Files.walk(child)
+                try {
+                  val wi = w.iterator()
+                  while (wi.hasNext) {
+                    val f = wi.next()
+                    if (Files.isRegularFile(f)) total += Files.size(f)
+                  }
+                } finally w.close()
+              }
+            }
+          }
+        } finally s.close()
+        total
+      }
+    } else {
+      val (fs, hp) = hfs(p)
+      if (!fs.exists(hp)) 0L
+      else if (fs.getFileStatus(hp).isFile) fs.getFileStatus(hp).getLen
+      else fs.listStatus(hp).toSeq
+        .filterNot(st => skipTop(st.getPath.getName))
+        .map { st =>
+          if (st.isFile) st.getLen
+          else fs.getContentSummary(st.getPath).getLength
+        }.sum
+    }
+
   def mtimeMillis(p: String): Long =
     if (isLocal(p)) Files.getLastModifiedTime(localPath(p)).toMillis
     else { val (fs, hp) = hfs(p); fs.getFileStatus(hp).getModificationTime }

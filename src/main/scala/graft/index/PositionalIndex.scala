@@ -474,6 +474,53 @@ object PositionalIndex {
     m
   }
 
+  /** Tiered maintenance for the sidecar — the same two triggers and
+    * partial-merge semantics as [[BlockIndex.compactTiered]]: tombstones
+    * past `tombFraction` of the docId space escalate to the full
+    * [[compact]]; a segment count past `maxSegments` folds the
+    * `mergeFactor` smallest segments (by on-disk bytes) into one, from
+    * their STORED rows, tombstones untouched. No-op below both.
+    */
+  def compactTiered(dir: String, maxSegments: Int, mergeFactor: Int = 0,
+      tombFraction: Double = 0.2): PosSegmentsMeta = {
+    require(maxSegments >= 2, s"maxSegments must be >= 2, got $maxSegments")
+    val spark = SparkSession.active
+    val meta = segMeta(spark, dir)
+    val tomb = BlockIndex.readTombMeta(dir).filter(_.gens.nonEmpty)
+    if (tomb.exists(t => meta.maxDocId >= 0 &&
+        t.nIds > tombFraction * (meta.maxDocId + 1)))
+      return compact(dir)
+    if (!isSegmented(dir) || meta.segs.size <= maxSegments) return meta
+    val mf = math.min(
+      if (mergeFactor >= 2) mergeFactor else math.max(2, maxSegments / 2),
+      meta.segs.size)
+    val skipTop = (n: String) => n.startsWith("pseg-") || n.startsWith("tomb-")
+    val victims = meta.segs
+      .map(s => s -> MetaIO.dirBytes(if (s == ".") dir else s"$dir/$s", skipTop))
+      .sortBy { case (s, b) => (b, s) }
+      .take(mf).map(_._1)
+    val gen = "pseg-tier-" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(victims.mkString("|"))) +
+      s"-${victims.size}"
+    val rows = victims.map(s => if (s == ".") dir else s"$dir/$s")
+      .flatMap { seg =>
+        val paths = (0 until readNShards(seg)).map(s => s"$seg/shard=$s")
+          .filter(MetaIO.exists)
+        if (paths.isEmpty) None
+        else Some(spark.read.option("basePath", seg).parquet(paths: _*)
+          .select(col("term"), col("docId"), col("positions")))
+      }.reduceOption(_ union _).getOrElse {
+        import spark.implicits._
+        Seq.empty[(String, Long, Seq[Long])].toDF("term", "docId", "positions")
+      }
+    buildFromRows(rows, s"$dir/$gen", meta.nShards)
+    val m = PosSegmentsMeta(
+      meta.segs.filterNot(victims.contains) :+ gen, meta.nShards, meta.maxDocId)
+    writeSegments(dir, m)
+    sweepUnreferenced(dir, m)
+    m
+  }
+
   /** Mark documents DELETED in the sidecar without touching committed
     * segment data — the same tombstone files, replay detection, and
     * Lucene stale-until-compact semantics as [[BlockIndex.delete]] (the

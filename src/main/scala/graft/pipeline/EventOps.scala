@@ -131,6 +131,33 @@ object EventOps {
       .agg(count(lit(1)).as("n_events"), aggs: _*)
   }
 
+  /** Per-group APPROXIMATE percentiles via Spark's `approx_percentile`
+    * sketch — the 100 TB path [[groupPercentiles]]'s scaladoc points at:
+    * the sketch is mergeable (map-side partials combine, no per-group
+    * value sort) and its memory is O(accuracy), independent of group
+    * size. Guarantee: the returned value is an actual element whose RANK
+    * is within n/`accuracy` of ⌈p·n⌉, so it always lies inside the exact
+    * quantile envelope [q(p−1/accuracy), q(p+1/accuracy)] — the property
+    * the q106 gate checks against the exact oracle. Output shape is
+    * [[groupPercentiles]]'s: (dims…, n_events, p50, …).
+    */
+  def groupPercentilesApprox(
+      events: DataFrame,
+      valueCol: String,
+      dims: Seq[String],
+      percentiles: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p >= 0 && p <= 1), "percentiles must be in [0,1]")
+    require(accuracy > 0, s"accuracy must be positive, got $accuracy")
+    val aggs = percentiles.map { p =>
+      round(approx_percentile(col(valueCol), lit(p), lit(accuracy)), 6)
+        .as(s"p${(p * 100).round}")
+    }
+    events.groupBy(dims.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), aggs: _*)
+  }
+
   /** Cohort retention: each key's cohort is the epoch-aligned period of
     * its first `cohortType` event; a key is retained at offset k if it
     * has ANY event in the period k·`periodSeconds` after its cohort

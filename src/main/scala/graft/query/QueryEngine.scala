@@ -161,9 +161,42 @@ final class QueryEngine(
         .select(col("term"))
   }
 
-  /** Union of the postings of a (small) term-candidate relation. */
-  private def unionOfTerms(terms: DataFrame): DataFrame =
-    postings.join(broadcast(terms), "term").select(col("docId")).distinct()
+  /** Union of the postings of a term-candidate relation
+    * (fuzzy/wildcard; reference searcher.go:142-189).
+    *
+    * The candidate set is VOCABULARY-bounded, not constant-bounded: a
+    * loose pattern (`a*`, or a short token with edit budget 2) can match
+    * a large fraction of a 10⁷–10⁸-term vocabulary, and unconditionally
+    * broadcasting that relation is a driver/executor OOM at scale. Same
+    * bounded-probe move as the WAND SurvivorCap
+    * ([[graft.index.BlockIndex]]): collect at most
+    * [[QueryEngine.CandidateInCap]]+1 candidate terms —
+    *
+    *   - ≤ cap: the full candidate set is in hand; push it into the
+    *     postings scan as an `In(term, …)` filter (row-group pruning at
+    *     the source — strictly better than the broadcast join it
+    *     replaces, and the common case: real fuzzy/wildcard tokens
+    *     yield tens of candidates);
+    *   - > cap: leave the candidates distributed and SHUFFLE a LEFT
+    *     SEMI join (postings ⋉ candidates), hinted `shuffle_hash` on
+    *     the candidate side so neither the static planner nor AQE
+    *     re-broadcasts what the probe just proved unbounded (Catalyst's
+    *     size estimate through the candidate aggregation is a guess;
+    *     the probe's row count is a fact).
+    *
+    * Result sets are identical on both sides of the cap (spec-asserted).
+    */
+  private[graft] def unionOfTerms(terms: DataFrame): DataFrame = {
+    val probe = terms
+      .limit(QueryEngine.CandidateInCap + 1).collect().map(_.getString(0))
+    if (probe.length <= QueryEngine.CandidateInCap) {
+      if (probe.isEmpty) emptyIds
+      else postings.where(col("term").isin(probe.toIndexedSeq: _*))
+        .select(col("docId")).distinct()
+    } else
+      postings.join(terms.hint("shuffle_hash"), Seq("term"), "left_semi")
+        .select(col("docId")).distinct()
+  }
 
   /** Per-token candidate sets folded with the reference's reset-on-empty
     * quirk: when the accumulated result is empty the next token's union
@@ -642,6 +675,15 @@ final class QueryEngine(
 }
 
 object QueryEngine {
+
+  /** Largest fuzzy/wildcard candidate-term set the driver will collect
+    * and push into the postings scan as an `In(term, …)` filter; above
+    * it the candidates stay distributed and join by shuffle
+    * ([[QueryEngine.unionOfTerms]]). Same order of magnitude as the WAND
+    * SurvivorCap: thousands of strings are driver-trivial, millions are
+    * not.
+    */
+  val CandidateInCap = 4096
 
   /** Simple BM25F (Robertson & Zaragoza 2004/2009 §3.3, the "weighted
     * field concatenation" variant): per-field term frequencies and

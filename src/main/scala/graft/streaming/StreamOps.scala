@@ -127,7 +127,8 @@ object StreamOps {
       posDir: Option[String] = None,
       posShards: Int = 8,
       gramDir: Option[String] = None,
-      gramShards: Int = 8): Unit = {
+      gramShards: Int = 8,
+      maxSegments: Int = 0): Unit = {
     import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
@@ -202,6 +203,24 @@ object StreamOps {
           })
         GramIndex.compact(gd)
     }
+    // tiered maintenance (compactTiered): partial merges of the smallest
+    // segments — bounded write amplification, the steady-state policy for
+    // a long-running sink (compactEvery's full fold rewrites the whole
+    // index every N batches). Same crash-window guard as above: a sidecar
+    // already holding the CURRENT batch's marker is mid-replay of an
+    // uncommitted batch and must not fold that marker away.
+    if (maxSegments > 0 && BlockIndex.isSegmented(dir))
+      BlockIndex.compactTiered(dir, maxSegments)
+    if (maxSegments > 0) posDir.foreach { pd =>
+      if (PositionalIndex.isSegmented(pd) &&
+          !PositionalIndex.readSegments(pd).segs.contains(s"pseg-$marker"))
+        PositionalIndex.compactTiered(pd, maxSegments)
+    }
+    if (maxSegments > 0) gramDir.foreach { gd =>
+      if (GramIndex.isSegmented(gd) &&
+          !GramIndex.readSegments(gd).segs.contains(s"gseg-$marker"))
+        GramIndex.compactTiered(gd, maxSegments)
+    }
     val start =
       math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
     val docs = graft.sources.CorpusSource.withDenseDocIds(
@@ -229,13 +248,14 @@ object StreamOps {
       posDir: Option[String] = None,
       posShards: Int = 8,
       gramDir: Option[String] = None,
-      gramShards: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+      gramShards: Int = 8,
+      maxSegments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery,
           genTag = runTag(checkpointDir), posDir = posDir, posShards = posShards,
-          gramDir = gramDir, gramShards = gramShards)
+          gramDir = gramDir, gramShards = gramShards, maxSegments = maxSegments)
       }
       .start()
 

@@ -193,6 +193,56 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(out.forall(_.getString(1) == "Shared BODY Words"))
   }
 
+  test("TokensExpr/WordCountExpr (native) ≡ UDF twins ≡ driver mirrors: goldens + seeded fuzz") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val goldens = Seq(
+      "Cohen's kappa", "", null,
+      "def calcSum(x_1, y2): return x_1 + y2 # FIXME überprüfen",
+      "DUP dup dup   x y z w tab\tnl\nend",
+      "mixed ümlaut Ü12 kelvinKsign 3d!e-fg.",
+      "nelsep nbsp sep ideo　sep fsnotspace",
+      "ABC123xyz", "    ", "a", "KK", "日本語 text 混in42")
+    val rnd = new scala.util.Random(4242)
+    val classes = "abXZ09 _.!\t\nK ü日"
+    val fuzz = (1 to 2000).map(_ =>
+      Seq.fill(rnd.nextInt(40))(classes(rnd.nextInt(classes.length))).mkString)
+    val rows = (goldens ++ fuzz).toDF("s")
+    val got = rows.select(
+        Analyzer.tokensCol(col("s")).as("nat"),
+        Analyzer.tokensColUdf(col("s")).as("udf"),
+        Analyzer.wordCountCol(col("s")).as("wcNat"),
+        Analyzer.wordCountColUdf(col("s")).as("wcUdf"))
+      .collect()
+    got.zip(goldens ++ fuzz).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"tokens native≠udf for '$in'")
+      assert(r.getInt(2) == r.getInt(3), s"wc native≠udf for '$in'")
+      if (in != null) {
+        assert(r.getSeq[String](0) == Analyzer.tokenizeFast(in),
+          s"tokens native≠driver for '$in'")
+        assert(r.getInt(2) == Analyzer.wordCountFast(in), s"wc native≠driver for '$in'")
+      }
+    }
+  }
+
+  test("TokensExpr never mutates its input strings (exactly-backed literals)") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val out = Seq(1, 2).toDF("id")
+      .select(col("id"), lit("Fixed TITLE Words").as("t"))
+      .select(col("t"), Analyzer.tokensCol(col("t")).as("toks"),
+        Analyzer.wordCountCol(col("t")).as("wc"))
+      .where(col("t") === lit("Fixed TITLE Words"))
+      .collect()
+    assert(out.length == 2, "literal must still equal itself after the scan")
+    assert(out.forall(_.getString(0) == "Fixed TITLE Words"))
+    assert(out.forall(_.getSeq[String](1) == Seq("fixed", "title", "words")))
+    assert(out.forall(_.getInt(2) == 3))
+  }
+
   test("subtokenize goldens: case transitions, acronyms, digits, snake_case") {
     val cases = Seq(
       "getFooBar" -> Seq("get", "foo", "bar"),

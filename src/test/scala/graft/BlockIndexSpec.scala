@@ -264,6 +264,49 @@ class BlockIndexSpec extends AnyFunSuite {
     assert(topk(d, "table") == topk(coldDir, "table"))
   }
 
+  test("compactTiered: smallest-segment partial merge, bounded count, ≡ cold build; tombstone fraction escalates") {
+    val d = tmpDir("blockidx-tier").toString
+    BlockIndex.build(docs.where(col("docId") <= 200), d, layout)
+    for (lo <- 200L until 500L by 50L)
+      BlockIndex.refresh(
+        docs.where(col("docId") > lo && col("docId") <= lo + 50), d)
+    assert(BlockIndex.readSegments(d).segs.size == 7) // "." + 6 deltas
+    // below the count trigger: no-op, nothing rewritten
+    assert(BlockIndex.compactTiered(d, maxSegments = 8).segs.size == 7)
+    // over it: the 2 smallest (mergeFactor = 4/2) fold into one tier seg;
+    // the 200-doc base is 4× any delta and must NOT be a victim
+    val m = BlockIndex.compactTiered(d, maxSegments = 4)
+    assert(m.segs.size == 6 && m.segs.contains(".") &&
+      m.segs.exists(_.startsWith("seg-tier-")), m.segs.toString)
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(coldDir))
+    assert(blockSet(d) == blockSet(coldDir))
+    for (q <- Seq("table", "spark join fast window"))
+      assert(topk(d, q) == topk(coldDir, q), s"query '$q'")
+    // repeated maintenance converges under the budget, correctness intact
+    var meta = m
+    while (meta.segs.size > 4) meta = BlockIndex.compactTiered(d, 4)
+    assert(blockSet(d) == blockSet(coldDir))
+    // a SMALL delete set survives a partial merge untouched (tombstone
+    // files keep gating every segment; stale-until-compact stats hold)
+    BlockIndex.delete(docs.select(col("docId")).where(col("docId") <= 10), d)
+    val m2 = BlockIndex.compactTiered(d, maxSegments = 2)
+    assert(m2.segs.size < meta.segs.size || meta.segs.size <= 2)
+    assert(BlockIndex.readTombMeta(d).exists(_.gens.nonEmpty))
+    val live = BlockIndex.bm25TopK(spark, d, "table", 500)
+      .collect().map(_.getLong(0)).toSet
+    assert(live.forall(_ > 10L), "tombstoned docs resurfaced after a partial merge")
+    // 30% deleted > the 20% fraction: maintenance escalates to the FULL
+    // compact — tombstones cleared, single segment, ≡ cold survivor build
+    BlockIndex.delete(docs.select(col("docId")).where(col("docId") <= 150), d)
+    val m3 = BlockIndex.compactTiered(d, maxSegments = 8)
+    assert(m3.segs.size == 1)
+    assert(BlockIndex.readTombMeta(d).isEmpty)
+    val survDir = tmpDir("blockidx-tier-surv").toString
+    BlockIndex.build(docs.where(col("docId") > 150), survDir, layout)
+    assert(BlockIndex.readStats(d) == BlockIndex.readStats(survDir))
+    assert(blockSet(d) == blockSet(survDir))
+  }
+
   // ------------------------------------------------------------------
   // Tombstone deletes
   // ------------------------------------------------------------------

@@ -210,6 +210,69 @@ class GramIndexSpec extends AnyFunSuite {
       assert(GramIndex.literalFragments(p).isEmpty, s"pattern '$p'")
   }
 
+  test("regexGramQuery: Cox AND/OR compilation — literals, alternation, postfix, fallback") {
+    import GramIndex.GramQ
+    import GramIndex.GramQ.{And, Gram, Or}
+    def q(p: String) = GramIndex.regexGramQuery(p, 3)
+    // concatenation: AND of every literal-run k-gram
+    assert(q("abcd.*efgh") ==
+      Some(And(Seq(Gram("abc"), Gram("bcd"), Gram("efg"), Gram("fgh")))))
+    // alternation: OR of the branches, ANDed with the shared suffix
+    assert(q("(foo|bar)baz") ==
+      Some(And(Seq(Or(Seq(Gram("foo"), Gram("bar"))), Gram("baz")))))
+    assert(q("(?:foo|bar)baz") ==
+      Some(And(Seq(Or(Seq(Gram("foo"), Gram("bar"))), Gram("baz")))))
+    // x? / x* exclude the char and break adjacency; x+ keeps ONE copy
+    // ending the run (`abc+def` requires "abc" and "def", not "cde")
+    assert(q("rea?d") == Some(GramQ.Any)) // runs "re", "d" both < k
+    assert(q("abc+def") == Some(And(Seq(Gram("abc"), Gram("def")))))
+    assert(q("abc*def") == Some(And(Seq(Gram("def"))))
+      || q("abc*def") == Some(Gram("def"))) // "ab" < k contributes nothing
+    // opaque atoms break runs but keep surrounding requirements
+    assert(q("t[aA]ble") == Some(Gram("ble")))
+    assert(q("abc\\d+xyz") == Some(And(Seq(Gram("abc"), Gram("xyz")))))
+    // an Any branch dissolves the whole OR; escape of a metachar is literal
+    assert(q("(foobar|x)qq") == Some(GramQ.Any))
+    assert(q("a\\.bc") == Some(Gram("a.b")) ||
+      q("a\\.bc") == Some(And(Seq(Gram("a.b"), Gram(".bc")))))
+    // outside the subset → None (callers full-scan)
+    for (p <- Seq("a{2,3}bc", "abc\\1", "(?=x)abc", "\\p{L}abc", "abc\\Edef"))
+      assert(q(p).isEmpty, s"pattern '$p'")
+    // unbalanced parens / stray postfix → None, never a crash
+    for (p <- Seq("(abc", "abc)", "*abc"))
+      assert(q(p).isEmpty, s"pattern '$p'")
+  }
+
+  test("regex alternation ≡ brute rlike, engages the indexed prefilter; fallback preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-alt").toString
+    GramIndex.build(docs, "doc_id", "text", dir, k = 3, nShards = 4)
+    for (p <- Seq("(read|spark).*(Frame|parquet)", "tab(le|ular)",
+      "(spark|zz).+quet", "par(quet|tition)", "qq(aa|bb)cc")) {
+      assert(GramIndex.regexSearch(docs, "doc_id", "text", p)
+        .collect().map(_.getLong(0)).toSet == bruteRegexIds(p), s"inline '$p'")
+      assert(
+        GramIndex.regexSearchIndexed(spark, dir, docs, "doc_id", "text", p)
+          .collect().map(_.getLong(0)).toSet == bruteRegexIds(p),
+        s"indexed '$p'")
+    }
+    // regime assertion: an alternation whose branches all survive gram
+    // extraction takes the gram-SET evaluation path (collect_set over
+    // the routed posting scan), NOT a full corpus scan … (`tab(le|ular)`
+    // instead collapses to the pure-AND Gram("tab") — branches < k — and
+    // rides the count-based path, covered by the equality loop above)
+    val alt = GramIndex.regexSearchIndexed(spark, dir, docs, "doc_id",
+      "text", "(read|spark).*(Frame|parquet)")
+    assert(alt.queryExecution.executedPlan.toString.contains("collect_set"),
+      "alternation did not engage the gram prefilter")
+    // … while an out-of-subset pattern still full-scans (no prefilter)
+    val fb = GramIndex.regexSearchIndexed(spark, dir, docs, "doc_id",
+      "text", "ta{1,2}ble")
+    val fbPlan = fb.queryExecution.executedPlan.toString
+    assert(!fbPlan.contains("collect_set") && !fbPlan.contains("LeftSemi"),
+      s"out-of-subset pattern must fall back to the verify scan:\n$fbPlan")
+    assert(fb.collect().map(_.getLong(0)).toSet == bruteRegexIds("ta{1,2}ble"))
+  }
+
   private def bruteRegexIds(pattern: String): Set[Long] =
     docs.where(coalesce(col("text"), lit("")).rlike(pattern))
       .collect().map(_.getLong(0)).toSet

@@ -77,6 +77,75 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline tokenization is native: no ScalaUDF in the corpus-pass operators' plans") {
+    val sp = spark
+    import sp.implicits._
+    // parquet-backed so ConvertToLocalRelation cannot fold the projection
+    // into a LocalTableScan (which would hide the expression under test)
+    val pdir = java.nio.file.Files.createTempDirectory("tok-plan").toString
+    (1L to 30L).map(i => (i, s"alpha beta doc $i gamma delta text words here"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(pdir)
+    val docs = spark.read.parquet(pdir)
+    val target = docs.limit(5)
+    val plans = Seq(
+      "oovRate" -> TextPipeline.oovRate(docs, "doc_id", "text", 8),
+      "unigramNll" -> TextPipeline.unigramNll(docs, "doc_id", "text"),
+      "bigramNll" -> TextPipeline.bigramNll(docs, "doc_id", "text"),
+      "cooccurrence" -> TextPipeline.cooccurrence(docs, "text", 2),
+      "collocations" -> TextPipeline.collocations(docs, "text", 1L),
+      "importanceWeights" -> TextPipeline.importanceWeights(docs, target))
+    for ((name, df) <- plans) {
+      val plan = planOf(df)
+      assert(!plan.contains("ScalaUDF"),
+        s"$name still crosses the ScalaUDF boundary:\n$plan")
+      assert(plan.contains("tokens("),
+        s"$name does not show the native tokens expression:\n$plan")
+    }
+  }
+
+  test("fuzzy/wildcard candidate gate: >cap candidates take the non-broadcast semi-join, small sets take In(term)") {
+    val sp = spark
+    import sp.implicits._
+    import graft.query.{QueryEngine => QE}
+    // 105,000 distinct terms, ALL matching `a*` — a vocabulary-scale
+    // candidate set (≥10⁵, ~26× the cap) that must NOT be broadcast
+    val nDocs = 1000
+    val perDoc = 105
+    val docs = (0 until nDocs).map { d =>
+      (d + 1L, s"t$d",
+        (0 until perDoc).map(j => s"a${d * perDoc + j}").mkString(" "), s"u$d")
+    }.toDF("docId", "title", "body", "url")
+    val eng = new graft.query.QueryEngine(
+      graft.index.IndexBuilder.build(docs, k = 3, persist = false))
+
+    val wide = eng.wildcardQuery("a*")
+    // every doc holds only a-terms → the loose pattern matches ALL docs.
+    // Execute FIRST so the asserted plan is AQE's FINAL one (a pre-
+    // execution assert would miss a runtime broadcast conversion).
+    assert(wide.count() == nDocs.toLong)
+    val widePlan = wide.queryExecution.executedPlan.toString
+    val semiLines = widePlan.linesIterator.filter(_.contains("LeftSemi")).toSeq
+    assert(semiLines.nonEmpty,
+      s">cap candidates must join as LEFT SEMI, plan:\n$widePlan")
+    assert(semiLines.forall(l => !l.contains("Broadcast")),
+      s"vocabulary-scale candidate relation was broadcast:\n$widePlan")
+
+    // a selective pattern (`a10?` → a100..a109) stays under the cap:
+    // candidates collect to the driver and push into the scan as In(term)
+    // — no join against a candidate relation at all
+    val narrow = eng.wildcardQuery("a10?")
+    val narrowPlan = narrow.queryExecution.executedPlan.toString
+    assert(!narrowPlan.contains("LeftSemi"),
+      s"small candidate set should use In(term), not a join:\n$narrowPlan")
+    assert(narrow.count() == 2L) // a100..a104 in doc 1, a105..a109 in doc 2
+    // both sides of the cap agree on the SAME candidate relation: force
+    // the wide set through the semi join and through a raised-cap In by
+    // comparing against the brute-force expectation (all docIds)
+    assert(wide.collect().map(_.getLong(0)).toSet ==
+      (1L to nDocs.toLong).toSet)
+    assert(QE.CandidateInCap >= 1000, "cap must keep real queries on the In path")
+  }
+
   test("BM25 scoring plan broadcasts the query-term relations") {
     val e = GateQueries.engine(spark, "/root/testdata/sf0.001")
     val df = e.bm25Query("spark join", Some(10))

@@ -192,6 +192,68 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(posts(dir) == posts(coldDir))
   }
 
+  test("tiered maintenance: long stream of small batches converges to a bounded segment count on all three structures") {
+    import graft.index.{BlockIndex, GramIndex, PositionalIndex}
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-tier").toString
+    val pd = java.nio.file.Files.createTempDirectory("stream-tier-pos").toString
+    val gd = java.nio.file.Files.createTempDirectory("stream-tier-gram").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val maxSegs = 4
+    val words = Seq("spark", "table", "join", "stream", "merge", "fast",
+      "alpha", "beta", "gamma", "delta")
+    val batches = (0 until 12).map { b =>
+      Seq((f"T$b%02d", s"${words(b % 10)} ${words((b + 3) % 10)} doc body $b",
+        s"u$b"))
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.indexRefreshBatch(
+        b.toDF("title", "body", "url"), batchId = i.toLong, dir, layout,
+        Seq("title"), genTag = "tier", posDir = Some(pd), posShards = 4,
+        gramDir = Some(gd), gramShards = 4, maxSegments = maxSegs)
+      // the invariant the policy exists for: the live segment count never
+      // exceeds budget+1 (the trigger runs BEFORE the batch's own commit)
+      assert(BlockIndex.readSegments(dir).segs.size <= maxSegs + 1,
+        s"block segments unbounded at batch $i")
+      assert(PositionalIndex.readSegments(pd).segs.size <= maxSegs + 1,
+        s"positional segments unbounded at batch $i")
+      assert(GramIndex.readSegments(gd).segs.size <= maxSegs + 1,
+        s"gram segments unbounded at batch $i")
+    }
+    // partial merges actually happened (12 commits, ≤ 5 live segments)
+    assert(BlockIndex.readSegments(dir).segs.exists(_.startsWith("seg-tier-")))
+    // and the merged index equals a cold build over the union corpus
+    var next = 1L
+    val coldDocs = batches.flatMap { b =>
+      val rows = b.sortBy(_._1).zipWithIndex.map { case ((t, bd, u), j) =>
+        (next + j, t, bd, u)
+      }
+      next += b.size
+      rows
+    }.toDF("docId", "title", "body", "url")
+    val coldDir = java.nio.file.Files.createTempDirectory("stream-tier-cold").toString
+    BlockIndex.build(coldDocs, coldDir, layout)
+    assert(BlockIndex.readStats(dir) == BlockIndex.readStats(coldDir))
+    def posts(d: String) = BlockIndex.decodePostings(BlockIndex.readBlocks(spark, d))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3))).toSet
+    assert(posts(dir) == posts(coldDir))
+    for (phrase <- Seq("spark delta", "table fast", "doc body"))
+      assert(PositionalIndex.phraseSearch(spark, pd, phrase, 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        PositionalIndex.phraseHits(PositionalIndex.positionsStream(coldDocs),
+            graft.analysis.Analyzer.tokenize(phrase))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        s"phrase '$phrase'")
+    val gcold = java.nio.file.Files.createTempDirectory("stream-tier-gcold").toString
+    GramIndex.build(coldDocs, "docId", "body", gcold, nShards = 4)
+    for (needle <- Seq("doc body", "spark ", "zzz"))
+      assert(GramIndex.substringSearchIndexed(spark, gd, coldDocs, "docId",
+          "body", needle).collect().map(_.getLong(0)).toSet ==
+        GramIndex.substringSearchIndexed(spark, gcold, coldDocs, "docId",
+          "body", needle).collect().map(_.getLong(0)).toSet, s"needle '$needle'")
+  }
+
   test("crash between sidecar and block commit: replayed batch must not compact its own sidecar marker away") {
     import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val sp = spark
