@@ -66,6 +66,54 @@ object SegmentBench {
     timed("query_after_compact") {
       BlockIndex.bm25TopK(spark, segDir, "id0 def select", 10).count()
     }
+
+    // ----------------------------------------------------------------
+    // Per-segment WAND UB duplication cost: the SAME corpus committed
+    // as 8 and 16 uncompacted segments. Block-max planning reads one
+    // (term, blockId) UB row per SEGMENT the block straddles, so query
+    // metadata cost grows with live segment count until maintenance
+    // folds it — this measures how fast, and what the tiered policy
+    // (compactTiered) buys back.
+    // ----------------------------------------------------------------
+    val multiDir = fresh()
+    val s16 = 16
+    val slice = n / s16 + 1
+    val minId = all.agg(min(col("docId"))).head().getLong(0)
+    timed(s"multi_base_build_1of$s16") {
+      BlockIndex.build(all.where(col("docId") < minId + slice), multiDir, layout)
+    }
+    var committed = 1
+    var refreshSec = 0.0
+    while (committed < s16) {
+      val lo = minId + slice * committed.toLong
+      val t0 = System.nanoTime()
+      BlockIndex.refresh(
+        all.where(col("docId") >= lo && col("docId") < lo + slice), multiDir)
+      refreshSec += (System.nanoTime() - t0) / 1e9
+      committed += 1
+      if (committed == 8 || committed == 16) {
+        BlockIndex.bm25TopK(spark, multiDir, "id0 def select", 10).count() // warm
+        timed(s"query_${committed}_segments") {
+          BlockIndex.bm25TopK(spark, multiDir, "id0 def select", 10).count()
+        }
+      }
+    }
+    println(f"[seg] refresh_15_slices_total     $refreshSec%7.2f s")
+    timed("tiered_maintenance_16_to_8") {
+      var m = BlockIndex.readSegments(multiDir)
+      while (m.segs.size > 8) m = BlockIndex.compactTiered(multiDir, 8)
+    }
+    BlockIndex.bm25TopK(spark, multiDir, "id0 def select", 10).count() // warm
+    timed("query_after_tiered") {
+      BlockIndex.bm25TopK(spark, multiDir, "id0 def select", 10).count()
+    }
+    val sameMulti =
+      BlockIndex.readStats(multiDir) == BlockIndex.readStats(rebuildDir) &&
+      BlockIndex.bm25TopK(spark, multiDir, "id0 def select", 10).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1))) ==
+      BlockIndex.bm25TopK(spark, rebuildDir, "id0 def select", 10).collect().toSeq
+        .map(r => (r.getLong(0), r.getDouble(1)))
+    println(s"[seg] tiered==rebuilt(stats+top10): $sameMulti")
     spark.stop()
   }
 }
