@@ -3006,6 +3006,50 @@ object GateQueries {
              |FROM dn LEFT JOIN per USING (doc_id)
              |ORDER BY doc_id""".stripMargin)),
 
+    // The removal half of q90 (Lee et al. 2022 exact substring dedup as
+    // a TRANSFORM): every token position covered by any corpus-duplicated
+    // w=8 window is dropped and the survivors re-joined in position
+    // order. The oracle replays the same window/dup/coverage CTEs as
+    // q90, then anti-joins the per-position token stream and reassembles
+    // with an ordered string_agg — so the CONTENT of clean_text (not just
+    // its length) is hash-pinned against DuckDB.
+    Gate("q107_remove_dup_spans",
+      (s, d) => TextPipeline.removeDuplicateSpans(documents(s, d), "doc_id",
+          "text", w = 8)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("kept_tokens"),
+          col("clean_text"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |wins AS (
+             |  SELECT doc_id, l, n, unnest(range(0, n - 7)) AS s
+             |  FROM dn WHERE n >= 8),
+             |wg AS (SELECT doc_id, s, array_to_string(l[s+1 : s+8], ' ') AS gram
+             |       FROM wins),
+             |dup AS (SELECT gram FROM wg GROUP BY gram HAVING count(*) >= 2),
+             |dw AS (SELECT wg.doc_id, wg.s FROM wg JOIN dup USING (gram)),
+             |pos AS (SELECT DISTINCT doc_id, unnest(range(s, s + 8)) AS p
+             |        FROM dw),
+             |tk AS (SELECT doc_id, unnest(range(0, n)) AS p, l FROM dn),
+             |tok AS (SELECT doc_id, p, l[p + 1] AS tok FROM tk),
+             |keep AS (
+             |  SELECT t.doc_id, t.p, t.tok FROM tok t
+             |  WHERE NOT EXISTS (SELECT 1 FROM pos
+             |                    WHERE pos.doc_id = t.doc_id AND pos.p = t.p)),
+             |per AS (
+             |  SELECT doc_id, count(*)::BIGINT AS kept_tokens,
+             |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+             |  FROM keep GROUP BY doc_id)
+             |SELECT dn.doc_id, dn.n::BIGINT AS n_tokens,
+             |  coalesce(per.kept_tokens, 0)::BIGINT AS kept_tokens,
+             |  coalesce(per.clean_text, '') AS clean_text
+             |FROM dn LEFT JOIN per USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
     // BPE tokenizer training (Sennrich et al. 2016): 5 merge rounds
     // learned on the corpus vocabulary. The oracle replays every round —
     // weighted pair counts, the (count desc, lexicographic) argmax, and

@@ -1052,6 +1052,59 @@ object TextPipeline {
           .as("dup_frac"))
   }
 
+  /** Exact substring dedup as a TRANSFORM (the removal half of the
+    * [[duplicateSpans]] family — Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", applied at token
+    * granularity): every token position covered by ANY corpus-duplicated
+    * w-window (occurrence count ≥ 2, within- or cross-document) is
+    * dropped, and the surviving tokens are re-joined into the cleaned
+    * training text. Removal is symmetric — ALL occurrences go, the
+    * deterministic variant (keeping "one winner" would need a global
+    * occurrence order, which at corpus scale is an arbitrary tiebreak
+    * masquerading as semantics). The output text is the ANALYZER's view
+    * of the document (lowercased terms, punctuation collapsed to single
+    * spaces) — the same deliberate token-level contract as KWIC
+    * snippets: what is removed is exactly what matched. Documents
+    * shorter than `w` tokens pass through whole; every input document
+    * gets a row (a fully-duplicated one with empty clean_text).
+    *
+    * Shape at scale: the duplicated-window relation is corpus-filtered
+    * BEFORE any per-token work (the groupBy(gram) HAVING ≥2 inside
+    * [[duplicateSpans]] carries partially-reduced counts), so the heavy
+    * side here is the token stream itself: one anti-join of
+    * (id, pos, token) against the exploded covered positions, then one
+    * per-document reassembly — both hash-partitioned, no window
+    * functions, no driver state. Reassembly order is pinned by sorting
+    * the collected (pos, token) structs, not by collection order.
+    *
+    * Output: (id, n_tokens, kept_tokens, clean_text), one row per doc;
+    * n_tokens − kept_tokens ≡ [[dupSpanStats]].dup_tokens by
+    * construction (spec-pinned).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("id"),
+      Analyzer.tokensCol(col(textCol)).as("__t"))
+    val toks = base.select(col("id"),
+      posexplode(col("__t")).as(Seq("pos", "tok")))
+      .select(col("id"), col("pos").cast("long").as("pos"), col("tok"))
+    val covered = duplicateSpans(docs, idCol, textCol, w)
+      .select(col("id"),
+        explode(sequence(col("start"), col("start") + (w - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("id", "pos"), "left_anti")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ").as("clean_text"))
+    base.select(col("id"), size(col("__t")).cast("long").as("n_tokens"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // ---------------------------------------------------------------------
   // Deterministic global shuffle + sharded training export
   // ---------------------------------------------------------------------

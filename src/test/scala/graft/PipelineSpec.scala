@@ -1104,6 +1104,26 @@ class PipelineSpec extends AnyFunSuite {
     // doc 11: starts 0,1,2 (shared run) + 5,9 (self-repeat) → windows 5;
     // covered positions 0..4 ∪ 5..7 ∪ 9..11 = 11 of 12 (position 8 is not)
     assert(stats(11L) == ((12L, 5L, 11L, round7(11.0 / 12.0))))
+
+    // the removal TRANSFORM: survivors reassembled in position order, all
+    // occurrences dropped (symmetric removal), short/empty docs pass whole
+    val cleaned = TextPipeline.removeDuplicateSpans(corpus, "doc_id", "text",
+        w = 3)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("kept_tokens"),
+          r.getAs[String]("clean_text"))).toMap
+    assert(cleaned.keySet == Set(11L, 12L, 13L, 14L, 15L))
+    assert(cleaned(11L) == ((12L, 1L, "iota")))
+    assert(cleaned(12L) == ((9L, 4L, "prefix words suffix tail")))
+    assert(cleaned(13L) ==
+      ((9L, 9L, "no shared content whatsoever in this document at all")))
+    assert(cleaned(14L) == ((1L, 1L, "tiny")))
+    assert(cleaned(15L) == ((0L, 0L, "")))
+    // removal accounting ≡ the stats side by construction:
+    // n_tokens − kept_tokens = dupSpanStats.dup_tokens, per document
+    cleaned.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept == stats(id)._3, s"doc $id accounting")
+    }
   }
 
   private def round7(x: Double): Double =
