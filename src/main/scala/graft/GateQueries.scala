@@ -107,6 +107,22 @@ object GateQueries {
     })
   }
 
+  /** A SEPARATE persisted sidecar with the nextword (adjacent-pair)
+    * accelerator armed — q108's phrase search routes through bigram
+    * postings. Deliberately not [[posIndexDir]]'s directory: arming
+    * nextword there would silently flip q53b/q56b onto the accelerated
+    * path too, and the unigram persisted path must keep its own gate.
+    */
+  private val nwPosDirs = scala.collection.mutable.Map.empty[String, String]
+  def nwPosIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    nwPosDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-nwidx").toString
+      graft.index.PositionalIndex.build(docsAsModel(spark, dir), d, nShards = 8)
+      graft.index.PositionalIndex.buildNextword(d)
+      d
+    })
+  }
+
   /** Persistent IVF ANN index ([[graft.pipeline.Similarity.ivfBuild]])
     * built once per corpus directory. iters = 0 → centroids are the K
     * smallest-id embedding vectors verbatim, which the DuckDB oracle
@@ -1751,6 +1767,36 @@ object GateQueries {
              |      FROM tokpos t JOIN phrase p ON t.term = p.term
              |      GROUP BY t.doc_id, t.pos - p.i
              |      HAVING count(DISTINCT p.i) = 2)
+             |SELECT doc_id, count(*)::BIGINT AS phrase_tf
+             |FROM m GROUP BY doc_id
+             |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Phrase search through the NEXTWORD accelerator (Williams/Zobel/
+    // Bahle 2004 adjacent-pair postings — the head-head phrase remedy):
+    // a 3-term phrase evaluates its two bigrams' postings with the same
+    // vote arithmetic. The oracle is the plain per-position formulation —
+    // identical answers are exactly the claim.
+    Gate("q108_phrase_nextword",
+      (s, d) => graft.index.PositionalIndex.phraseSearch(
+          s, nwPosIndexDir(s, d), "big order scan", 20)
+        .select(col("docId").as("doc_id"), col("phrase_tf"))
+        .orderBy(col("phrase_tf").desc, col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |phrase(i, term) AS (
+             |  SELECT * FROM (VALUES (0, 'big'), (1, 'order'), (2, 'scan'))
+             |    v(i, term)),
+             |m AS (SELECT t.doc_id, t.pos - p.i AS start
+             |      FROM tokpos t JOIN phrase p ON t.term = p.term
+             |      GROUP BY t.doc_id, t.pos - p.i
+             |      HAVING count(DISTINCT p.i) = 3)
              |SELECT doc_id, count(*)::BIGINT AS phrase_tf
              |FROM m GROUP BY doc_id
              |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),

@@ -643,10 +643,145 @@ object PositionalIndex {
     val terms = Analyzer.tokenize(phrase)
     val empty = Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
     if (terms.isEmpty) return empty
+    if (terms.size >= 2 && nextwordFresh(spark, dir)) {
+      val grams = terms.sliding(2).map(_.mkString(" ")).toVector
+      return nextwordGramPositions(spark, dir, grams).fold(empty) { pos =>
+        phraseHits(pos, grams)
+          .orderBy(col("phrase_tf").desc, col("docId").asc)
+          .limit(k)
+      }
+    }
     queryPositions(spark, dir, terms).fold(empty) { positions =>
       phraseHits(positions, terms)
         .orderBy(col("phrase_tf").desc, col("docId").asc)
         .limit(k)
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // Nextword accelerator (Williams, Zobel & Bahle 2004, "Fast phrase
+  // querying with combined indexes"): an auxiliary postings structure
+  // over ADJACENT TERM PAIRS. A head-head phrase ("def val", both terms
+  // in ~every document) is the sidecar's worst regime — the rarest-term
+  // semi-join cannot prune, so the unigram path explodes both full
+  // position streams. The pair's document frequency is typically orders
+  // of magnitude below either unigram's, so scanning bigram postings
+  // instead bounds the evaluated rows by the PHRASE's selectivity, not
+  // the terms'. An n-term phrase needs only its n−1 adjacent pairs: a
+  // start s is a match iff pair i occurs at s+i for all i — the same
+  // vote dataflow as [[phraseHits]], with grams as the pattern tokens.
+  //
+  // Lifecycle: DERIVED data, rebuilt from the committed sidecar's STORED
+  // rows (no re-tokenization, no access to the original corpus needed —
+  // the field-gap and tombstone discipline carry over because adjacency
+  // and docIds are reconstructed from the committed positions
+  // themselves). `_nwsource.json`, written after the data commit, pins
+  // the exact (segments, maxDocId) state it was built from;
+  // [[phraseSearch]] uses the accelerator only while that state is
+  // CURRENT and falls back to the unigram path the moment a refresh or
+  // compaction changes the sidecar — stale reads are impossible by
+  // construction, and [[buildNextword]] after maintenance re-arms it.
+  // Deletes do NOT stale it: tombstones anti-join at query time exactly
+  // as on the unigram path.
+  // ---------------------------------------------------------------------
+
+  private def nextwordDir(dir: String) = s"$dir/nextword"
+  private def nwSourcePath(dir: String) = s"${nextwordDir(dir)}/_nwsource.json"
+
+  /** Build/rebuild the nextword accelerator from the committed sidecar.
+    *
+    * Shape at scale: one exchange groups the exploded (docId, pos, term)
+    * stream per document (bounded rows per group — document length);
+    * adjacent pairs are then formed ARRAY-LOCALLY over the sorted
+    * (pos, term) structs (a cross-segment docId appears in exactly one
+    * segment, so the group is complete), and two more exchanges aggregate
+    * per-(gram, doc) position lists and cluster by shard for the
+    * partitioned write — the same write path, shard routing, df table
+    * and commit-marker discipline as the sidecar itself
+    * ([[buildFromRows]] with grams as the term column). Position gaps
+    * (the title→body field gap, tombstone-swept holes) break adjacency
+    * naturally: a pair exists only where pos(next) = pos(prev) + 1.
+    */
+  def buildNextword(dir: String): Unit = {
+    val spark = SparkSession.active
+    val meta = segMeta(spark, dir)
+    val rows = segDirs(dir).flatMap { seg =>
+      val paths = (0 until readNShards(seg)).map(s => s"$seg/shard=$s")
+        .filter(MetaIO.exists)
+      if (paths.isEmpty) None
+      else Some(spark.read.option("basePath", seg).parquet(paths: _*)
+        .select(col("term"), col("docId"), col("positions")))
+    }.reduceOption(_ union _).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Seq[Long])].toDF("term", "docId", "positions")
+    }
+    val perDoc = rows
+      .select(col("docId"), col("term"), explode(col("positions")).as("pos"))
+      .groupBy(col("docId"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("term"))))
+        .as("tp"))
+    val pairs = perDoc.select(col("docId"),
+      explode(filter(
+        zip_with(
+          slice(col("tp"), lit(1), greatest(size(col("tp")) - 1, lit(0))),
+          slice(col("tp"), lit(2), greatest(size(col("tp")) - 1, lit(0))),
+          (a, b) => when(b.getField("pos") === a.getField("pos") + 1,
+            struct(a.getField("pos").as("pos"),
+              concat(a.getField("term"), lit(" "), b.getField("term"))
+                .as("gram")))),
+        p => p.isNotNull)).as("pg"))
+      .select(col("pg.gram").as("term"), col("docId"), col("pg.pos").as("pos"))
+    buildFromRows(
+      pairs.groupBy(col("term"), col("docId"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions")),
+      nextwordDir(dir), meta.nShards)
+    val segsJson = meta.segs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    MetaIO.writeAtomic(nwSourcePath(dir),
+      s"""{"maxDocId":${meta.maxDocId},"segs":$segsJson}""".getBytes("UTF-8"))
+  }
+
+  /** True iff a committed nextword accelerator exists AND was built from
+    * exactly the sidecar state committed now (same segment list, same
+    * maxDocId). Two tiny metadata reads, no job.
+    */
+  def nextwordFresh(spark: SparkSession, dir: String): Boolean = {
+    if (!MetaIO.exists(nwSourcePath(dir)) ||
+      !MetaIO.exists(metaPath(nextwordDir(dir)))) return false
+    val src = MetaIO.readString(nwSourcePath(dir))
+    val srcMax = """"maxDocId":(-?\d+)""".r.findFirstMatchIn(src)
+      .map(_.group(1).toLong)
+    val srcSegs = """"segs":\[([^\]]*)\]""".r.findFirstMatchIn(src)
+      .map(_.group(1)).getOrElse("").split(",")
+      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+    val cur = segMeta(spark, dir)
+    srcMax.contains(cur.maxDocId) && srcSegs == cur.segs
+  }
+
+  /** Shard-routed, gram-filtered, tombstone-filtered, rarest-gram-
+    * prefiltered first-token positions of the phrase's adjacent pairs —
+    * the nextword twin of [[queryPositions]]. None ⇔ some pair occurs
+    * NOWHERE in the corpus, which proves the phrase has no match.
+    */
+  private def nextwordGramPositions(spark: SparkSession, dir: String,
+      grams: Seq[String]): Option[DataFrame] = {
+    val qGrams = grams.distinct
+    segScan(spark, nextwordDir(dir), qGrams).flatMap { case (rows, dfs) =>
+      if (qGrams.exists(g => dfs.getOrElse(g, 0L) == 0L)) None
+      else {
+        val live = antiJoinTombstones(spark, dir, rows)
+        val (rareGram, rareDf) = dfs.minBy(_._2)
+        val filtered =
+          if (dfs.values.max / math.max(rareDf, 1L) < SkewRatio) live
+          else {
+            val cand = live.where(col("term") === rareGram)
+              .select(col("docId"))
+            val candSide =
+              if (rareDf <= BroadcastDf) broadcast(cand) else cand
+            live.join(candSide, Seq("docId"), "leftsemi")
+          }
+        Some(filtered.select(col("term"), col("docId"),
+          explode(col("positions")).as("pos")))
+      }
     }
   }
 

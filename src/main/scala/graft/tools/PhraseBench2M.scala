@@ -61,6 +61,27 @@ object PhraseBench2M {
       val n = PositionalIndex.proximitySearch(spark, posDir, q, 10).count()
       println(f"[p2m]   prox '$q%-17s' ($tag%-10s) ${(System.nanoTime() - t1) / 1e9}%6.2f s  hits<=10: $n")
     }
+    // Nextword accelerator: build cost + size, then the SAME phrase set
+    // accelerated — the head-head regime is the one it exists for (pair
+    // df ≪ unigram df bounds the evaluated rows by phrase selectivity).
+    if (!PositionalIndex.nextwordFresh(spark, posDir)) {
+      val tn = System.nanoTime()
+      PositionalIndex.buildNextword(posDir)
+      println(f"[p2m] nextword_build          ${(System.nanoTime() - tn) / 1e9}%7.2f s")
+    }
+    val nwBytes = {
+      def size(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(size).sum else f.length()
+      size(new java.io.File(s"$posDir/nextword"))
+    }
+    println(f"[p2m] nextword_bytes          ${nwBytes / 1e9}%7.2f GB")
+    val tn2 = System.nanoTime()
+    queries.foreach { case (q, tag) =>
+      val t1 = System.nanoTime()
+      val n = PositionalIndex.phraseSearch(spark, posDir, q, 10).count()
+      println(f"[p2m]   nw '$q%-22s' ($tag%-9s) ${(System.nanoTime() - t1) / 1e9}%6.2f s  hits<=10: $n")
+    }
+    println(f"[p2m] nextword_5_sequential   ${(System.nanoTime() - tn2) / 1e9}%7.2f s")
     spark.stop()
   }
 }

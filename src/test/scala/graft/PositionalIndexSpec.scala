@@ -85,6 +85,62 @@ class PositionalIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("nextword accelerator: parity on every phrase regime, tombstones, staleness fallback") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("join", "scan", "table", "merge", "sort", "hash")
+    val docs = modelDocs((1L to 50L).map { id =>
+      (id, "", Seq.fill(24)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } ++ Seq(
+      (51L, "alpha beta", "gamma delta"), // field gap breaks "beta gamma"
+      (52L, "", "alpha beta gamma delta"),
+      (53L, "", "a a a"), // overlapping "a a" → tf 2
+      (54L, "", "x b x b x"))) // repeated-term phrase "x b x" → tf 2
+    val dir = Files.createTempDirectory("graft-pos-nw").toString
+    PositionalIndex.build(docs, dir, nShards = 4)
+    assert(!PositionalIndex.nextwordFresh(spark, dir))
+    PositionalIndex.buildNextword(dir)
+    assert(PositionalIndex.nextwordFresh(spark, dir))
+    def search(q: String) = PositionalIndex.phraseSearch(spark, dir, q, 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // parity with the logical unigram path: head-head, 3-term, overlap,
+    // repeated terms, field boundary, absent pair, skewed pair
+    for (q <- Seq("table scan", "sort merge join", "a a", "x b x",
+        "beta gamma", "alpha beta", "zebra fox", "a delta")) {
+      val expect = PositionalIndex.phraseHits(
+          PositionalIndex.positionsStream(docs),
+          graft.analysis.Analyzer.tokenize(q))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(search(q) == expect, s"phrase '$q'")
+    }
+    assert(search("a a") == Map(53L -> 2L))
+    assert(search("x b x") == Map(54L -> 2L))
+    assert(search("beta gamma") == Map(52L -> 1L)) // never across the gap
+    // the accelerated plan pushes the GRAMS into the parquet scan
+    val plan = PositionalIndex.phraseSearch(spark, dir, "table scan", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("table scan"), s"gram not pushed:\n$plan")
+    // tombstones apply at query time — no rebuild needed, stays fresh
+    PositionalIndex.delete(Seq(52L).toDF("docId"), dir)
+    assert(PositionalIndex.nextwordFresh(spark, dir))
+    assert(search("beta gamma") == Map.empty[Long, Long])
+    // a refresh STALES it: phraseSearch falls back to the unigram path
+    // (which sees the delta) until buildNextword re-arms
+    PositionalIndex.refresh(
+      modelDocs(Seq((60L, "", "table scan table scan"))), dir)
+    assert(!PositionalIndex.nextwordFresh(spark, dir))
+    assert(search("table scan").getOrElse(60L, 0L) == 2L)
+    PositionalIndex.buildNextword(dir)
+    assert(PositionalIndex.nextwordFresh(spark, dir))
+    assert(search("table scan").getOrElse(60L, 0L) == 2L)
+    assert(search("beta gamma") == Map.empty[Long, Long]) // delete survives rebuild
+    // compaction changes the segment list → stale again, fallback correct
+    PositionalIndex.compact(dir)
+    assert(!PositionalIndex.nextwordFresh(spark, dir))
+    assert(search("table scan").getOrElse(60L, 0L) == 2L)
+  }
+
   test("tombstoned sidecar: deleted docs vanish from phrase/proximity; compact reclaims") {
     val sp = spark
     import sp.implicits._
