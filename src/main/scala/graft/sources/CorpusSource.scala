@@ -105,6 +105,40 @@ object CorpusSource {
         col("title"), col("body"), col("url"))
       .write.mode("append").jdbc(url, table, props)
 
+  /** JSONL corpus — the de-facto interchange format of LLM training-data
+    * pipelines (one JSON object per line: `{"id":…,"title":…,"body":…,
+    * "url":…}`, the reference CSV header as JSON fields). The schema is
+    * EXPLICIT: inference is a whole extra pass over a 100 TB corpus and
+    * non-deterministic under dirty rows. Lines that fail to parse (or
+    * parse without an id) are DROPPED, not nulled — Spark's PERMISSIVE
+    * mode lands them in the corrupt-record column, which the filter
+    * consumes; missing text fields normalize to empty strings, the
+    * reference's zero-value document convention (document.go:113-158).
+    * Reading is embarrassingly parallel (line-splittable format, one
+    * task per input split).
+    */
+  def readDocsJsonl(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("title", StringType),
+      StructField("body", StringType), StructField("url", StringType),
+      StructField("_corrupt", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .where(col("_corrupt").isNull && col("id").isNotNull)
+      .na.fill("", Seq("title", "body", "url"))
+      .select(col("id").as("docId"), col("title"), col("body"), col("url"))
+  }
+
+  /** Append documents as JSONL — the export twin of [[readDocsJsonl]]
+    * (field names match, so a save/read round-trip is identity).
+    */
+  def saveDocsJsonl(docs: DataFrame, path: String): Unit =
+    docs.select(col("docId").as("id"), col("title"), col("body"), col("url"))
+      .write.mode("append").json(path)
+
   /** Dense docId assignment that scales: a single global
     * `row_number() over (order by ...)` funnels all rows through ONE
     * partition, which is a non-starter at 10^12 rows. Instead:

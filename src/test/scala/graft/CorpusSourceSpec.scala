@@ -33,6 +33,34 @@ class CorpusSourceSpec extends AnyFunSuite {
     assert(got(2).getAs[String]("title") == "Cohen's kappa")
   }
 
+  test("JSONL storage: save/read round-trip, corrupt and id-less lines dropped, missing fields zero-valued") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    // write half via the sink, half as raw lines incl. hostile inputs
+    CorpusSource.saveDocsJsonl(docs, s"$dir/part1")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "extra.jsonl"),
+      Seq(
+        """{"id": 10, "title": "quoted \"stuff\"", "body": "b10", "url": "u10"}""",
+        """{"id": 11, "body": "only a body"}""", // missing fields → ""
+        """not json at all {{{""", // corrupt → dropped
+        """{"title": "no id", "body": "dropped"}""" // id-less → dropped
+      ).mkString("", "\n", "\n").getBytes("UTF-8"))
+    val back = CorpusSource.readDocsJsonl(spark, s"$dir/part1")
+    // sink round-trip is identity on the document model
+    assert(back.orderBy(col("docId")).collect().map(_.toSeq.toList).toList ==
+      docs.orderBy(col("docId")).collect().map(_.toSeq.toList).toList)
+    val extra = CorpusSource.readDocsJsonl(spark, s"$dir/extra.jsonl")
+      .orderBy(col("docId")).collect()
+    assert(extra.map(_.getAs[Long]("docId")).toSeq == Seq(10L, 11L))
+    assert(extra(0).getAs[String]("title") == "quoted \"stuff\"")
+    assert(extra(1).getAs[String]("title") == "" &&
+      extra(1).getAs[String]("url") == "" &&
+      extra(1).getAs[String]("body") == "only a body")
+    // the two directories read together as one corpus (multi-path glob)
+    assert(CorpusSource.readDocsJsonl(spark, s"$dir/{part1,extra.jsonl}")
+      .count() == docs.count() + 2)
+  }
+
   test("appendDocs accumulates batches (reference Save is append-only)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-append").toString + "/docs"
     CorpusSource.appendDocs(docs, dir)
