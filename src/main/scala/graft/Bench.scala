@@ -158,6 +158,14 @@ object Bench {
       }),
       "phrase_search_top10" -> (() => graft.index.PositionalIndex
         .phraseSearch(spark, posDir, "order fast", 10).count()),
+      // nextword accelerator: one-off derived build, then the same
+      // phrase through bigram postings (head-phrase remedy; BENCH.md)
+      "nextword_build" -> (() => {
+        graft.index.PositionalIndex.buildNextword(posDir)
+        1L
+      }),
+      "phrase_search_nextword" -> (() => graft.index.PositionalIndex
+        .phraseSearch(spark, posDir, "order fast", 10).count()),
       "proximity_search_top10" -> (() => graft.index.PositionalIndex
         .proximitySearch(spark, posDir, "order fast window", 10).count()),
       "pos_refresh_10pct" -> (() => {
@@ -308,7 +316,7 @@ object Bench {
     // ±20% on this VM, which round 2 showed misattributes regressions.
     // Build entries stay cold/single-run: a batch build IS a cold job.
     val warmupSkip = Set("ivf_build", "pos_index_build", "pos_refresh_10pct",
-      "gram_index_build", "shuffle_export")
+      "nextword_build", "gram_index_build", "shuffle_export")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:

@@ -494,7 +494,8 @@ object PositionalIndex {
     val mf = math.min(
       if (mergeFactor >= 2) mergeFactor else math.max(2, maxSegments / 2),
       meta.segs.size)
-    val skipTop = (n: String) => n.startsWith("pseg-") || n.startsWith("tomb-")
+    val skipTop = (n: String) => n.startsWith("pseg-") ||
+      n.startsWith("tomb-") || n == "nextword" // accelerator ≠ data bytes
     val victims = meta.segs
       .map(s => s -> MetaIO.dirBytes(if (s == ".") dir else s"$dir/$s", skipTop))
       .sortBy { case (s, b) => (b, s) }
@@ -558,6 +559,7 @@ object PositionalIndex {
       MetaIO.list(dir).filter(_.startsWith("shard="))
         .foreach(n => MetaIO.deleteIfExists(s"$dir/$n", recursive = true))
       MetaIO.deleteIfExists(dfStatsDir(dir), recursive = true)
+      MetaIO.deleteIfExists(nextwordDir(dir), recursive = true)
       MetaIO.deleteIfExists(metaPath(dir))
     }
   }
@@ -614,16 +616,26 @@ object PositionalIndex {
     * term has no postings anywhere (no result can exist).
     */
   private def queryPositions(spark: SparkSession, dir: String,
-      terms: Seq[String]): Option[DataFrame] = {
-    val qTerms = terms.distinct
-    val perSeg = segDirs(dir).flatMap(seg => segScan(spark, seg, qTerms))
+      terms: Seq[String]): Option[DataFrame] =
+    positionsOver(spark, dir, segDirs(dir), terms)
+
+  /** The scan core shared by the unigram and nextword paths: union the
+    * shard-routed, token-filtered scans of `scanDirs`, anti-join the ROOT
+    * sidecar's tombstones, and semi-join on the rarest token's documents
+    * when selectivities are skewed. None ⇔ some query token has no
+    * postings in ANY of `scanDirs` (or `scanDirs` is empty).
+    */
+  private def positionsOver(spark: SparkSession, rootDir: String,
+      scanDirs: Seq[String], tokens: Seq[String]): Option[DataFrame] = {
+    val qTerms = tokens.distinct
+    val perSeg = scanDirs.flatMap(seg => segScan(spark, seg, qTerms))
     if (perSeg.isEmpty) return None
     val dfs = perSeg.flatMap(_._2.toSeq)
       .groupMapReduce(_._1)(_._2)(_ + _)
     if (qTerms.exists(t => dfs.getOrElse(t, 0L) == 0L)) return None
     // tombstoned docs vanish before any matching; the df probe above
     // keeps stale (pre-delete) counts until compact — heuristic-only
-    val rows = antiJoinTombstones(spark, dir,
+    val rows = antiJoinTombstones(spark, rootDir,
       perSeg.map(_._1).reduce(_ union _))
     val (rareTerm, rareDf) = dfs.minBy(_._2)
     val filtered =
@@ -643,19 +655,24 @@ object PositionalIndex {
     val terms = Analyzer.tokenize(phrase)
     val empty = Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
     if (terms.isEmpty) return empty
-    if (terms.size >= 2 && nextwordFresh(spark, dir)) {
-      val grams = terms.sliding(2).map(_.mkString(" ")).toVector
-      return nextwordGramPositions(spark, dir, grams).fold(empty) { pos =>
-        phraseHits(pos, grams)
-          .orderBy(col("phrase_tf").desc, col("docId").asc)
-          .limit(k)
+    def rank(hits: DataFrame): DataFrame =
+      hits.orderBy(col("phrase_tf").desc, col("docId").asc).limit(k)
+    if (terms.size >= 2) {
+      val (armed, plain) = segDirs(dir).partition(hasNextword)
+      if (armed.nonEmpty) {
+        // segments partition the corpus by docId, so evaluating armed
+        // segments through bigram postings and unarmed ones through the
+        // unigram path and UNIONING the per-doc counts is exact
+        val grams = terms.sliding(2).map(_.mkString(" ")).toVector
+        val parts =
+          positionsOver(spark, dir, armed.map(nextwordDir), grams)
+            .map(phraseHits(_, grams)).toSeq ++
+          positionsOver(spark, dir, plain, terms)
+            .map(phraseHits(_, terms)).toSeq
+        return parts.reduceOption(_ unionByName _).fold(empty)(rank)
       }
     }
-    queryPositions(spark, dir, terms).fold(empty) { positions =>
-      phraseHits(positions, terms)
-        .orderBy(col("phrase_tf").desc, col("docId").asc)
-        .limit(k)
-    }
+    queryPositions(spark, dir, terms).fold(empty)(p => rank(phraseHits(p, terms)))
   }
 
   // ---------------------------------------------------------------------
@@ -671,56 +688,72 @@ object PositionalIndex {
   // start s is a match iff pair i occurs at s+i for all i — the same
   // vote dataflow as [[phraseHits]], with grams as the pattern tokens.
   //
-  // Lifecycle: DERIVED data, rebuilt from the committed sidecar's STORED
-  // rows (no re-tokenization, no access to the original corpus needed —
-  // the field-gap and tombstone discipline carry over because adjacency
-  // and docIds are reconstructed from the committed positions
-  // themselves). `_nwsource.json`, written after the data commit, pins
-  // the exact (segments, maxDocId) state it was built from;
-  // [[phraseSearch]] uses the accelerator only while that state is
-  // CURRENT and falls back to the unigram path the moment a refresh or
-  // compaction changes the sidecar — stale reads are impossible by
-  // construction, and [[buildNextword]] after maintenance re-arms it.
-  // Deletes do NOT stale it: tombstones anti-join at query time exactly
-  // as on the unigram path.
+  // Lifecycle: DERIVED data, built PER SEGMENT from that segment's
+  // STORED rows (no re-tokenization, no access to the original corpus —
+  // field-gap and tombstone discipline carry over because adjacency and
+  // docIds are reconstructed from the committed positions themselves).
+  // Segments are immutable, so a segment's nextword can never go stale:
+  // [[buildNextword]] arms whichever committed segments lack one (after
+  // a refresh that is exactly the DELTA segment — incremental
+  // maintenance, not a corpus rebuild), and [[phraseSearch]] evaluates
+  // armed segments through bigram postings, unarmed ones through the
+  // unigram path, and unions the per-doc counts — exact, because
+  // segments partition the corpus by docId. Compaction folds segments
+  // into a fresh one (initially unarmed → unigram until re-armed); its
+  // sweep removes orphaned accelerators with their segments. Deletes
+  // need no re-arm: tombstones anti-join at query time on both paths.
   // ---------------------------------------------------------------------
 
-  private def nextwordDir(dir: String) = s"$dir/nextword"
-  private def nwSourcePath(dir: String) = s"${nextwordDir(dir)}/_nwsource.json"
+  private def nextwordDir(seg: String) = s"$seg/nextword"
 
-  /** Build/rebuild the nextword accelerator from the committed sidecar.
+  private def hasNextword(seg: String): Boolean =
+    MetaIO.exists(metaPath(nextwordDir(seg)))
+
+  /** Arm every committed segment that lacks its nextword accelerator.
+    * Idempotent and incremental: armed segments are skipped, so after a
+    * refresh this builds only the delta segment's pairs. A kill mid-build
+    * leaves that segment's accelerator uncommitted (buildFromRows writes
+    * its meta marker last) — the segment stays on the unigram path and
+    * the next call heals it.
     *
-    * Shape at scale: one exchange groups the exploded (docId, pos, term)
-    * stream per document (bounded rows per group — document length);
-    * adjacent pairs are then formed ARRAY-LOCALLY over the sorted
-    * (pos, term) structs (a cross-segment docId appears in exactly one
-    * segment, so the group is complete), and two more exchanges aggregate
-    * per-(gram, doc) position lists and cluster by shard for the
-    * partitioned write — the same write path, shard routing, df table
-    * and commit-marker discipline as the sidecar itself
-    * ([[buildFromRows]] with grams as the term column). Position gaps
-    * (the title→body field gap, tombstone-swept holes) break adjacency
-    * naturally: a pair exists only where pos(next) = pos(prev) + 1.
+    * Shape at scale (per segment): one exchange groups the exploded
+    * (docId, pos, term) stream per document (bounded rows per group —
+    * document length; a docId lives in exactly ONE segment, so the group
+    * is complete); adjacent pairs form ARRAY-LOCALLY over the sorted
+    * (pos, term) structs; two more exchanges aggregate per-(gram, doc)
+    * position lists and cluster by shard for the partitioned write — the
+    * same write path, shard routing, df table and commit-marker
+    * discipline as the sidecar itself ([[buildFromRows]] with grams as
+    * the term column). Position gaps (the title→body field gap,
+    * tombstone-swept holes) break adjacency naturally: a pair exists
+    * only where pos(next) = pos(prev) + 1.
     */
   def buildNextword(dir: String): Unit = {
     val spark = SparkSession.active
-    val meta = segMeta(spark, dir)
-    val rows = segDirs(dir).flatMap { seg =>
-      val paths = (0 until readNShards(seg)).map(s => s"$seg/shard=$s")
+    segDirs(dir).filterNot(hasNextword).foreach { seg =>
+      val nShards = readNShards(seg)
+      val paths = (0 until nShards).map(s => s"$seg/shard=$s")
         .filter(MetaIO.exists)
-      if (paths.isEmpty) None
-      else Some(spark.read.option("basePath", seg).parquet(paths: _*)
-        .select(col("term"), col("docId"), col("positions")))
-    }.reduceOption(_ union _).getOrElse {
-      import spark.implicits._
-      Seq.empty[(String, Long, Seq[Long])].toDF("term", "docId", "positions")
+      val rows =
+        if (paths.isEmpty) {
+          import spark.implicits._
+          Seq.empty[(String, Long, Seq[Long])].toDF("term", "docId", "positions")
+        } else spark.read.option("basePath", seg).parquet(paths: _*)
+          .select(col("term"), col("docId"), col("positions"))
+      buildFromRows(pairRows(rows), nextwordDir(seg), nShards)
     }
+  }
+
+  /** (gram, docId, positions-of-first-token) rows derived from stored
+    * unigram position rows — the relation [[buildNextword]] persists.
+    */
+  private def pairRows(rows: DataFrame): DataFrame = {
     val perDoc = rows
       .select(col("docId"), col("term"), explode(col("positions")).as("pos"))
       .groupBy(col("docId"))
       .agg(array_sort(collect_list(struct(col("pos"), col("term"))))
         .as("tp"))
-    val pairs = perDoc.select(col("docId"),
+    perDoc.select(col("docId"),
       explode(filter(
         zip_with(
           slice(col("tp"), lit(1), greatest(size(col("tp")) - 1, lit(0))),
@@ -731,58 +764,19 @@ object PositionalIndex {
                 .as("gram")))),
         p => p.isNotNull)).as("pg"))
       .select(col("pg.gram").as("term"), col("docId"), col("pg.pos").as("pos"))
-    buildFromRows(
-      pairs.groupBy(col("term"), col("docId"))
-        .agg(sort_array(collect_list(col("pos"))).as("positions")),
-      nextwordDir(dir), meta.nShards)
-    val segsJson = meta.segs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    MetaIO.writeAtomic(nwSourcePath(dir),
-      s"""{"maxDocId":${meta.maxDocId},"segs":$segsJson}""".getBytes("UTF-8"))
+      .groupBy(col("term"), col("docId"))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
   }
 
-  /** True iff a committed nextword accelerator exists AND was built from
-    * exactly the sidecar state committed now (same segment list, same
-    * maxDocId). Two tiny metadata reads, no job.
+  /** True iff EVERY committed segment is armed — i.e. phrase queries run
+    * fully accelerated, with no unigram mixing. Metadata existence
+    * checks only, no job. (Partial arming still accelerates: armed
+    * segments use bigram postings regardless.)
     */
   def nextwordFresh(spark: SparkSession, dir: String): Boolean = {
-    if (!MetaIO.exists(nwSourcePath(dir)) ||
-      !MetaIO.exists(metaPath(nextwordDir(dir)))) return false
-    val src = MetaIO.readString(nwSourcePath(dir))
-    val srcMax = """"maxDocId":(-?\d+)""".r.findFirstMatchIn(src)
-      .map(_.group(1).toLong)
-    val srcSegs = """"segs":\[([^\]]*)\]""".r.findFirstMatchIn(src)
-      .map(_.group(1)).getOrElse("").split(",")
-      .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-    val cur = segMeta(spark, dir)
-    srcMax.contains(cur.maxDocId) && srcSegs == cur.segs
-  }
-
-  /** Shard-routed, gram-filtered, tombstone-filtered, rarest-gram-
-    * prefiltered first-token positions of the phrase's adjacent pairs —
-    * the nextword twin of [[queryPositions]]. None ⇔ some pair occurs
-    * NOWHERE in the corpus, which proves the phrase has no match.
-    */
-  private def nextwordGramPositions(spark: SparkSession, dir: String,
-      grams: Seq[String]): Option[DataFrame] = {
-    val qGrams = grams.distinct
-    segScan(spark, nextwordDir(dir), qGrams).flatMap { case (rows, dfs) =>
-      if (qGrams.exists(g => dfs.getOrElse(g, 0L) == 0L)) None
-      else {
-        val live = antiJoinTombstones(spark, dir, rows)
-        val (rareGram, rareDf) = dfs.minBy(_._2)
-        val filtered =
-          if (dfs.values.max / math.max(rareDf, 1L) < SkewRatio) live
-          else {
-            val cand = live.where(col("term") === rareGram)
-              .select(col("docId"))
-            val candSide =
-              if (rareDf <= BroadcastDf) broadcast(cand) else cand
-            live.join(candSide, Seq("docId"), "leftsemi")
-          }
-        Some(filtered.select(col("term"), col("docId"),
-          explode(col("positions")).as("pos")))
-      }
-    }
+    val _ = spark // kept for API symmetry with the other probes
+    val segs = segDirs(dir)
+    segs.nonEmpty && segs.forall(hasNextword)
   }
 
   /** Top-k proximity search against a persisted sidecar: same scan as

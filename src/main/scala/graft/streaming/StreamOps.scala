@@ -128,7 +128,8 @@ object StreamOps {
       posShards: Int = 8,
       gramDir: Option[String] = None,
       gramShards: Int = 8,
-      maxSegments: Int = 0): Unit = {
+      maxSegments: Int = 0,
+      armNextword: Boolean = false): Unit = {
     import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
@@ -226,6 +227,12 @@ object StreamOps {
     val docs = graft.sources.CorpusSource.withDenseDocIds(
       corpusCols, idSortCols.map(col), firstId = start)
     posDir.foreach(pd => PositionalIndex.refresh(docs, pd, Some(marker)))
+    // nextword arming is DERIVED and idempotent (immutable segments;
+    // armed ones skip), so it sits outside the commit protocol: a crash
+    // mid-arm leaves that segment on the unigram path and the next batch
+    // heals it; a replayed batch re-arms nothing. Per-batch cost is one
+    // pair-aggregation over the DELTA segment only.
+    if (armNextword) posDir.foreach(PositionalIndex.buildNextword)
     gramDir.foreach(gd =>
       GramIndex.refresh(docs, "docId", "body", gd, Some(marker)))
     BlockIndex.refresh(docs, dir, genName = Some(marker))
@@ -249,13 +256,15 @@ object StreamOps {
       posShards: Int = 8,
       gramDir: Option[String] = None,
       gramShards: Int = 8,
-      maxSegments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      maxSegments: Int = 0,
+      armNextword: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery,
           genTag = runTag(checkpointDir), posDir = posDir, posShards = posShards,
-          gramDir = gramDir, gramShards = gramShards, maxSegments = maxSegments)
+          gramDir = gramDir, gramShards = gramShards, maxSegments = maxSegments,
+          armNextword = armNextword)
       }
       .start()
 

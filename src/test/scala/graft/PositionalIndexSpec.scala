@@ -125,20 +125,34 @@ class PositionalIndexSpec extends AnyFunSuite {
     PositionalIndex.delete(Seq(52L).toDF("docId"), dir)
     assert(PositionalIndex.nextwordFresh(spark, dir))
     assert(search("beta gamma") == Map.empty[Long, Long])
-    // a refresh STALES it: phraseSearch falls back to the unigram path
-    // (which sees the delta) until buildNextword re-arms
+    // a refresh leaves the DELTA segment unarmed: fresh=false, and the
+    // query MIXES — armed segments via bigram postings, the delta via
+    // the unigram path — exactly (docId-disjoint union)
     PositionalIndex.refresh(
       modelDocs(Seq((60L, "", "table scan table scan"))), dir)
     assert(!PositionalIndex.nextwordFresh(spark, dir))
-    assert(search("table scan").getOrElse(60L, 0L) == 2L)
+    val mixed = search("table scan")
+    assert(mixed.getOrElse(60L, 0L) == 2L)
+    // ...and the committed docs' counts are untouched by the mixing
+    val expectOld = PositionalIndex.phraseHits(
+        PositionalIndex.positionsStream(docs.where(col("docId") =!= 52L)),
+        Seq("table", "scan"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mixed - 60L == expectOld)
+    // re-arming builds ONLY the delta segment's pairs (incremental)
     PositionalIndex.buildNextword(dir)
     assert(PositionalIndex.nextwordFresh(spark, dir))
-    assert(search("table scan").getOrElse(60L, 0L) == 2L)
-    assert(search("beta gamma") == Map.empty[Long, Long]) // delete survives rebuild
-    // compaction changes the segment list → stale again, fallback correct
+    assert(search("table scan") == mixed)
+    assert(search("beta gamma") == Map.empty[Long, Long]) // delete survives re-arm
+    // compaction folds to a fresh UNARMED segment (sweep removes the
+    // orphaned accelerators): unigram until re-armed, same answers
     PositionalIndex.compact(dir)
     assert(!PositionalIndex.nextwordFresh(spark, dir))
-    assert(search("table scan").getOrElse(60L, 0L) == 2L)
+    assert(search("table scan") == mixed)
+    PositionalIndex.buildNextword(dir)
+    assert(PositionalIndex.nextwordFresh(spark, dir))
+    assert(search("table scan") == mixed)
+    assert(search("beta gamma") == Map.empty[Long, Long])
   }
 
   test("tombstoned sidecar: deleted docs vanish from phrase/proximity; compact reclaims") {

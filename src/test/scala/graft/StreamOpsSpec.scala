@@ -192,6 +192,53 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(posts(dir) == posts(coldDir))
   }
 
+  test("armNextword sink: every committed segment armed, accelerated ≡ logical, self-heals through tiered folds") {
+    import graft.index.{BlockIndex, PositionalIndex}
+    val sp = spark
+    import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream-nw").toString
+    val pd = java.nio.file.Files.createTempDirectory("stream-nw-pos").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val words = Seq("spark", "table", "join", "stream", "merge", "fast")
+    val batches = (0 until 8).map { b =>
+      Seq((f"T$b%02d", s"${words(b % 6)} ${words((b + 2) % 6)} doc body $b",
+        s"u$b"))
+    }
+    batches.zipWithIndex.foreach { case (b, i) =>
+      StreamOps.indexRefreshBatch(
+        b.toDF("title", "body", "url"), batchId = i.toLong, dir, layout,
+        Seq("title"), genTag = "nw", posDir = Some(pd), posShards = 4,
+        maxSegments = 3, armNextword = true)
+      // the closed loop: after every batch — including ones whose tiered
+      // fold produced a brand-new (initially unarmed) segment — all
+      // committed segments are armed
+      assert(PositionalIndex.nextwordFresh(spark, pd), s"unarmed at batch $i")
+    }
+    var next = 1L
+    val coldDocs = batches.flatMap { b =>
+      val rows = b.sortBy(_._1).zipWithIndex.map { case ((t, bd, u), j) =>
+        (next + j, t, bd, u)
+      }
+      next += b.size
+      rows
+    }.toDF("docId", "title", "body", "url")
+    for (phrase <- Seq("doc body", "spark merge", "table fast", "body 3"))
+      assert(PositionalIndex.phraseSearch(spark, pd, phrase, 100)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+        PositionalIndex.phraseHits(PositionalIndex.positionsStream(coldDocs),
+            graft.analysis.Analyzer.tokenize(phrase))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+        s"phrase '$phrase'")
+    // replayed batch: no new segments, arming stays a no-op, still fresh
+    val segs = PositionalIndex.readSegments(pd).segs
+    StreamOps.indexRefreshBatch(
+      batches.last.toDF("title", "body", "url"), batchId = 7L, dir, layout,
+      Seq("title"), genTag = "nw", posDir = Some(pd), posShards = 4,
+      maxSegments = 3, armNextword = true)
+    assert(PositionalIndex.readSegments(pd).segs == segs)
+    assert(PositionalIndex.nextwordFresh(spark, pd))
+  }
+
   test("tiered maintenance: long stream of small batches converges to a bounded segment count on all three structures") {
     import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val sp = spark
