@@ -57,6 +57,7 @@ object Bench {
     val documents = GateQueries.documents(spark, sfDir)
     val embeddings = GateQueries.embeddings(spark, sfDir)
     val ivfDir = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
+    val pqDir = java.nio.file.Files.createTempDirectory("graft-bench-pq").toString
     val posDir = java.nio.file.Files.createTempDirectory("graft-bench-pos").toString
     // 90% base sidecar prepared untimed; pos_refresh_10pct times ONLY the
     // incremental commit of the remaining docs as a second segment
@@ -139,6 +140,16 @@ object Bench {
       "ann_sq8_top10" -> (() => Similarity.sq8TopK(
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
         embeddings, k = 10, rerank = 50, dim = 64).count()),
+      // product quantization: 8 bytes/vector candidate scan (8× below
+      // SQ8) + exact re-rank; codebooks Lloyd-refined at build time
+      "pq_build" -> (() => {
+        Similarity.pqBuild(embeddings, pqDir, dim = 64, m = 8, ksub = 16,
+          iters = 3)
+        1L
+      }),
+      "ann_pq_top10" -> (() => Similarity.pqTopKIndexed(spark, pqDir,
+        embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        k = 10, rerank = 50).count()),
       "decontaminate" -> (() => {
         val withSplit = documents.withColumn("split",
           graft.pipeline.TextPipeline.splitAssign(

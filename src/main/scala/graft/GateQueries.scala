@@ -180,6 +180,78 @@ object GateQueries {
     })
   }
 
+  /** Persistent PQ index ([[graft.pipeline.Similarity.pqBuild]]) built
+    * once per corpus directory. iters = 0 → per-subspace codebooks are
+    * the sub-vectors of the 16 smallest-id embeddings verbatim, which
+    * the DuckDB oracle reconstructs exactly; the Lloyd-refined path is
+    * spec-asserted instead (PipelineSpec).
+    */
+  private val pqDirs = scala.collection.mutable.Map.empty[String, String]
+  def pqIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    pqDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-pqidx").toString
+      Similarity.pqBuild(embeddings(spark, dir), d, dim = 64, m = 8,
+        ksub = 16, iters = 0)
+      d
+    })
+  }
+
+  /** The shared q109/q109b oracle: iters = 0 PQ codebooks (subspace j of
+    * init vector c = dims j·8+1..j·8+8 of the c-th smallest-id vector),
+    * per-subspace nearest codeword by 6dp-rounded squared L2 (ties →
+    * lowest code), candidates by asymmetric cosine against the
+    * concatenated-codeword reconstruction, exact re-rank of the top 30.
+    * Identical quantizer and windows on both engines → identical rows.
+    */
+  private val pqTopKOracle: String =
+    """WITH e AS (
+      |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+      |js AS (SELECT unnest(range(0, 8)) AS j),
+      |init AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+      |  FROM e ORDER BY vec_id LIMIT 16),
+      |cb AS (
+      |  SELECT js.j, init.c, [v[js.j * 8 + i] for i in range(1, 9)] AS w
+      |  FROM init CROSS JOIN js),
+      |sub AS (
+      |  SELECT e.vec_id, js.j, [v[js.j * 8 + i] for i in range(1, 9)] AS sv
+      |  FROM e CROSS JOIN js),
+      |dist AS (
+      |  SELECT sub.vec_id, sub.j, cb.c,
+      |    round(list_sum([(sv[i] - w[i]) * (sv[i] - w[i]) for i in range(1, 9)]), 6) AS d
+      |  FROM sub JOIN cb ON cb.j = sub.j),
+      |code AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT vec_id, j, c,
+      |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+      |    FROM dist) WHERE rn = 1),
+      |recon AS (
+      |  SELECT code.vec_id, flatten(list(w ORDER BY code.j)) AS dv
+      |  FROM code JOIN cb ON cb.j = code.j AND cb.c = code.c
+      |  GROUP BY code.vec_id),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |approx AS (
+      |  SELECT q.query_id, r.vec_id,
+      |    round(list_sum([qv[i] * dv[i] for i in range(1, len(dv) + 1)]) /
+      |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in dv]))), 6) AS asim
+      |  FROM recon r CROSS JOIN q),
+      |cand AS (
+      |  SELECT query_id, vec_id FROM (
+      |    SELECT query_id, vec_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY asim DESC, vec_id ASC) AS rr
+      |    FROM approx) WHERE rr <= 30),
+      |exact AS (
+      |  SELECT c2.query_id, c2.vec_id,
+      |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+      |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS sim
+      |  FROM cand c2 JOIN e ON e.vec_id = c2.vec_id JOIN q ON q.query_id = c2.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+      |  FROM exact)
+      |SELECT query_id, vec_id, sim, rank FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   /** BPE tokenizer model (5 merges, minCount 1) trained once per corpus
     * directory — shared by the merge-table and segmentation gates.
     */
@@ -1591,6 +1663,40 @@ object GateQueries {
              |  FROM exact)
              |SELECT query_id, vec_id, sim, rank FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Product quantization with exact re-rank: dim 64 split into m = 8
+    // subspaces of 8 dims, ksub = 16 codewords each (8 bytes/vector —
+    // 8× below SQ8, 32× below float32). Gate config iters = 0 → the
+    // oracle reconstructs the codebooks exactly; candidates ranked by
+    // asymmetric cosine against the codeword reconstruction, survivors
+    // re-scored exactly. Lloyd refinement + recall are spec-asserted.
+    Gate("q109_pq_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.pqTopK(
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          e, k = 10, rerank = 30, dim = 64, m = 8, ksub = 16, iters = 0)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqTopKOracle)),
+
+    // The persisted-index twin of q109: identical semantics (and
+    // identical oracle), but candidates are generated from the stored
+    // 8-byte codes and the re-rank reads the survivors through a
+    // pushed-down id filter.
+    Gate("q109b_pq_indexed",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.pqTopKIndexed(s, pqIndexDir(s, d),
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          k = 10, rerank = 30)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some(pqTopKOracle)),
 
     // Benchmark decontamination: training docs sharing any distinct word
     // 5-gram with the val/test split of the SAME corpus (splits from the

@@ -847,4 +847,223 @@ object Similarity {
         round(cosine(col("__va"), col("__vb")), 6).as("sim"))
       .where(col("sim") >= eps)
   }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid 2011) — the billion-vector
+  // compression standard: dim is split into `m` subspaces of dim/m
+  // dimensions, each sub-vector is replaced by the id of its nearest
+  // codeword from a per-subspace codebook of `ksub` entries, so a vector
+  // stores as m bytes (vs dim bytes for SQ8, 4·dim for float32). The
+  // candidate scan scores queries against the codeword RECONSTRUCTION
+  // (asymmetric: queries are never quantized) — arithmetically identical
+  // to the paper's per-subspace lookup-table ADC, since
+  // dot(q, recon) = Σ_j dot(q_subj, codeword_j); the LUT is an execution
+  // detail this columnar formulation doesn't need. Exact re-rank on the
+  // bounded survivor set makes reported sims exact, so quantization error
+  // affects recall only — the [[sq8TopK]] contract at 8× the compression.
+  // --------------------------------------------------------------------
+
+  /** Per-subspace deterministic Lloyd's k-means: codebooks[j][c] is the
+    * ds = dim/m dimensional codeword c of subspace j. Initialization is
+    * the sub-vectors of the `ksub` smallest-id vectors verbatim (no RNG —
+    * iters = 0 is exactly reconstructable in ANSI SQL, the oracle-gated
+    * configuration); each refinement round assigns every sub-vector to
+    * its nearest codeword by 6dp-rounded squared L2 (ties → lowest code,
+    * the [[assignClusters]] rule) and re-centers. One distributed
+    * aggregation per round — posexplode fans out, map-side combine
+    * collapses to m·ksub·ds rows before the shuffle.
+    */
+  def pqTrain(
+      corpus: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int = 5,
+      corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
+    require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    val ds = dim / m
+    val c = corpus.select(col(corpusIdCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    var codebooks: Array[Array[Array[Double]]] = c.orderBy(col("id"))
+      .limit(ksub).collect()
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      .map(full => Array.tabulate(m)(j => full.slice(j * ds, (j + 1) * ds)))
+      .transpose // [ksub][m][ds] → [m][ksub][ds]
+      .map(_.toArray)
+    for (_ <- 1 to iters) {
+      val sums = c
+        .select(posexplode(pqCode(col("v"), codebooks)).as(Seq("j", "cb")),
+          asDouble(col("v")).as("vd"))
+        .select(col("j"), (col("cb").cast("int") + 128).as("code"),
+          posexplode(slice(col("vd"), col("j") * ds + 1, lit(ds)))
+            .as(Seq("pos", "x")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val next = codebooks.map(_.map(_.clone()))
+      sums.foreach { r =>
+        val (j, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+        next(j)(code)(pos) = r.getDouble(3) / r.getLong(4)
+      }
+      codebooks = next
+    }
+    codebooks
+  }
+
+  /** Encode a vector to its m PQ codes (`array<tinyint>`, code−128 — the
+    * [[sq8Code]] storage convention): per subspace, the codeword
+    * minimizing 6dp-rounded squared L2, ties → the lowest code (array_min
+    * over (dist, code) structs — the [[assignClusters]] argmin shape,
+    * linear in ksub). Expression size is m·ksub·ds leaf ops: fine for the
+    * gate configuration (8·16·8); at the full ksub = 256 a build should
+    * move assignment to a broadcast codeword TABLE + one min(struct)
+    * aggregation, the same escape hatch [[assignClusters]] documents.
+    */
+  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val m = codebooks.length
+    val ds = codebooks(0)(0).length
+    val vd = asDouble(vec)
+    val codes = (0 until m).map { j =>
+      val sub = slice(vd, j * ds + 1, ds)
+      val dists = codebooks(j).zipWithIndex.map { case (w, cIdx) =>
+        val wA = array(w.map(lit): _*)
+        struct(
+          round(aggregate(zip_with(sub, wA, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, x) => a + x), 6).as("d"),
+          lit(cIdx).as("c"))
+      }
+      (array_min(array(dists.toSeq: _*)).getField("c") - 128).cast("byte")
+    }
+    array(codes: _*)
+  }
+
+  /** Decode m PQ codes to the concatenated-codeword reconstruction the
+    * asymmetric candidate scan scores against.
+    */
+  def pqDequant(codes: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+    val parts = codebooks.zipWithIndex.map { case (book, j) =>
+      val cw = array(book.map(w => array(w.map(lit): _*)): _*)
+      element_at(cw, element_at(codes, j + 1).cast("int") + 129)
+    }
+    concat(parts.toSeq: _*)
+  }
+
+  /** The PQ codebook commit file — deleted first, written last
+    * ([[Sq8BoundsName]] crash discipline): a kill mid-build leaves an
+    * index [[pqTopKIndexed]] refuses loudly.
+    */
+  val PqBookName = "_pq.json"
+
+  private def writePqBooks(
+      dir: String, codebooks: Array[Array[Array[Double]]]): Unit = {
+    val m = codebooks.length
+    val ksub = codebooks(0).length
+    val ds = codebooks(0)(0).length
+    val flat = codebooks.flatMap(_.flatMap(_.toSeq)).mkString("[", ",", "]")
+    graft.index.MetaIO.writeAtomic(s"$dir/$PqBookName",
+      s"""{"nonce":${System.nanoTime()},"m":$m,"ksub":$ksub,"ds":$ds,"cb":$flat}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[graft] def readPqBooks(dir: String): Array[Array[Array[Double]]] = {
+    val f = s"$dir/$PqBookName"
+    require(graft.index.MetaIO.exists(f),
+      s"no committed PQ index at $dir (missing $PqBookName — " +
+        "incomplete or absent build)")
+    val s = graft.index.MetaIO.readString(f)
+    def num(key: String): Int =
+      s""""$key":(\\d+)""".r.findFirstMatchIn(s)
+        .map(_.group(1).toInt)
+        .getOrElse(sys.error(s"malformed $f: no $key"))
+    val (m, ksub, ds) = (num("m"), num("ksub"), num("ds"))
+    val flat = s""""cb":\\[([^\\]]*)\\]""".r.findFirstMatchIn(s)
+      .map(_.group(1).split(',').filter(_.nonEmpty).map(_.toDouble))
+      .getOrElse(sys.error(s"malformed $f: no cb"))
+    require(flat.length == m * ksub * ds,
+      s"malformed $f: ${flat.length} codebook values, want ${m * ksub * ds}")
+    Array.tabulate(m, ksub)((j, c) =>
+      flat.slice((j * ksub + c) * ds, (j * ksub + c + 1) * ds))
+  }
+
+  /** Persist a PQ index at `dir`: ONE `vectors` parquet holding
+    * (vec_id, embedding, codes) — the [[sq8Build]] columnar contract
+    * (candidate scan prunes to the m-byte `codes` column; the re-rank
+    * reads `embedding` for id-filtered survivors through row-group
+    * stats) — plus the atomic codebook file.
+    */
+  def pqBuild(
+      corpus: DataFrame, dir: String, dim: Int, m: Int, ksub: Int,
+      iters: Int = 5, corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    graft.index.MetaIO.deleteIfExists(s"$dir/$PqBookName")
+    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol)
+    corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+        col(vecCol).as("embedding"),
+        pqCode(col(vecCol), books).as("codes"))
+      .sortWithinPartitions(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+    writePqBooks(dir, books)
+  }
+
+  /** PQ search against a persisted [[pqBuild]] index: the candidate scan
+    * reads ONLY (vec_id, codes) — m bytes/vector, 8× less than SQ8 at
+    * m = dim/8 and 32× less than float32 — and the exact re-rank reads
+    * `embedding` through a pushed-down id filter over the bounded
+    * candidate set (rerank · |queries| ids). Results ≡ [[pqTopK]] over
+    * the same corpus (spec-asserted).
+    */
+  def pqTopKIndexed(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      rerank: Int, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val cand = pqIndexedCandidates(spark, dir, q, rerank).localCheckpoint()
+    val ids = cand.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ rerank · |queries|
+    val vecs = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), col("embedding").as("__cv"))
+      .where(col("vec_id").isin(ids: _*))
+    sq8Rerank(cand, vecs, q, k)
+  }
+
+  /** The indexed candidate pass, pre-checkpoint — the plan that proves
+    * the m-byte contract: its only file scan reads (vec_id, codes).
+    */
+  private[graft] def pqIndexedCandidates(
+      spark: SparkSession, dir: String, q: DataFrame, rerank: Int): DataFrame = {
+    val books = readPqBooks(dir)
+    val coded = spark.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), pqDequant(col("codes"), books).as("__dq"))
+    sq8Candidates(q, coded, rerank)
+  }
+
+  /** Approximate top-k by product quantization with EXACT re-rank — the
+    * [[sq8TopK]] pipeline at m-bytes-per-vector compression:
+    *
+    *  1. train per-subspace codebooks ([[pqTrain]]; iters = 0 → the
+    *     sub-vectors of the ksub smallest-id vectors verbatim, the
+    *     oracle configuration);
+    *  2. candidates ranked by 6dp-rounded asymmetric cosine of the exact
+    *     query against the codeword reconstruction, `rerank` kept per
+    *     query;
+    *  3. exact re-rank of the survivors.
+    *
+    * `rerank ≥ |corpus|` degrades gracefully to [[bruteForceTopK]]
+    * (spec-asserted). Output: (query_id, vec_id, sim, rank), rank 1..k,
+    * ties → lower vec_id.
+    */
+  def pqTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int, dim: Int,
+      m: Int, ksub: Int, iters: Int = 5, queryIdCol: String = "query_id",
+      vecCol: String = "embedding", corpusIdCol: String = "vec_id"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol)
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
+      col(vecCol).as("__cv"))
+    val coded = c.select(col("vec_id"),
+      pqDequant(pqCode(col("__cv"), books), books).as("__dq"))
+    sq8Rerank(sq8Candidates(q, coded, rerank), c, q, k)
+  }
 }

@@ -724,6 +724,97 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // Product quantization with exact re-rank
+  // ------------------------------------------------------------------
+
+  test("pq top-k: rerank window = corpus size degrades to exact brute force") {
+    val qs = sqCorpus.where(col("vec_id") < 4)
+      .withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val brute = key(Similarity.bruteForceTopK(qs, sqCorpus, k = 10))
+    val pq = key(Similarity.pqTopK(qs, sqCorpus, k = 10, rerank = 40,
+      dim = 8, m = 2, ksub = 4, iters = 0))
+    assert(pq == brute)
+  }
+
+  test("pq codes are m genuine int8 entries; reconstruction concatenates real codewords") {
+    val books = Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 4) &&
+      books.forall(_.forall(_.length == 4)))
+    val coded = sqCorpus.select(
+      Similarity.pqCode(col("embedding"), books).as("codes"),
+      Similarity.pqDequant(
+        Similarity.pqCode(col("embedding"), books), books).as("dq"))
+    val elem = coded.schema("codes").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+    assert(elem == org.apache.spark.sql.types.ByteType)
+    coded.collect().foreach { r =>
+      val codes = r.getSeq[Byte](0)
+      val dq = r.getSeq[Double](1)
+      assert(codes.length == 2 && dq.length == 8)
+      // each reconstructed sub-vector IS the codeword the code names
+      codes.zipWithIndex.foreach { case (cb, j) =>
+        val c = cb.toInt + 128
+        assert(dq.slice(j * 4, (j + 1) * 4) == books(j)(c).toSeq,
+          s"subspace $j code $c reconstruction mismatch")
+      }
+    }
+  }
+
+  test("pq Lloyd refinement does not worsen reconstruction error") {
+    def mse(iters: Int): Double = {
+      val books = Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
+        iters = iters)
+      sqCorpus.select(
+          Similarity.pqDequant(
+            Similarity.pqCode(col("embedding"), books), books).as("dq"),
+          col("embedding"))
+        .collect().map { r =>
+          val dq = r.getSeq[Double](0)
+          val v = r.getSeq[Float](1)
+          v.indices.map(i => math.pow(v(i) - dq(i), 2)).sum
+        }.sum
+    }
+    assert(mse(3) <= mse(0) + 1e-9, s"refined MSE ${mse(3)} > init ${mse(0)}")
+  }
+
+  test("pq persisted index: indexed == in-memory; codes-only candidate scan; pushed id filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.pqBuild(sqCorpus, dir, dim = 8, m = 2, ksub = 4, iters = 2)
+    val qs = sqCorpus.where(col("vec_id") < 4)
+      .withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    val mem = key(Similarity.pqTopK(qs, sqCorpus, k = 10, rerank = 12,
+      dim = 8, m = 2, ksub = 4, iters = 2))
+    val idxDf = Similarity.pqTopKIndexed(spark, dir, qs, k = 10, rerank = 12)
+    assert(key(idxDf) == mem)
+    // the m-byte contract: the candidate pass's only file scan reads
+    // (vec_id, codes) — the float vectors are column-pruned away
+    val candPlan = Similarity.pqIndexedCandidates(spark, dir,
+      qs.select(col("query_id"), col("embedding").as("__qv")), rerank = 12)
+      .queryExecution.executedPlan.toString
+    val candScans = candPlan.split("\n").filter(_.contains("ReadSchema"))
+    assert(candScans.nonEmpty && candScans.forall(l =>
+      l.contains("codes") && !l.contains("embedding")),
+      s"candidate scan not codes-only:\n$candPlan")
+    // the re-rank reads `embedding` through a pushed-down id filter
+    val plan = idxDf.queryExecution.executedPlan.toString
+    val rerankScan = plan.split("\n").filter(l =>
+      l.contains("ReadSchema") && l.contains("embedding"))
+    assert(rerankScan.exists(_.contains("In(vec_id")),
+      s"candidate id filter not pushed to the embedding scan:\n$plan")
+    // crash discipline: an index without its codebook commit file refuses
+    graft.index.MetaIO.deleteIfExists(s"$dir/${Similarity.PqBookName}")
+    intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexed(spark, dir, qs, k = 5, rerank = 5)
+    }
+  }
+
+  // ------------------------------------------------------------------
   // Decontamination + stratified sampling
   // ------------------------------------------------------------------
 
