@@ -58,6 +58,7 @@ object Bench {
     val embeddings = GateQueries.embeddings(spark, sfDir)
     val ivfDir = java.nio.file.Files.createTempDirectory("graft-bench-ivf").toString
     val pqDir = java.nio.file.Files.createTempDirectory("graft-bench-pq").toString
+    val ivfPqDir = java.nio.file.Files.createTempDirectory("graft-bench-ivfpq").toString
     val posDir = java.nio.file.Files.createTempDirectory("graft-bench-pos").toString
     // 90% base sidecar prepared untimed; pos_refresh_10pct times ONLY the
     // incremental commit of the remaining docs as a second segment
@@ -150,6 +151,16 @@ object Bench {
       "ann_pq_top10" -> (() => Similarity.pqTopKIndexed(spark, pqDir,
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
         k = 10, rerank = 50).count()),
+      // IVF-PQ: probed lists (layout pruning) × 8-byte codes (scan
+      // width) — the two levers composed
+      "ivfpq_build" -> (() => {
+        Similarity.ivfPqBuild(embeddings, ivfPqDir, dim = 64, kClusters = 8,
+          m = 8, ksub = 16, iters = 3)
+        1L
+      }),
+      "ann_ivfpq_top10" -> (() => Similarity.ivfPqTopKIndexed(spark, ivfPqDir,
+        embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+        k = 10, nprobe = 2, rerank = 50).count()),
       "decontaminate" -> (() => {
         val withSplit = documents.withColumn("split",
           graft.pipeline.TextPipeline.splitAssign(

@@ -196,6 +196,20 @@ object GateQueries {
     })
   }
 
+  /** Persistent IVF-PQ index — both quantizers at iters = 0 (coarse
+    * centroids = the 8 smallest-id vectors, PQ codebooks from the 16
+    * smallest-id vectors), exactly oracle-reconstructable.
+    */
+  private val ivfPqDirs = scala.collection.mutable.Map.empty[String, String]
+  def ivfPqIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    ivfPqDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-ivfpqidx").toString
+      Similarity.ivfPqBuild(embeddings(spark, dir), d, dim = 64,
+        kClusters = 8, m = 8, ksub = 16, iters = 0)
+      d
+    })
+  }
+
   /** The shared q109/q109b oracle: iters = 0 PQ codebooks (subspace j of
     * init vector c = dims j·8+1..j·8+8 of the c-th smallest-id vector),
     * per-subspace nearest codeword by 6dp-rounded squared L2 (ties →
@@ -1697,6 +1711,97 @@ object GateQueries {
           .orderBy(col("query_id"), col("rank"))
       },
       Some(pqTopKOracle)),
+
+    // IVF-PQ composition (FAISS's serving architecture, non-residual):
+    // coarse quantizer = q27b's iters = 0 centroids + probe rule, fine
+    // quantizer = q109's iters = 0 codebooks; candidates are the probed
+    // clusters' vectors ranked by asymmetric cosine against the PQ
+    // reconstruction, survivors re-scored exactly. The oracle composes
+    // the two gates' CTE sets verbatim.
+    Gate("q110_ivfpq_topk",
+      (s, d) => {
+        val e = embeddings(s, d)
+        Similarity.ivfPqTopKIndexed(s, ivfPqIndexDir(s, d),
+          e.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
+          k = 10, nprobe = 2, rerank = 30)
+          .select(col("query_id"), col("vec_id"), col("sim"),
+            col("rank").cast("long").as("rank"))
+          .orderBy(col("query_id"), col("rank"))
+      },
+      Some("""WITH e AS (
+             |  SELECT vec_id, [x::DOUBLE for x in embedding] AS v FROM embeddings),
+             |js AS (SELECT unnest(range(0, 8)) AS j),
+             |init AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v
+             |  FROM e ORDER BY vec_id LIMIT 16),
+             |cb AS (
+             |  SELECT js.j, init.c, [v[js.j * 8 + i] for i in range(1, 9)] AS w
+             |  FROM init CROSS JOIN js),
+             |sub AS (
+             |  SELECT e.vec_id, js.j, [v[js.j * 8 + i] for i in range(1, 9)] AS sv
+             |  FROM e CROSS JOIN js),
+             |dist AS (
+             |  SELECT sub.vec_id, sub.j, cb.c,
+             |    round(list_sum([(sv[i] - w[i]) * (sv[i] - w[i]) for i in range(1, 9)]), 6) AS d
+             |  FROM sub JOIN cb ON cb.j = sub.j),
+             |code AS (
+             |  SELECT vec_id, j, c FROM (
+             |    SELECT vec_id, j, c,
+             |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d ASC, c ASC) AS rn
+             |    FROM dist) WHERE rn = 1),
+             |recon AS (
+             |  SELECT code.vec_id, flatten(list(w ORDER BY code.j)) AS dv
+             |  FROM code JOIN cb ON cb.j = code.j AND cb.c = code.c
+             |  GROUP BY code.vec_id),
+             |cent AS (
+             |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, v AS cw
+             |  FROM e ORDER BY vec_id LIMIT 8),
+             |asim AS (
+             |  SELECT e.vec_id, c.cluster,
+             |    round(list_sum([e.v[i] * c.cw[i] for i in range(1, len(e.v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in e.v])) *
+             |       sqrt(list_sum([x * x for x in c.cw]))), 6) AS s
+             |  FROM e CROSS JOIN cent c),
+             |assigned AS (
+             |  SELECT vec_id, cluster FROM (
+             |    SELECT vec_id, cluster,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cluster ASC) AS rn
+             |    FROM asim) WHERE rn = 1),
+             |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+             |qsim AS (
+             |  SELECT q.query_id, c.cluster,
+             |    round(list_sum([q.qv[i] * c.cw[i] for i in range(1, len(q.qv) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in q.qv])) *
+             |       sqrt(list_sum([x * x for x in c.cw]))), 6) AS s
+             |  FROM q CROSS JOIN cent c),
+             |probes AS (
+             |  SELECT query_id, cluster FROM (
+             |    SELECT query_id, cluster,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY s DESC, cluster ASC) AS rn
+             |    FROM qsim) WHERE rn <= 2),
+             |approx AS (
+             |  SELECT p.query_id, a.vec_id,
+             |    round(list_sum([qv[i] * dv[i] for i in range(1, len(dv) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in dv]))), 6) AS asim2
+             |  FROM assigned a JOIN probes p ON a.cluster = p.cluster
+             |  JOIN recon r ON r.vec_id = a.vec_id
+             |  JOIN q ON q.query_id = p.query_id),
+             |cand AS (
+             |  SELECT query_id, vec_id FROM (
+             |    SELECT query_id, vec_id,
+             |      row_number() OVER (PARTITION BY query_id ORDER BY asim2 DESC, vec_id ASC) AS rr
+             |    FROM approx) WHERE rr <= 30),
+             |exact AS (
+             |  SELECT c2.query_id, c2.vec_id,
+             |    round(list_sum([qv[i] * v[i] for i in range(1, len(v) + 1)]) /
+             |      (sqrt(list_sum([x * x for x in qv])) * sqrt(list_sum([x * x for x in v]))), 6) AS sim
+             |  FROM cand c2 JOIN e ON e.vec_id = c2.vec_id JOIN q ON q.query_id = c2.query_id),
+             |ranked AS (
+             |  SELECT query_id, vec_id, sim,
+             |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rank
+             |  FROM exact)
+             |SELECT query_id, vec_id, sim, rank FROM ranked
+             |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
 
     // Benchmark decontamination: training docs sharing any distinct word
     // 5-gram with the val/test split of the SAME corpus (splits from the

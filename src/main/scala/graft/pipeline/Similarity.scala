@@ -1066,4 +1066,113 @@ object Similarity {
       pqDequant(pqCode(col("__cv"), books), books).as("__dq"))
     sq8Rerank(sq8Candidates(q, coded, rerank), c, q, k)
   }
+
+  // --------------------------------------------------------------------
+  // IVF-PQ: the two quantizers composed — the billion-vector serving
+  // architecture (FAISS IVFPQ, non-residual variant: codes encode RAW
+  // vectors, the inner-product-metric default, matching our cosine
+  // metric). Lists bucket the corpus by nearest coarse centroid; vectors
+  // inside each list store as m PQ bytes. A query touches
+  // nprobe/K of the corpus × m bytes/vector during candidate generation —
+  // both pruning levers at once: layout-level partition pruning from IVF,
+  // 32×-below-float32 scan width from PQ — then re-ranks the bounded
+  // survivor set exactly. Maintenance (appends, compaction) follows the
+  // [[ivfAppend]]/[[ivfCompact]] pattern over the same list layout and is
+  // deliberately not duplicated here.
+  // --------------------------------------------------------------------
+
+  /** Build a persistent IVF-PQ index at `dir`:
+    *
+    *   - `centroids/`        K coarse centroids ([[ivfCentroids]]);
+    *   - `lists/cluster=N/`  (vec_id, embedding, codes) bucketed by
+    *                         nearest centroid, codes = m PQ bytes;
+    *   - `_pq.json`          the codebooks — ALSO the commit marker
+    *                         (deleted first, written last: a kill
+    *                         mid-build refuses loudly at query time).
+    *
+    * `iters` drives BOTH quantizers; 0 → centroids = the K smallest-id
+    * vectors and codebooks = sub-vectors of the ksub smallest-id vectors,
+    * verbatim — the oracle-reconstructable configuration.
+    */
+  def ivfPqBuild(
+      corpus: DataFrame, dir: String, dim: Int, kClusters: Int, m: Int,
+      ksub: Int, iters: Int = 5, corpusIdCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    graft.index.MetaIO.deleteIfExists(s"$dir/$PqBookName")
+    val centroids = ivfCentroids(corpus, dim, kClusters, iters,
+      corpusIdCol, vecCol)
+    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol)
+    centroids.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
+      .toDF("cluster", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    ivfAssign(corpus, centroids, corpusIdCol, vecCol)
+      .select(col("vec_id"), col("embedding"),
+        pqCode(col("embedding"), books).as("codes"), col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
+    writePqBooks(dir, books)
+  }
+
+  /** IVF-PQ search: probes nprobe lists per query ([[probePairs]], the
+    * oracle-mirrored 6dp rule), generates candidates from the probed
+    * lists' m-byte `codes` column ONLY (asymmetric cosine against the
+    * codeword reconstruction, per-query rank over the query's own probed
+    * lists — never another query's), and exactly re-ranks the bounded
+    * survivor set through a pushed-down id filter on the same lists.
+    * nprobe = K with rerank ≥ |corpus| degrades to [[bruteForceTopK]]
+    * (spec-asserted). Output: (query_id, vec_id, sim, rank), sims exact.
+    */
+  def ivfPqTopKIndexed(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      nprobe: Int, rerank: Int, queryIdCol: String = "query_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
+    val sp = spark
+    import sp.implicits._
+    val books = readPqBooks(dir) // the commit marker — refuses if absent
+    val centroids = readIvfCentroids(spark, dir)
+    val qRows = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      col(vecCol).as("__qv")).collect()
+    val probes = probePairs(qRows, centroids, nprobe)
+    val probedClusters = probes.map(_._2).distinct
+    val paths = probedClusters.map(c => s"$dir/lists/cluster=$c")
+      .filter(graft.index.MetaIO.exists)
+    if (paths.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("query_id", "vec_id", "sim", "rank")
+    val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
+      asDouble(col(vecCol)).as("__qv"))
+    val cand = ivfPqCandidates(spark, dir, paths, q,
+      probes.toDF("query_id", "cluster"), rerank, books).localCheckpoint()
+    val ids = cand.select(col("vec_id")).distinct()
+      .collect().map(_.getLong(0)) // bounded: ≤ rerank · |queries|
+    val vecs = spark.read.option("basePath", s"$dir/lists").parquet(paths: _*)
+      .select(col("vec_id"), col("embedding").as("__cv"))
+      .where(col("vec_id").isin(ids: _*))
+    sq8Rerank(cand, vecs, q, k)
+  }
+
+  /** The IVF-PQ candidate pass, pre-checkpoint — per-query scope is the
+    * query's OWN probed lists (the [[scoreProbed]] join shape), scan
+    * reads (vec_id, codes, cluster) only.
+    */
+  private[graft] def ivfPqCandidates(
+      spark: SparkSession, dir: String, paths: Seq[String], q: DataFrame,
+      probes: DataFrame, rerank: Int,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val coded = spark.read.option("basePath", s"$dir/lists").parquet(paths: _*)
+      .select(col("vec_id"), col("cluster"),
+        pqDequant(col("codes"), books).as("__dq"))
+    val wA = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_sim").desc, col("vec_id").asc)
+    coded
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(cosine(col("__qv"), col("__dq")), 6).as("approx_sim"))
+      .withColumn("__r", row_number().over(wA))
+      .where(col("__r") <= rerank)
+      .select(col("query_id"), col("vec_id"))
+  }
 }

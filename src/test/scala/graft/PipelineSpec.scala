@@ -814,6 +814,58 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-pq: nprobe=K + full rerank degrades to brute force; probed-dir + codes-only scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq").toString
+    Similarity.ivfPqBuild(sqCorpus, dir, dim = 8, kClusters = 4, m = 2,
+      ksub = 4, iters = 2)
+    val qs = sqCorpus.where(col("vec_id") < 4)
+      .withColumnRenamed("vec_id", "query_id")
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toMap
+    // both quantizers wide open → exact brute-force ranking
+    val brute = key(Similarity.bruteForceTopK(qs, sqCorpus, k = 10))
+    val full = key(Similarity.ivfPqTopKIndexed(spark, dir, qs, k = 10,
+      nprobe = 4, rerank = 40))
+    assert(full == brute)
+    // layout-level pruning: one query at nprobe=1 reads exactly one
+    // cluster directory (candidates AND re-rank)
+    val one = Similarity.ivfPqTopKIndexed(spark, dir,
+      sqCorpus.where(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id"),
+      k = 5, nprobe = 1, rerank = 10)
+    val read = one.inputFiles.flatMap(f =>
+      "cluster=(\\d+)".r.findFirstMatchIn(f).map(_.group(1))).toSet
+    assert(read.size == 1, s"expected 1 probed cluster dir, read $read")
+    // the m-byte contract: the candidate pass never reads `embedding`
+    val books = Similarity.readPqBooks(dir)
+    val probes = {
+      val sp = spark
+      import sp.implicits._
+      Seq((0L, 0), (0L, 1)).toDF("query_id", "cluster")
+    }
+    val candPlan = Similarity.ivfPqCandidates(spark, dir,
+      Seq(s"$dir/lists/cluster=0", s"$dir/lists/cluster=1"),
+      qs.where(col("query_id") === 0)
+        .select(col("query_id"), col("embedding").as("__qv")),
+      probes, rerank = 10, books)
+      .queryExecution.executedPlan.toString
+    val candScans = candPlan.split("\n").filter(_.contains("ReadSchema"))
+    assert(candScans.nonEmpty && candScans.forall(l =>
+      l.contains("codes") && !l.contains("embedding")),
+      s"candidate scan not codes-only:\n$candPlan")
+    // re-rank reads `embedding` through a pushed-down id filter
+    val plan = Similarity.ivfPqTopKIndexed(spark, dir, qs, k = 5,
+      nprobe = 2, rerank = 10).queryExecution.executedPlan.toString
+    assert(plan.split("\n").exists(l => l.contains("ReadSchema") &&
+      l.contains("embedding") && l.contains("In(vec_id")),
+      s"candidate id filter not pushed to the embedding scan:\n$plan")
+    // crash discipline: missing codebook commit marker refuses
+    graft.index.MetaIO.deleteIfExists(s"$dir/${Similarity.PqBookName}")
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(spark, dir, qs, k = 5, nprobe = 1, rerank = 5)
+    }
+  }
+
   // ------------------------------------------------------------------
   // Decontamination + stratified sampling
   // ------------------------------------------------------------------
