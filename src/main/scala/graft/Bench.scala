@@ -71,6 +71,15 @@ object Bench {
     // anti-join costs relative to bm25_wand_top10
     val gramDir = java.nio.file.Files.createTempDirectory("graft-bench-gram").toString
     val shufDir = java.nio.file.Files.createTempDirectory("graft-bench-shuf").toString
+    // replace-by-key: the full corpus loads untimed as upsert batch 0;
+    // upsert_replace_10pct times batch 1 replacing 10% of the keys
+    // (keymap lookup + tombstones + segment append)
+    val upsDir = java.nio.file.Files.createTempDirectory("graft-bench-ups").toString
+    val upsKeyDir = java.nio.file.Files.createTempDirectory("graft-bench-upskey").toString
+    graft.streaming.StreamOps.indexUpsertBatch(
+      docs.select(col("title"), col("body"), col("url")), batchId = 0L,
+      upsDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8), Seq("url"),
+      upsKeyDir, genTag = "bench")
     val tombDir = java.nio.file.Files.createTempDirectory("graft-bench-tomb").toString
     BlockIndex.build(docs, tombDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8))
     BlockIndex.delete(
@@ -190,6 +199,16 @@ object Bench {
         .phraseSearch(spark, posDir, "order fast", 10).count()),
       "proximity_search_top10" -> (() => graft.index.PositionalIndex
         .proximitySearch(spark, posDir, "order fast window", 10).count()),
+      "upsert_replace_10pct" -> (() => {
+        graft.streaming.StreamOps.indexUpsertBatch(
+          docs.where(pmod(col("docId"), lit(10)) === 0)
+            .select(col("title"),
+              concat(col("body"), lit(" refreshed")).as("body"), col("url")),
+          batchId = 1L, upsDir,
+          BlockIndex.Layout(blockSpan = 4096, nShards = 8), Seq("url"),
+          upsKeyDir, genTag = "bench")
+        1L
+      }),
       "pos_refresh_10pct" -> (() => {
         graft.index.PositionalIndex.refresh(
           docs.where(col("docId") > posCut), posSegDir)

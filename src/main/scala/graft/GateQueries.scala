@@ -210,6 +210,42 @@ object GateQueries {
     })
   }
 
+  /** Upserted (replace-by-key) index fixture: every document inserted as
+    * batch 0 (key = "k"+doc_id, title = "t"+doc_id, body = text), then
+    * every doc_id % 7 == 0 document REPLACED by batch 1 with
+    * " zzupsertmarker" appended — [[graft.streaming.StreamOps
+    * .indexUpsertBatch]] with the gram sidecar and keymap. Returns
+    * (blockDir, keymapDir, gramDir, nBatch0Docs); batch-0 ids are 1..n,
+    * batch-1 ids n+1.., so `docId <= n` discriminates versions.
+    */
+  private val upsertDirs =
+    scala.collection.mutable.Map.empty[String, (String, String, String, Long)]
+  def upsertIndex(spark: SparkSession, dir: String):
+      (String, String, String, Long) = synchronized {
+    upsertDirs.getOrElseUpdate(dir, {
+      val bdir = java.nio.file.Files.createTempDirectory("graft-ups-idx").toString
+      val kdir = java.nio.file.Files.createTempDirectory("graft-ups-key").toString
+      val gdir = java.nio.file.Files.createTempDirectory("graft-ups-gram").toString
+      val docs = documents(spark, dir)
+      val corpus = docs.select(
+        concat(lit("t"), col("doc_id")).as("title"),
+        col("text").as("body"),
+        concat(lit("k"), col("doc_id")).as("url"))
+      val layout = graft.index.BlockIndex.Layout(blockSpan = 512, nShards = 8)
+      graft.streaming.StreamOps.indexUpsertBatch(corpus, batchId = 0L,
+        bdir, layout, Seq("title"), kdir, genTag = "gate",
+        gramDir = Some(gdir), gramShards = 8)
+      val updated = docs.where(col("doc_id") % 7 === 0).select(
+        concat(lit("t"), col("doc_id")).as("title"),
+        concat(col("text"), lit(" zzupsertmarker")).as("body"),
+        concat(lit("k"), col("doc_id")).as("url"))
+      graft.streaming.StreamOps.indexUpsertBatch(updated, batchId = 1L,
+        bdir, layout, Seq("title"), kdir, genTag = "gate",
+        gramDir = Some(gdir), gramShards = 8)
+      (bdir, kdir, gdir, docs.count())
+    })
+  }
+
   /** The shared q109/q109b oracle: iters = 0 PQ codebooks (subspace j of
     * init vector c = dims j·8+1..j·8+8 of the c-th smallest-id vector),
     * per-subspace nearest codeword by 6dp-rounded squared L2 (ties →
@@ -1802,6 +1838,60 @@ object GateQueries {
              |  FROM exact)
              |SELECT query_id, vec_id, sim, rank FROM ranked
              |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)),
+
+    // Replace-by-key (Lucene updateDocument semantics): every doc
+    // inserted, then doc_id % 7 == 0 REPLACED with " zzupsertmarker"
+    // appended; batched substring search over the upserted gram index
+    // maps hits back to keys through the keymap. Old versions are
+    // tombstoned — a failed retire would surface a duplicate (needle,
+    // key) row (the id→key map spans ALL versions on purpose) and break
+    // the hash. The oracle searches the logically-current corpus.
+    Gate("q111_upsert_replace",
+      (s, d) => {
+        val (bdir, kdir, gdir, n) = upsertIndex(s, d)
+        val byId = graft.index.KeyMap.rows(s, kdir)
+        val verify = byId
+          .withColumn("doc_id", expr("substring(key, 2)").cast("long"))
+          .join(documents(s, d).select(col("doc_id"), col("text")), "doc_id")
+          .select(col("docId"),
+            when(col("docId") <= n, col("text"))
+              .otherwise(concat(col("text"), lit(" zzupsertmarker")))
+              .as("body"))
+        graft.index.GramIndex.substringSearchBatch(s, gdir, verify,
+            "docId", "body", Seq("tab", "zzupsertmarker"))
+          .join(byId, "docId")
+          .select(col("needle"), col("key"))
+          .orderBy(col("needle"), col("key"))
+      },
+      Some("""WITH cur AS (
+             |  SELECT 'k' || doc_id AS key,
+             |    coalesce(text, '') ||
+             |      (CASE WHEN doc_id % 7 = 0 THEN ' zzupsertmarker' ELSE '' END) AS body
+             |  FROM documents),
+             |n AS (SELECT unnest(['tab', 'zzupsertmarker']) AS needle)
+             |SELECT n.needle, cur.key FROM n JOIN cur
+             |  ON contains(cur.body, n.needle)
+             |ORDER BY needle, key""".stripMargin)),
+
+    // Per-source vocabulary size with the HLL++ sketch twin: the exact
+    // distinct-term count is hash-compared, the sketch is
+    // envelope-checked at 5× its configured rsd (1%) — the q106
+    // approx-op discipline applied to count-distinct.
+    Gate("q112_vocab_approx",
+      (s, d) => TextPipeline.vocabStats(documents(s, d), "source", "text",
+          rsd = 0.01)
+        .select(col("source"), col("n_terms"),
+          (abs(col("n_terms_approx") - col("n_terms")) <=
+            col("n_terms") * 0.05).as("sketch_in_envelope"))
+        .orderBy(col("source")),
+      Some("""WITH toks AS (
+             |  SELECT source, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(coalesce(text, ''), '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x))) AS term
+             |  FROM documents)
+             |SELECT source, count(DISTINCT term)::BIGINT AS n_terms,
+             |  true AS sketch_in_envelope
+             |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // Benchmark decontamination: training docs sharing any distinct word
     // 5-gram with the val/test split of the SAME corpus (splits from the

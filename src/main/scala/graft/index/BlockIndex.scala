@@ -799,6 +799,17 @@ object BlockIndex {
         Seq.empty[(Long, Long)].toDF("docId", "len")
       }
 
+  /** The docIds the index currently ANSWERS FOR: present in a committed
+    * segment's doc-length table and not tombstoned. This is the
+    * EXISTENCE relation sidecar liveness must consult ([[KeyMap]]):
+    * tombstones alone are transient — [[compact]] folds deleted docs out
+    * physically and clears them, so "not tombstoned" is only meaningful
+    * for ids that still exist. One docId+len metadata-table scan, no
+    * posting blocks touched.
+    */
+  def liveDocIds(spark: SparkSession, dir: String): DataFrame =
+    liveOnly(spark, dir, readDocLens(spark, dir).select(col("docId")))
+
   /** Driver-local twin of the build's `pmod(xxhash64(term), nShards)` —
     * same XXH64 with Spark's default seed 42, so query planning computes
     * shard routing without a Spark job (equality asserted in the spec).

@@ -1169,4 +1169,23 @@ object TextPipeline {
       // sort, destroying the key order inside each shard file
       .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Per-group vocabulary size, exact AND sketched: distinct analyzer
+    * terms per `groupCol` with an HLL++ `approx_count_distinct` twin at
+    * relative standard deviation `rsd`. The sketch is the column a
+    * 100 TB corpus pass actually runs — HLL registers merge map-side, so
+    * the exchange carries one ~(1.04/rsd)² -register sketch per
+    * (partition, group) instead of the term stream the exact count
+    * shuffles — while the exact count pins it: the oracle gate asserts
+    * the sketch lands within an envelope of the exact value, same
+    * discipline as the approx-percentile gate (q106).
+    * Output: (groupCol, n_terms, n_terms_approx).
+    */
+  def vocabStats(docs: DataFrame, groupCol: String, textCol: String,
+      rsd: Double = 0.01): DataFrame =
+    docs.select(col(groupCol),
+        explode(Analyzer.tokensCol(col(textCol))).as("__term"))
+      .groupBy(col(groupCol))
+      .agg(count_distinct(col("__term")).as("n_terms"),
+        approx_count_distinct(col("__term"), rsd).as("n_terms_approx"))
 }

@@ -129,7 +129,8 @@ object StreamOps {
       gramDir: Option[String] = None,
       gramShards: Int = 8,
       maxSegments: Int = 0,
-      armNextword: Boolean = false): Unit = {
+      armNextword: Boolean = false,
+      docsWithIds: Option[DataFrame] = None): Unit = {
     import graft.index.{BlockIndex, GramIndex, PositionalIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
@@ -222,10 +223,12 @@ object StreamOps {
           !GramIndex.readSegments(gd).segs.contains(s"gseg-$marker"))
         GramIndex.compactTiered(gd, maxSegments)
     }
-    val start =
-      math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
-    val docs = graft.sources.CorpusSource.withDenseDocIds(
-      corpusCols, idSortCols.map(col), firstId = start)
+    val docs = docsWithIds.getOrElse {
+      val start =
+        math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
+      graft.sources.CorpusSource.withDenseDocIds(
+        corpusCols, idSortCols.map(col), firstId = start)
+    }
     posDir.foreach(pd => PositionalIndex.refresh(docs, pd, Some(marker)))
     // nextword arming is DERIVED and idempotent (immutable segments;
     // armed ones skip), so it sits outside the commit protocol: a crash
@@ -304,6 +307,139 @@ object StreamOps {
           genTag = runTag(checkpointDir), posDir = posDir, gramDir = gramDir)
       }
       .start()
+
+  /** foreachBatch hook for REPLACE-BY-KEY (Lucene `updateDocument`
+    * semantics): each micro-batch of (title, body, url) document
+    * versions — keyed by `url`, the reference's document identity —
+    *
+    *   1. retires the keys' current versions: live docIds resolved
+    *      through the [[graft.index.KeyMap]] sidecar are tombstoned
+    *      across the block index and both sidecars under this batch's
+    *      marker ([[indexDeleteBatch]]);
+    *   2. commits the new versions' (key, docId) rows to the keymap at
+    *      the SAME fresh docIds the refresh below derives (the
+    *      deterministic [[graft.sources.CorpusSource.withDenseDocIds]]
+    *      assignment off the committed maxDocId floor);
+    *   3. appends the new versions as a normal [[indexRefreshBatch]].
+    *
+    * Every step is idempotent under this batch's marker, and they
+    * commit in tombstones → keymap → sidecars → block order, so a crash
+    * anywhere replays to convergence: the block-marker fast path skips
+    * fully-committed batches; a half-committed batch re-derives
+    * IDENTICAL ids (maxDocId is still the pre-crash floor) and each
+    * committed piece no-ops by name. The keymap lookup is bounded to
+    * the committed block maxDocId, so a replayed batch can never
+    * tombstone its OWN in-flight versions through the already-committed
+    * kseg ([[graft.index.KeyMap.liveRows]]).
+    *
+    * Visibility: delete-then-append means a query between the two
+    * commits sees the key ABSENT (never both versions); the window
+    * closes when the batch's block segment lands. Keys new to the index
+    * take the pure-insert path (empty retire set), so one stream
+    * carries mixed inserts and updates — the recrawl shape.
+    *
+    * New docs must carry ONE version per key per batch (enforced
+    * loudly): two versions of a key inside one batch would otherwise
+    * both go live, and "latest" is undefined inside an unordered batch.
+    */
+  def indexUpsertBatch(
+      batch: DataFrame, batchId: Long, dir: String,
+      layout: graft.index.BlockIndex.Layout,
+      idSortCols: Seq[String],
+      keymapDir: String,
+      genTag: String = "",
+      posDir: Option[String] = None,
+      posShards: Int = 8,
+      gramDir: Option[String] = None,
+      gramShards: Int = 8,
+      maxSegments: Int = 0,
+      armNextword: Boolean = false): Unit = {
+    import graft.index.{BlockIndex, KeyMap}
+    val spark = batch.sparkSession
+    val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
+    // fully-committed replay: the block segment commits LAST, so its
+    // marker proves tombstones + keymap + sidecars are all in
+    if (BlockIndex.isSegmented(dir) &&
+        BlockIndex.readSegments(dir).segs.contains(s"seg-$marker"))
+      return
+    val dup = batch.groupBy(col("url")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"upsert batch has ${dup.headOption.map(_.get(0)).getOrElse("")} " +
+        s"more than once — replace-by-key needs at most one version per key per batch")
+    val blockExists = BlockIndex.isSegmented(dir) ||
+      graft.index.MetaIO.exists(s"$dir/${BlockIndex.StatsName}")
+    // 1) retire current versions (empty for new keys; empty on replay
+    //    past the tombstone commit — the lookup is tombstone-filtered)
+    if (blockExists && KeyMap.exists(keymapDir)) {
+      val oldIds = KeyMap.liveIdsForKeys(spark, keymapDir, dir,
+        batch.select(col("url").cast("string").as("key")))
+      indexDeleteBatch(oldIds, batchId, dir, genTag = genTag,
+        posDir = posDir, gramDir = gramDir)
+    }
+    // 2) the batch's ids, derived EXACTLY as a refresh derives them
+    val start =
+      if (blockExists)
+        math.max(BlockIndex.committedMaxDocId(spark, dir) + 1L, 1L)
+      else 1L
+    val docs = graft.sources.CorpusSource.withDenseDocIds(
+      batch.select(col("title").cast("string"), col("body").cast("string"),
+        col("url").cast("string")),
+      idSortCols.map(col), firstId = start)
+    KeyMap.commit(docs.select(col("url").as("key"), col("docId")),
+      keymapDir, marker)
+    // 3) append the new versions — sidecars first, block last, all
+    //    under the same marker (compaction cadence included)
+    indexRefreshBatch(batch, batchId, dir, layout, idSortCols,
+      genTag = genTag, posDir = posDir, posShards = posShards,
+      gramDir = gramDir, gramShards = gramShards, maxSegments = maxSegments,
+      armNextword = armNextword, docsWithIds = Some(docs))
+  }
+
+  /** A live upsert stream: each micro-batch of document versions
+    * replaces its keys' previous versions via [[indexUpsertBatch]] while
+    * the index stays continuously queryable — the recrawl-at-scale
+    * story the reference's full-rebuild flow cannot express. Keymap
+    * segments fold with [[graft.index.KeyMap.compact]] as maintenance
+    * (after a block compact, so retired rows drop with their
+    * tombstones).
+    */
+  def indexUpsertSink(
+      docs: DataFrame, dir: String,
+      layout: graft.index.BlockIndex.Layout,
+      checkpointDir: String,
+      idSortCols: Seq[String],
+      keymapDir: String,
+      posDir: Option[String] = None,
+      posShards: Int = 8,
+      gramDir: Option[String] = None,
+      gramShards: Int = 8,
+      maxSegments: Int = 0,
+      armNextword: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        indexUpsertBatch(batch, batchId, dir, layout, idSortCols, keymapDir,
+          genTag = runTag(checkpointDir), posDir = posDir,
+          posShards = posShards, gramDir = gramDir, gramShards = gramShards,
+          maxSegments = maxSegments, armNextword = armNextword)
+      }
+      .start()
+
+  /** DELETE-BY-KEY: resolve the keys' live docIds through the keymap
+    * and tombstone them ([[indexDeleteBatch]]). Replay-safe the same
+    * way: a replayed batch resolves an empty (or identical) id set and
+    * the tombstone generation no-ops by name. `keys`: one `key` column.
+    */
+  def indexDeleteByKeyBatch(keys: DataFrame, batchId: Long, dir: String,
+      keymapDir: String, genTag: String = "",
+      posDir: Option[String] = None,
+      gramDir: Option[String] = None): Unit = {
+    val ids = graft.index.KeyMap.liveIdsForKeys(
+      keys.sparkSession, keymapDir, dir, keys)
+    indexDeleteBatch(ids, batchId, dir, genTag = genTag,
+      posDir = posDir, gramDir = gramDir)
+  }
 
   /** Incremental per-term document-frequency / Σtf maintenance across
     * micro-batches. Each input row is one new (term, doc) posting; the

@@ -866,6 +866,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabStats: exact per-group distinct terms; HLL sketch lands in envelope") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      ("a", "Spark spark TABLES join"), // 3 distinct: spark, tables, join
+      ("a", "spark merges runs"), // +2: merges, runs
+      ("b", "one two three"), ("b", "two three four")
+    ).toDF("source", "text")
+    val out = TextPipeline.vocabStats(docs, "source", "text", rsd = 0.01)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_terms"), r.getAs[Long]("n_terms_approx"))).toMap
+    assert(out("a")._1 == 5L && out("b")._1 == 4L)
+    out.values.foreach { case (exact, approx) =>
+      assert(math.abs(approx - exact) <= math.max(1L, (exact * 0.05).toLong),
+        s"sketch $approx vs exact $exact")
+    }
+  }
+
   // ------------------------------------------------------------------
   // Decontamination + stratified sampling
   // ------------------------------------------------------------------

@@ -431,6 +431,107 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(grepIds() == (1L to 30L).toSet -- Set(2L, 4L, 6L, 8L))
   }
 
+  test("upsert sink: replace-by-key == Lucene updateDocument; replay windows converge; delete-by-key; keymap compaction") {
+    import graft.index.{BlockIndex, GramIndex, KeyMap}
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ups-idx").toString
+    val kdir = java.nio.file.Files.createTempDirectory("ups-keymap").toString
+    val gdir = java.nio.file.Files.createTempDirectory("ups-gram").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ups-ckpt").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    // batch 1: three inserts; batch 2: one update (u2) + one insert (u4);
+    // batch 3: one update (u1) — ids by per-batch title order: 1..3, 4..5, 6
+    val b1 = Seq(("A u1", "spark shuffles data fast", "u1"),
+      ("B u2", "tables join on keys", "u2"),
+      ("C u3", "old queries run slowly", "u3"))
+    val b2 = Seq(("B u2", "tables merge sorted runs", "u2"),
+      ("D u4", "fresh stream content", "u4"))
+    val b3 = Seq(("A u1", "spark streams tables quickly", "u1"))
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.indexUpsertSink(
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"),
+      keymapDir = kdir, gramDir = Some(gdir), gramShards = 4)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+    } finally q.stop()
+    def liveMap() = KeyMap.liveRows(spark, kdir, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(liveMap() == Map("u1" -> 6L, "u2" -> 4L, "u3" -> 3L, "u4" -> 5L))
+    // query sees exactly ONE live version per key (a tombstone failure
+    // would surface the old u2/u1 bodies as duplicate keys here)
+    val keyOf = liveMap().map(_.swap)
+    def keysFor(query: String) = BlockIndex.bm25TopK(spark, dir, query, 10)
+      .collect().map(r => keyOf.getOrElse(r.getLong(0),
+        s"DEAD:${r.getLong(0)}")).sorted.toSeq
+    assert(keysFor("tables") == Seq("u1", "u2"))
+    assert(keysFor("queries") == Seq("u3"))
+    // the gram sidecar retired the old versions too
+    val allVersions = Seq(
+      (1L, "spark shuffles data fast"), (2L, "tables join on keys"),
+      (3L, "old queries run slowly"), (4L, "tables merge sorted runs"),
+      (5L, "fresh stream content"), (6L, "spark streams tables quickly")
+    ).toDF("docId", "body")
+    def grepIds(needle: String) = GramIndex.substringSearchIndexed(spark,
+        gdir, allVersions, "docId", "body", needle)
+      .collect().map(_.getLong(0)).toSet
+    assert(grepIds("join on keys") == Set.empty[Long]) // old u2 retired
+    assert(grepIds("merge sorted") == Set(4L))
+    // redelivered micro-batch: nothing changes anywhere
+    val tag = StreamOps.runTag(ckpt)
+    val before = (BlockIndex.readSegments(dir).segs,
+      KeyMap.readMeta(kdir).segs, BlockIndex.readTombMeta(dir))
+    StreamOps.indexUpsertBatch(b2.toDF("title", "body", "url"),
+      batchId = 1L, dir, layout, Seq("title"), kdir, genTag = tag,
+      gramDir = Some(gdir), gramShards = 4)
+    assert((BlockIndex.readSegments(dir).segs,
+      KeyMap.readMeta(kdir).segs, BlockIndex.readTombMeta(dir)) == before)
+    assert(liveMap() == Map("u1" -> 6L, "u2" -> 4L, "u3" -> 3L, "u4" -> 5L))
+    // crash window: the kseg of an in-flight batch is committed but its
+    // block segment is not — the map rows above committedMaxDocId must
+    // stay invisible, and completing the batch must NOT tombstone its
+    // own new versions through that pre-committed kseg
+    val b4 = Seq(("B u2", "tables rebuilt anew", "u2"),
+      ("E u5", "brand new doc", "u5")) // ids by title order: 7, 8
+    KeyMap.commit(Seq(("u2", 7L), ("u5", 8L)).toDF("key", "docId"),
+      kdir, s"b$tag-7")
+    assert(liveMap() == Map("u1" -> 6L, "u2" -> 4L, "u3" -> 3L, "u4" -> 5L))
+    StreamOps.indexUpsertBatch(b4.toDF("title", "body", "url"),
+      batchId = 7L, dir, layout, Seq("title"), kdir, genTag = tag,
+      gramDir = Some(gdir), gramShards = 4)
+    assert(liveMap() == Map("u1" -> 6L, "u2" -> 7L, "u3" -> 3L,
+      "u4" -> 5L, "u5" -> 8L))
+    val keyOf2 = liveMap().map(_.swap)
+    def keysFor2(query: String) = BlockIndex.bm25TopK(spark, dir, query, 10)
+      .collect().map(r => keyOf2.getOrElse(r.getLong(0),
+        s"DEAD:${r.getLong(0)}")).sorted.toSeq
+    assert(keysFor2("rebuilt") == Seq("u2"))
+    assert(keysFor2("tables") == Seq("u1", "u2"))
+    // delete-by-key resolves through the keymap and tombstones
+    StreamOps.indexDeleteByKeyBatch(Seq("u3").toDF("key"), batchId = 8L,
+      dir, kdir, genTag = tag, gramDir = Some(gdir))
+    assert(keysFor2("queries") == Seq.empty)
+    assert(liveMap() == Map("u1" -> 6L, "u2" -> 7L, "u4" -> 5L, "u5" -> 8L))
+    // maintenance: block compact folds the tombstones physically, then
+    // the keymap folds to one segment with retired rows dropped
+    BlockIndex.compact(dir)
+    KeyMap.compact(spark, kdir, dir)
+    assert(KeyMap.readMeta(kdir).segs.size == 1)
+    assert(liveMap() == Map("u1" -> 6L, "u2" -> 7L, "u4" -> 5L, "u5" -> 8L))
+    assert(KeyMap.rows(spark, kdir).count() == 4L)
+    assert(BlockIndex.readStats(dir)._1.nDocs == 4L)
+    assert(keysFor2("tables") == Seq("u1", "u2"))
+    // one version per key per batch, loudly
+    intercept[IllegalArgumentException] {
+      StreamOps.indexUpsertBatch(
+        Seq(("X", "one", "dup"), ("Y", "two", "dup")).toDF("title", "body", "url"),
+        batchId = 9L, dir, layout, Seq("title"), kdir, genTag = tag)
+    }
+  }
+
   test("watermarked window aggregation drops late events beyond the watermark") {
     val sp = spark
     import sp.implicits._
