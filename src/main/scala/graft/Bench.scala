@@ -76,9 +76,13 @@ object Bench {
     // (keymap lookup + tombstones + segment append)
     val upsDir = java.nio.file.Files.createTempDirectory("graft-bench-ups").toString
     val upsKeyDir = java.nio.file.Files.createTempDirectory("graft-bench-upskey").toString
+    // the bench corpus carries no unique url — synthesize the key from
+    // the docId (the upsert contract needs one version per key)
     graft.streaming.StreamOps.indexUpsertBatch(
-      docs.select(col("title"), col("body"), col("url")), batchId = 0L,
-      upsDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8), Seq("url"),
+      docs.select(col("title"), col("body"),
+        concat(lit("u"), col("docId")).as("url")),
+      batchId = 0L, upsDir,
+      BlockIndex.Layout(blockSpan = 4096, nShards = 8), Seq("url"),
       upsKeyDir, genTag = "bench")
     val tombDir = java.nio.file.Files.createTempDirectory("graft-bench-tomb").toString
     BlockIndex.build(docs, tombDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8))
@@ -203,7 +207,8 @@ object Bench {
         graft.streaming.StreamOps.indexUpsertBatch(
           docs.where(pmod(col("docId"), lit(10)) === 0)
             .select(col("title"),
-              concat(col("body"), lit(" refreshed")).as("body"), col("url")),
+              concat(col("body"), lit(" refreshed")).as("body"),
+              concat(lit("u"), col("docId")).as("url")),
           batchId = 1L, upsDir,
           BlockIndex.Layout(blockSpan = 4096, nShards = 8), Seq("url"),
           upsKeyDir, genTag = "bench")
@@ -356,8 +361,11 @@ object Bench {
     // cache warmth is the realistic regime — and cold first-runs swing
     // ±20% on this VM, which round 2 showed misattributes regressions.
     // Build entries stay cold/single-run: a batch build IS a cold job.
+    // upsert_replace_10pct MUST stay single-run: the replayed batchId of
+    // a warmup run would hit the idempotence fast-path and time a no-op
     val warmupSkip = Set("ivf_build", "pos_index_build", "pos_refresh_10pct",
-      "nextword_build", "gram_index_build", "shuffle_export")
+      "nextword_build", "gram_index_build", "shuffle_export",
+      "pq_build", "ivfpq_build", "upsert_replace_10pct")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:

@@ -1893,6 +1893,93 @@ object GateQueries {
              |  true AS sketch_in_envelope
              |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // In-engine TRAINED quality classifier: 2 exact IRLS/Newton
+    // iterations of logistic regression (features: saturating length +
+    // stopword ratio, label: source == 'src0'), then the corpus scored
+    // with the learned beta. Cross-engine determinism contract: Gram/
+    // gradient sums accumulate as DECIMAL(38,12) (exact, order-free),
+    // per-row sigmoids are 7dp-rounded (libm ulp differences cannot
+    // reach the sums), and the 3×3 adjugate solve is the same formula
+    // text on both engines (IEEE ops are deterministic). The oracle
+    // replays the ENTIRE training, not just the scoring.
+    Gate("q113_quality_lr",
+      (s, d) => {
+        val docs = documents(s, d)
+        val beta = TextPipeline.qualityLrTrain(
+          docs.withColumn("__y", (col("source") === "src0").cast("double")),
+          "text", "__y", iters = 2)
+        docs.select(col("doc_id"),
+            TextPipeline.qualityLrScore(col("text"), beta).as("p_quality"))
+          .withColumn("keep", col("p_quality") >= 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val sw = TextPipeline.EnStopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH base AS (
+           |  SELECT doc_id,
+           |    list_transform(list_filter(
+           |      regexp_split_to_array(coalesce(text, ''), '[^a-zA-Z0-9]+'),
+           |      x -> x <> ''), x -> lower(x)) AS toks,
+           |    CASE WHEN source = 'src0' THEN 1.0 ELSE 0.0 END AS y
+           |  FROM documents),
+           |feat AS (
+           |  SELECT doc_id, y,
+           |    round(len(toks)::DOUBLE / (len(toks)::DOUBLE + 100.0), 9) AS f1,
+           |    round(CASE WHEN len(toks) > 0 THEN
+           |      len(list_filter(toks, t -> t IN ($sw)))::DOUBLE / len(toks)::DOUBLE
+           |      ELSE 0.0 END, 9) AS f2
+           |  FROM base),
+           |s1 AS (
+           |  SELECT
+           |    CAST(sum(CAST(0.25 AS DECIMAL(38,12))) AS DOUBLE) AS a00,
+           |    CAST(sum(CAST(0.25 * f1 AS DECIMAL(38,12))) AS DOUBLE) AS a01,
+           |    CAST(sum(CAST(0.25 * f2 AS DECIMAL(38,12))) AS DOUBLE) AS a02,
+           |    CAST(sum(CAST(0.25 * f1 * f1 AS DECIMAL(38,12))) AS DOUBLE) AS a11,
+           |    CAST(sum(CAST(0.25 * f1 * f2 AS DECIMAL(38,12))) AS DOUBLE) AS a12,
+           |    CAST(sum(CAST(0.25 * f2 * f2 AS DECIMAL(38,12))) AS DOUBLE) AS a22,
+           |    CAST(sum(CAST((y - 0.5) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+           |    CAST(sum(CAST((y - 0.5) * f1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+           |    CAST(sum(CAST((y - 0.5) * f2 AS DECIMAL(38,12))) AS DOUBLE) AS g2
+           |  FROM feat),
+           |b1 AS (
+           |  SELECT
+           |    round(0.0 + ((a11 * a22 - a12 * a12) / det * g0 + (a02 * a12 - a01 * a22) / det * g1 + (a01 * a12 - a02 * a11) / det * g2), 9) AS b0,
+           |    round(0.0 + ((a02 * a12 - a01 * a22) / det * g0 + (a00 * a22 - a02 * a02) / det * g1 + (a02 * a01 - a00 * a12) / det * g2), 9) AS b1,
+           |    round(0.0 + ((a01 * a12 - a02 * a11) / det * g0 + (a02 * a01 - a00 * a12) / det * g1 + (a00 * a11 - a01 * a01) / det * g2), 9) AS b2
+           |  FROM (SELECT *,
+           |    a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det
+           |    FROM s1)),
+           |it2 AS (
+           |  SELECT f.doc_id, f.y, f.f1, f.f2,
+           |    round(1.0 / (1.0 + exp(-(b.b0 + b.b1 * f.f1 + b.b2 * f.f2))), 7) AS p
+           |  FROM feat f CROSS JOIN b1 b),
+           |s2 AS (
+           |  SELECT
+           |    CAST(sum(CAST(p * (1.0 - p) AS DECIMAL(38,12))) AS DOUBLE) AS a00,
+           |    CAST(sum(CAST(p * (1.0 - p) * f1 AS DECIMAL(38,12))) AS DOUBLE) AS a01,
+           |    CAST(sum(CAST(p * (1.0 - p) * f2 AS DECIMAL(38,12))) AS DOUBLE) AS a02,
+           |    CAST(sum(CAST(p * (1.0 - p) * f1 * f1 AS DECIMAL(38,12))) AS DOUBLE) AS a11,
+           |    CAST(sum(CAST(p * (1.0 - p) * f1 * f2 AS DECIMAL(38,12))) AS DOUBLE) AS a12,
+           |    CAST(sum(CAST(p * (1.0 - p) * f2 * f2 AS DECIMAL(38,12))) AS DOUBLE) AS a22,
+           |    CAST(sum(CAST((y - p) AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+           |    CAST(sum(CAST((y - p) * f1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+           |    CAST(sum(CAST((y - p) * f2 AS DECIMAL(38,12))) AS DOUBLE) AS g2
+           |  FROM it2),
+           |b2 AS (
+           |  SELECT
+           |    round(b.b0 + ((a11 * a22 - a12 * a12) / det * g0 + (a02 * a12 - a01 * a22) / det * g1 + (a01 * a12 - a02 * a11) / det * g2), 9) AS c0,
+           |    round(b.b1 + ((a02 * a12 - a01 * a22) / det * g0 + (a00 * a22 - a02 * a02) / det * g1 + (a02 * a01 - a00 * a12) / det * g2), 9) AS c1,
+           |    round(b.b2 + ((a01 * a12 - a02 * a11) / det * g0 + (a02 * a01 - a00 * a12) / det * g1 + (a00 * a11 - a01 * a01) / det * g2), 9) AS c2
+           |  FROM (SELECT *,
+           |    a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det
+           |    FROM s2) s, b1 b)
+           |SELECT f.doc_id,
+           |  round(1.0 / (1.0 + exp(-(c.c0 + c.c1 * f.f1 + c.c2 * f.f2))), 5) AS p_quality,
+           |  round(1.0 / (1.0 + exp(-(c.c0 + c.c1 * f.f1 + c.c2 * f.f2))), 5) >= 0.5 AS keep
+           |FROM feat f CROSS JOIN b2 c
+           |ORDER BY f.doc_id""".stripMargin
+      }),
+
     // Benchmark decontamination: training docs sharing any distinct word
     // 5-gram with the val/test split of the SAME corpus (splits from the
     // q40 content-keyed assignment) are flagged. n_shared counts distinct

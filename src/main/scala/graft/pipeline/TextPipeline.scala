@@ -1170,6 +1170,108 @@ object TextPipeline {
       .sortWithinPartitions(col("shard"), col("shuffle_key"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
 
+  // ---------------------------------------------------------------------
+  // Trained quality classifier (in-engine IRLS logistic regression)
+  // ---------------------------------------------------------------------
+
+  /** The classifier's per-doc feature vector (with implicit intercept):
+    * saturating length nt/(nt+100) and the stopword ratio — both
+    * 9dp-rounded so every engine derives bit-identical doubles from the
+    * same integer counts. Kept to 2 features + intercept deliberately:
+    * the normal-equation solve is a closed-form 3×3 adjugate that the
+    * DuckDB oracle replays verbatim.
+    */
+  private def lrFeatures(text0: Column): (Column, Column) = {
+    val text = coalesce(text0, lit("")) // null text = empty features
+    val nt = tokCount(Analyzer.tokensCol(text)).cast("double")
+    (round(nt / (nt + 100.0), 9), round(stopwordRatio(text), 9))
+  }
+
+  /** One exact 3×3 solve step shared by the Scala and (textually
+    * mirrored) SQL sides: symmetric A (a00..a22), gradient g, returns
+    * beta + A⁻¹g with every entry 9dp-rounded. The formula's operation
+    * ORDER is part of the cross-engine contract — IEEE +,−,×,÷ are
+    * deterministic, so identical inputs in identical order give
+    * bit-identical doubles on both engines.
+    */
+  private def lrSolve3(beta: Array[Double], s: Array[Double]): Array[Double] = {
+    val Array(a00, a01, a02, a11, a12, a22, g0, g1, g2) = s
+    val det = a00 * (a11 * a22 - a12 * a12) -
+      a01 * (a01 * a22 - a12 * a02) +
+      a02 * (a01 * a12 - a11 * a02)
+    require(math.abs(det) > 1e-12,
+      s"IRLS normal matrix is singular (det=$det) — degenerate features")
+    val i00 = (a11 * a22 - a12 * a12) / det
+    val i01 = (a02 * a12 - a01 * a22) / det
+    val i02 = (a01 * a12 - a02 * a11) / det
+    val i11 = (a00 * a22 - a02 * a02) / det
+    val i12 = (a02 * a01 - a00 * a12) / det
+    val i22 = (a00 * a11 - a01 * a01) / det
+    def r9(x: Double) =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Array(
+      r9(beta(0) + (i00 * g0 + i01 * g1 + i02 * g2)),
+      r9(beta(1) + (i01 * g0 + i11 * g1 + i12 * g2)),
+      r9(beta(2) + (i02 * g0 + i12 * g1 + i22 * g2)))
+  }
+
+  /** Train a logistic-regression quality classifier IN-ENGINE — the
+    * learned quality filter large-pipeline curation actually runs (the
+    * GPT-3 recipe: an LR over document features, trained against a
+    * trusted-source label) — with exact distributed IRLS/Newton
+    * iterations:
+    *
+    *   - per iteration ONE aggregation computes the 3×3 Gram matrix
+    *     X'WX and gradient X'(y−p): 9 sums that fold map-side, so the
+    *     exchange carries 9 numbers per partition regardless of corpus
+    *     size;
+    *   - sums accumulate as DECIMAL(38,12) — EXACT and order-independent
+    *     (double summation order varies with partitioning; decimal does
+    *     not), which is what lets a sequential SQL engine replay the
+    *     training bit-identically;
+    *   - the driver solves the 3×3 normal equations in closed form
+    *     ([[lrSolve3]]); per-row sigmoids are 7dp-rounded so cross-libm
+    *     exp() ulp differences cannot reach the sums.
+    *
+    * `labelCol`: boolean/0-1 column (e.g. "doc is from a trusted
+    * source"). Returns beta = (intercept, w_satlen, w_stopword) after
+    * `iters` Newton steps from beta = 0.
+    */
+  def qualityLrTrain(docs: DataFrame, textCol: String, labelCol: String,
+      iters: Int = 2): Array[Double] = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val (f1c, f2c) = lrFeatures(col(textCol))
+    val base = docs.select(f1c.as("f1"), f2c.as("f2"),
+      col(labelCol).cast("double").as("y"))
+    var beta = Array(0.0, 0.0, 0.0)
+    for (_ <- 1 to iters) {
+      val z = lit(beta(0)) + lit(beta(1)) * col("f1") + lit(beta(2)) * col("f2")
+      val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 7)
+      val w = p * (lit(1.0) - p)
+      val ymp = col("y") - p
+      def dsum(c: Column) =
+        sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+          .cast("double")
+      val r = base.agg(
+        dsum(w), dsum(w * col("f1")), dsum(w * col("f2")),
+        dsum(w * col("f1") * col("f1")), dsum(w * col("f1") * col("f2")),
+        dsum(w * col("f2") * col("f2")),
+        dsum(ymp), dsum(ymp * col("f1")), dsum(ymp * col("f2"))).head()
+      beta = lrSolve3(beta, Array.tabulate(9)(r.getDouble))
+    }
+    beta
+  }
+
+  /** Score a document with a trained quality LR: 5dp-rounded
+    * P(label | features). One narrow codegen'd expression — the 100 TB
+    * filter pass is a plain WHERE over this column.
+    */
+  def qualityLrScore(text: Column, beta: Array[Double]): Column = {
+    val (f1, f2) = lrFeatures(text)
+    val z = lit(beta(0)) + lit(beta(1)) * f1 + lit(beta(2)) * f2
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 5)
+  }
+
   /** Per-group vocabulary size, exact AND sketched: distinct analyzer
     * terms per `groupCol` with an HLL++ `approx_count_distinct` twin at
     * relative standard deviation `rsd`. The sketch is the column a

@@ -353,7 +353,8 @@ object StreamOps {
       gramDir: Option[String] = None,
       gramShards: Int = 8,
       maxSegments: Int = 0,
-      armNextword: Boolean = false): Unit = {
+      armNextword: Boolean = false,
+      keymapMaxSegments: Int = 0): Unit = {
     import graft.index.{BlockIndex, KeyMap}
     val spark = batch.sparkSession
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
@@ -362,6 +363,15 @@ object StreamOps {
     if (BlockIndex.isSegmented(dir) &&
         BlockIndex.readSegments(dir).segs.contains(s"seg-$marker"))
       return
+    // keymap maintenance BEFORE this batch's commits, with the sidecar
+    // crash-window guard: a keymap already holding the CURRENT batch's
+    // kseg is mid-replay of an uncommitted batch — folding that marker
+    // away would make the recommit below double the batch's rows
+    if (keymapMaxSegments > 0 && KeyMap.exists(keymapDir)) {
+      val ksegs = KeyMap.readMeta(keymapDir).segs
+      if (ksegs.size > keymapMaxSegments && !ksegs.contains(s"kseg-$marker"))
+        KeyMap.compact(spark, keymapDir, dir)
+    }
     val dup = batch.groupBy(col("url")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).limit(1).collect()
     require(dup.isEmpty,
@@ -415,14 +425,16 @@ object StreamOps {
       gramDir: Option[String] = None,
       gramShards: Int = 8,
       maxSegments: Int = 0,
-      armNextword: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      armNextword: Boolean = false,
+      keymapMaxSegments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexUpsertBatch(batch, batchId, dir, layout, idSortCols, keymapDir,
           genTag = runTag(checkpointDir), posDir = posDir,
           posShards = posShards, gramDir = gramDir, gramShards = gramShards,
-          maxSegments = maxSegments, armNextword = armNextword)
+          maxSegments = maxSegments, armNextword = armNextword,
+          keymapMaxSegments = keymapMaxSegments)
       }
       .start()
 

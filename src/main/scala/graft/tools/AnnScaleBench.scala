@@ -1,0 +1,65 @@
+package graft.tools
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** PQ-build scaling evidence — the ANN twin of [[ScalingBench]]: time
+  * [[Similarity.pqBuild]] (codebook training pass + encode + write) over
+  * the SAME deterministic synthetic vector corpus at two parallelism
+  * levels (the sandbox stand-in for N vs 4N executors).
+  *
+  * Usage:
+  *   SPARK_GRAFT_CPUS=8  runMain graft.tools.AnnScaleBench 1000000
+  *   SPARK_GRAFT_CPUS=32 runMain graft.tools.AnnScaleBench 1000000
+  *
+  * Efficiency = (vecs/sec@32) / (4 × vecs/sec@8); recorded in BENCH.md.
+  */
+object AnnScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nVecs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val dim = 64
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // deterministic synthetic vectors (no RNG): materialized BEFORE
+    // timing so generation cost never contaminates the build numbers
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          j => sin(col("id") * 0.7 + j.cast("double") * 1.3).cast("float"))
+          .as("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vecs.count()
+
+    def freshDir() =
+      java.nio.file.Files.createTempDirectory("graft-annscale-pq").toString
+
+    // untimed warmup on a 10% slice: JIT + codegen compile of the
+    // m·ksub·ds-leaf pqCode expression + parquet writer init
+    Similarity.pqBuild(vecs.where(col("vec_id") % 10 === 0), freshDir(),
+      dim = dim, m = 8, ksub = 16, iters = 1)
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    var lastDir = ""
+    val secs = (1 to reps).map { _ =>
+      val d = freshDir()
+      lastDir = d
+      val t0 = System.nanoTime()
+      Similarity.pqBuild(vecs, d, dim = dim, m = 8, ksub = 16, iters = 1)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sec = secs.min
+    // sanity: the built index must answer a query
+    val qs = vecs.where(col("vec_id") < 3)
+      .withColumnRenamed("vec_id", "query_id")
+    val hits = Similarity.pqTopKIndexed(spark, lastDir, qs, k = 5,
+      rerank = 20).count()
+    val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(s"""{"cpus":$cpus,"n_vecs":$nVecs,"build_sec":${f"$sec%.2f"},"vecs_per_sec":${f"${nVecs / sec}%.1f"},"reps_sec":$all,"probe_hits":$hits}""")
+    spark.stop()
+  }
+}

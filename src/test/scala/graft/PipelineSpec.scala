@@ -866,6 +866,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("quality LR: separates separable data, deterministic across runs, iters=0 is the 0.5 prior") {
+    val sp = spark
+    import sp.implicits._
+    // separable by construction: "good" docs are long with stopwords,
+    // "bad" docs are short stopword-free noise
+    val docs = ((0 until 30).map { i =>
+      val body = (s"the quick brown fox of item$i is in a field and " *
+        (4 + i % 5)) + ("plain word " * (i % 7)) +
+        "that it runs to the end as planned"
+      (i.toLong, body, 1.0)
+    } ++ (30 until 60).map { i =>
+      (i.toLong, ("noise " * (i % 4)) + s"x$i y$i", 0.0)
+    }).toDF("doc_id", "text", "y")
+    val beta = TextPipeline.qualityLrTrain(docs, "text", "y", iters = 2)
+    val scored = docs.select(col("y"),
+        TextPipeline.qualityLrScore(col("text"), beta).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    // every good doc scores above every bad doc
+    val goodMin = scored.filter(_._1 == 1.0).map(_._2).min
+    val badMax = scored.filter(_._1 == 0.0).map(_._2).max
+    assert(goodMin > badMax,
+      s"classifier failed to separate: good min $goodMin <= bad max $badMax")
+    // training is deterministic: identical beta across runs
+    val beta2 = TextPipeline.qualityLrTrain(docs, "text", "y", iters = 2)
+    assert(beta.toSeq == beta2.toSeq)
+    // iters = 0: the untrained model is the 0.5 prior everywhere
+    val b0 = TextPipeline.qualityLrTrain(docs, "text", "y", iters = 0)
+    assert(b0.toSeq == Seq(0.0, 0.0, 0.0))
+    val p0 = docs.select(TextPipeline.qualityLrScore(col("text"), b0).as("p"))
+      .collect().map(_.getDouble(0))
+    assert(p0.forall(_ == 0.5))
+  }
+
   test("vocabStats: exact per-group distinct terms; HLL sketch lands in envelope") {
     val sp = spark
     import sp.implicits._

@@ -532,6 +532,54 @@ class StreamOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("upsert sink keymap auto-compaction: segment count bounded, state exact through folds") {
+    import graft.index.{BlockIndex, KeyMap}
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("upsk-idx").toString
+    val kdir = java.nio.file.Files.createTempDirectory("upsk-key").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("upsk-ckpt").toString
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val in = MemoryStream[(String, String, String)]
+    val q = StreamOps.indexUpsertSink(
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"),
+      keymapDir = kdir, keymapMaxSegments = 3)
+    try {
+      // 12 batches, each REPLACING the same 3 keys with a new version
+      (0 until 12).foreach { i =>
+        in.addData(Seq(
+          ("A k0", s"alpha version$i content", "k0"),
+          ("B k1", s"beta version$i content", "k1"),
+          ("C k2", s"gamma version$i content", "k2")): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // auto-compaction bounds the keymap segment count
+    assert(KeyMap.readMeta(kdir).segs.size <= 4,
+      s"keymap segments unbounded: ${KeyMap.readMeta(kdir).segs}")
+    // exactly the 3 latest versions are live (batch 11 → ids 34..36)
+    val live = KeyMap.liveRows(spark, kdir, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(live == Map("k0" -> 34L, "k1" -> 35L, "k2" -> 36L))
+    def hits(query: String) = BlockIndex.bm25TopK(spark, dir, query, 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(hits("version11") == Set(34L, 35L, 36L))
+    assert(hits("version7") == Set.empty[Long])
+    // a replayed last batch after the folds is still detected
+    val before = (BlockIndex.readSegments(dir).segs,
+      KeyMap.readMeta(kdir).segs)
+    StreamOps.indexUpsertBatch(
+      Seq(("A k0", "alpha version11 content", "k0"),
+        ("B k1", "beta version11 content", "k1"),
+        ("C k2", "gamma version11 content", "k2")).toDF("title", "body", "url"),
+      batchId = 11L, dir, layout, Seq("title"), kdir,
+      genTag = StreamOps.runTag(ckpt), keymapMaxSegments = 3)
+    assert((BlockIndex.readSegments(dir).segs,
+      KeyMap.readMeta(kdir).segs) == before)
+    assert(KeyMap.liveRows(spark, kdir, dir).count() == 3L)
+  }
+
   test("watermarked window aggregation drops late events beyond the watermark") {
     val sp = spark
     import sp.implicits._
