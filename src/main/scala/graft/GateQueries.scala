@@ -1980,6 +1980,49 @@ object GateQueries {
            |ORDER BY f.doc_id""".stripMargin
       }),
 
+    // Snapshot-diff CDC: two deterministic snapshots of the documents
+    // corpus (prev: doc_id % 5 ≠ 0, with an OLDREV body suffix on
+    // doc_id % 3 = 0; next: doc_id % 7 ≠ 0, current bodies) diffed by
+    // sha256 payload identity. Yields all three ops: inserts
+    // (% 5 = 0 ∧ % 7 ≠ 0), deletes (% 7 = 0 ∧ % 5 ≠ 0), updates
+    // (% 3 = 0 surviving both); unchanged rows must vanish.
+    Gate("q114_snapshot_diff",
+      (s, d) => {
+        val base = documents(s, d).select(
+          concat(lit("k"), col("doc_id")).as("url"),
+          concat(lit("t"), col("doc_id")).as("title"),
+          coalesce(col("text"), lit("")).as("body"),
+          col("doc_id"))
+        val prev = base.where(col("doc_id") % 5 =!= 0)
+          .withColumn("body", when(col("doc_id") % 3 === 0,
+            concat(col("body"), lit(" OLDREV"))).otherwise(col("body")))
+          .drop("doc_id")
+        val next = base.where(col("doc_id") % 7 =!= 0).drop("doc_id")
+        graft.pipeline.SnapshotOps.snapshotDiff(prev, next, "url",
+            Seq("title", "body"))
+          .select(col("url").as("key"), col("op"),
+            coalesce(sha2(col("body"), 256), lit("-")).as("body_sha"))
+          .orderBy(col("key"))
+      },
+      Some("""WITH prev AS (
+             |  SELECT 'k' || doc_id AS key, 't' || doc_id AS title,
+             |    coalesce(text, '') ||
+             |      (CASE WHEN doc_id % 3 = 0 THEN ' OLDREV' ELSE '' END) AS body
+             |  FROM documents WHERE doc_id % 5 <> 0),
+             |next AS (
+             |  SELECT 'k' || doc_id AS key, 't' || doc_id AS title,
+             |    coalesce(text, '') AS body
+             |  FROM documents WHERE doc_id % 7 <> 0)
+             |SELECT coalesce(n.key, p.key) AS key,
+             |  CASE WHEN p.key IS NULL THEN 'insert'
+             |       WHEN n.key IS NULL THEN 'delete'
+             |       ELSE 'update' END AS op,
+             |  coalesce(sha256(n.body), '-') AS body_sha
+             |FROM prev p FULL OUTER JOIN next n ON p.key = n.key
+             |WHERE p.key IS NULL OR n.key IS NULL
+             |   OR p.title <> n.title OR p.body <> n.body
+             |ORDER BY key""".stripMargin)),
+
     // Benchmark decontamination: training docs sharing any distinct word
     // 5-gram with the val/test split of the SAME corpus (splits from the
     // q40 content-keyed assignment) are flagged. n_shared counts distinct

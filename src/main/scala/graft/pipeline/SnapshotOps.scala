@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Change-data-capture between two corpus snapshots — the bridge from a
+  * batch recrawl to the live replace-by-key index
+  * ([[graft.streaming.StreamOps.indexUpsertBatch]]).
+  *
+  * The reference engine's only update story is a full rebuild
+  * (reference document.go:60-104 re-reads the whole CSV); at 10^12 files
+  * a recrawl touches a tiny fraction of the corpus and the index
+  * maintenance cost must be ∝ the delta, not the corpus. [[snapshotDiff]]
+  * computes that delta as ONE full-outer sort-merge join on the document
+  * key (both sides hash-partition on the key — no broadcast, no skew:
+  * keys are unique per side), with row identity anchored by sha256 of
+  * the payload columns exactly as the north rule anchors document
+  * identity. Unchanged rows (the overwhelming mass of a recrawl) are
+  * dropped inside the same stage, so everything downstream — tombstones,
+  * keymap commits, segment appends — is delta-sized.
+  *
+  * [[graft.streaming.StreamOps.applyDiffBatch]] feeds the emitted ops
+  * into the upsert/delete-by-key machinery with the house replay
+  * discipline (each step idempotent under its own batch marker).
+  */
+object SnapshotOps {
+
+  /** Null-distinguishing, injective payload encoding: each column
+    * contributes `"v<len>:<value>"` or the lone sentinel `"n"` when null
+    * — the length prefix makes the concatenation unambiguous for any
+    * value content (no separator a value could forge), and null ≠ "".
+    * sha256 over the result is the cross-engine row-identity anchor
+    * (the north rule's content-sha document identity).
+    */
+  private[graft] def payloadSig(payloadCols: Seq[String]): Column =
+    sha2(concat(
+      payloadCols.map { c =>
+        val v = col(c).cast("string")
+        coalesce(concat(lit("v"), length(v).cast("string"), lit(":"), v),
+          lit("n"))
+      }: _*), 256)
+
+  /** Diff two snapshots of a keyed corpus. Emits one row per CHANGED key:
+    *
+    *   - `op = "insert"`: key only in `next` (payload = next's);
+    *   - `op = "update"`: key in both with differing payload signature
+    *     (payload = next's);
+    *   - `op = "delete"`: key only in `prev` (payload columns null).
+    *
+    * Keys present in both with identical payloads emit nothing. Each side
+    * must have at most one row per key (the same invariant
+    * [[graft.streaming.StreamOps.indexUpsertBatch]] requires per batch);
+    * violations fail loudly rather than emitting an ambiguous diff.
+    *
+    * Scale shape: one shuffle per side on `keyCol`, sort-merge full-outer
+    * join, no driver state. Output columns: `keyCol`, `op`, then
+    * `payloadCols` (next side).
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, keyCol: String,
+      payloadCols: Seq[String]): DataFrame = {
+    require(payloadCols.nonEmpty, "diff needs at least one payload column")
+    def side(df: DataFrame, tag: String): DataFrame = {
+      val dup = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+        .where(col("n") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"$tag snapshot has key ${dup.headOption.map(_.get(0)).getOrElse("")} " +
+          "more than once — a snapshot is one version per key")
+      df.select(col(keyCol).cast("string").as(s"__k_$tag") +:
+        payloadCols.map(c => col(c).as(s"__${tag}_$c")) :+
+        payloadSig(payloadCols).as(s"__sig_$tag"): _*)
+    }
+    val p = side(prev, "p")
+    val n = side(next, "n")
+    val joined = p.join(n, col("__k_p") === col("__k_n"), "full_outer")
+    val op = when(col("__k_p").isNull, lit("insert"))
+      .when(col("__k_n").isNull, lit("delete"))
+      .otherwise(lit("update"))
+    joined
+      .where(col("__k_p").isNull || col("__k_n").isNull ||
+        col("__sig_p") =!= col("__sig_n"))
+      .select(coalesce(col("__k_n"), col("__k_p")).as(keyCol) +:
+        op.as("op") +:
+        payloadCols.map(c => col(s"__n_$c").as(c)): _*)
+  }
+}

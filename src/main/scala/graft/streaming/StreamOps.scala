@@ -453,6 +453,78 @@ object StreamOps {
       posDir = posDir, gramDir = gramDir)
   }
 
+  /** Apply one [[graft.pipeline.SnapshotOps.snapshotDiff]] batch — rows
+    * of (url, op, title, body) — to a live keyed index: `delete` ops
+    * retire their keys' current versions through the keymap
+    * ([[indexDeleteByKeyBatch]]); `insert`/`update` ops flow through
+    * [[indexUpsertBatch]] unchanged (an insert is just an upsert whose
+    * key has no live version). Together with [[snapshotDiff]] this is
+    * the whole recrawl loop: index cost ∝ the changed-document delta.
+    *
+    * Replay discipline: the delete step commits its tombstones under a
+    * DISTINCT marker (`genTag + "dd"`) from the upsert's internal
+    * retire-tombstones — [[graft.index.BlockIndex.delete]] no-ops a
+    * generation it has already committed, so sharing the marker would
+    * silently skip one of the two delete sets. A crash between the two
+    * steps replays safely: the delete steps's committed marker no-ops by
+    * name, the upsert resumes its own internal protocol, and the two
+    * ops' key sets are disjoint by construction of the diff.
+    */
+  def applyDiffBatch(
+      diff: DataFrame, batchId: Long, dir: String,
+      layout: graft.index.BlockIndex.Layout,
+      idSortCols: Seq[String],
+      keymapDir: String,
+      genTag: String = "",
+      posDir: Option[String] = None,
+      posShards: Int = 8,
+      gramDir: Option[String] = None,
+      gramShards: Int = 8,
+      maxSegments: Int = 0,
+      armNextword: Boolean = false,
+      keymapMaxSegments: Int = 0): Unit = {
+    val delTag = if (genTag.isEmpty) "dd" else s"${genTag}dd"
+    val dels = diff.where(col("op") === "delete")
+      .select(col("url").cast("string").as("key"))
+    indexDeleteByKeyBatch(dels, batchId, dir, keymapDir, genTag = delTag,
+      posDir = posDir, gramDir = gramDir)
+    val ups = diff.where(col("op") =!= "delete")
+      .select(col("title"), col("body"), col("url"))
+    indexUpsertBatch(ups, batchId, dir, layout, idSortCols, keymapDir,
+      genTag = genTag, posDir = posDir, posShards = posShards,
+      gramDir = gramDir, gramShards = gramShards, maxSegments = maxSegments,
+      armNextword = armNextword, keymapMaxSegments = keymapMaxSegments)
+  }
+
+  /** A live snapshot-diff stream: each micro-batch of diff ops applies
+    * via [[applyDiffBatch]] while the index stays continuously
+    * queryable. Pair with [[graft.pipeline.SnapshotOps.snapshotDiff]]
+    * run per recrawl wave.
+    */
+  def applyDiffSink(
+      diff: DataFrame, dir: String,
+      layout: graft.index.BlockIndex.Layout,
+      checkpointDir: String,
+      idSortCols: Seq[String],
+      keymapDir: String,
+      posDir: Option[String] = None,
+      posShards: Int = 8,
+      gramDir: Option[String] = None,
+      gramShards: Int = 8,
+      maxSegments: Int = 0,
+      armNextword: Boolean = false,
+      keymapMaxSegments: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    diff.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        applyDiffBatch(batch, batchId, dir, layout, idSortCols, keymapDir,
+          genTag = runTag(checkpointDir), posDir = posDir,
+          posShards = posShards, gramDir = gramDir, gramShards = gramShards,
+          maxSegments = maxSegments, armNextword = armNextword,
+          keymapMaxSegments = keymapMaxSegments)
+      }
+      .start()
+
   /** Incremental per-term document-frequency / Σtf maintenance across
     * micro-batches. Each input row is one new (term, doc) posting; the
     * emitted row is the term's accumulated totals after the batch. State

@@ -1376,4 +1376,46 @@ class PipelineSpec extends AnyFunSuite {
       assert(stored == expected, s"shard $sh order")
     }
   }
+
+  test("snapshotDiff: op classification, null≠empty, unchanged rows vanish, dup keys refused") {
+    import graft.pipeline.SnapshotOps
+    val prev = Seq(
+      ("k1", "t1", "same body"),            // unchanged → no row
+      ("k2", "t2", "old body"),             // update (body)
+      ("k3", "t3", "gone"),                 // delete
+      ("k4", "t4-old", "same"),             // update (title only)
+      ("k6", "t6", null.asInstanceOf[String]), // null → "" update
+      ("k7", "t7", "")                      // "" → null update
+    ).toDF("url", "title", "body")
+    val next = Seq(
+      ("k1", "t1", "same body"),
+      ("k2", "t2", "new body"),
+      ("k4", "t4-new", "same"),
+      ("k5", "t5", "fresh"),                // insert
+      ("k6", "t6", ""),
+      ("k7", "t7", null.asInstanceOf[String])
+    ).toDF("url", "title", "body")
+    val diff = SnapshotOps.snapshotDiff(prev, next, "url", Seq("title", "body"))
+      .collect().map(r => r.getString(0) ->
+        (r.getString(1), Option(r.getString(2)), Option(r.getString(3)))).toMap
+    assert(diff.keySet == Set("k2", "k3", "k4", "k5", "k6", "k7"))
+    assert(diff("k2") == ("update", Some("t2"), Some("new body")))
+    assert(diff("k3") == ("delete", None, None)) // payload nulled
+    assert(diff("k4") == ("update", Some("t4-new"), Some("same")))
+    assert(diff("k5") == ("insert", Some("t5"), Some("fresh")))
+    assert(diff("k6") == ("update", Some("t6"), Some(""))) // null → ""
+    assert(diff("k7") == ("update", Some("t7"), None))     // "" → null
+    // the length-prefixed encoding is injective across column boundaries:
+    // ("x", "vy") vs ("xv", "y") concatenate identically without it
+    val pA = Seq(("k", "x", "vy")).toDF("url", "title", "body")
+    val pB = Seq(("k", "xv", "y")).toDF("url", "title", "body")
+    assert(SnapshotOps.snapshotDiff(pA, pB, "url", Seq("title", "body"))
+      .collect().map(_.getString(1)).toSeq == Seq("update"))
+    // one version per key per snapshot, loudly
+    intercept[IllegalArgumentException] {
+      SnapshotOps.snapshotDiff(
+        Seq(("k", "a", "b"), ("k", "c", "d")).toDF("url", "title", "body"),
+        next, "url", Seq("title", "body"))
+    }
+  }
 }

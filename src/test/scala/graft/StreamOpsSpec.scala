@@ -580,6 +580,96 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(KeyMap.liveRows(spark, kdir, dir).count() == 3L)
   }
 
+  test("snapshot-diff apply: diff(A→B) on a live index ≡ cold build of B; replay + crash window converge") {
+    import graft.index.{BlockIndex, GramIndex, KeyMap}
+    import graft.pipeline.SnapshotOps
+    val sp = spark
+    import sp.implicits._
+    val layout = BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val snapA = Seq(
+      ("A u1", "spark shuffles data fast", "u1"),
+      ("B u2", "tables join on keys", "u2"),
+      ("C u3", "old queries run slowly", "u3"),
+      ("D u4", "doomed document body", "u4"),
+      ("E u5", "stable unchanged text", "u5")
+    ).toDF("title", "body", "url")
+    val snapB = Seq(
+      ("A u1", "spark shuffles data fast", "u1"),     // unchanged
+      ("B u2", "tables merge sorted runs", "u2"),     // update
+      ("C u3", "old queries run slowly", "u3"),       // unchanged
+      ("E u5", "stable unchanged text", "u5"),        // unchanged (u4 deleted)
+      ("F u6", "fresh inserted document", "u6")       // insert
+    ).toDF("title", "body", "url")
+    val diff = SnapshotOps.snapshotDiff(snapA, snapB, "url", Seq("title", "body"))
+    assert(diff.collect().map(r => r.getString(0) -> r.getString(1)).toMap ==
+      Map("u2" -> "update", "u4" -> "delete", "u6" -> "insert"))
+    // live index: snapshot A as batch 0, the diff as batch 1
+    val dir = java.nio.file.Files.createTempDirectory("diff-idx").toString
+    val kdir = java.nio.file.Files.createTempDirectory("diff-key").toString
+    val gdir = java.nio.file.Files.createTempDirectory("diff-gram").toString
+    StreamOps.indexUpsertBatch(snapA, batchId = 0L, dir, layout,
+      Seq("title"), kdir, genTag = "dt", gramDir = Some(gdir), gramShards = 4)
+    StreamOps.applyDiffBatch(diff, batchId = 1L, dir, layout,
+      Seq("title"), kdir, genTag = "dt", gramDir = Some(gdir), gramShards = 4)
+    def liveKeys(d: String, k: String) = KeyMap.liveRows(spark, k, d)
+      .collect().map(r => r.getLong(1) -> r.getString(0)).toMap
+    val keyOf = liveKeys(dir, kdir)
+    assert(keyOf.values.toSet == Set("u1", "u2", "u3", "u5", "u6"))
+    // cold build of B for the equivalence check
+    val cdir = java.nio.file.Files.createTempDirectory("diff-cold").toString
+    val ckdir = java.nio.file.Files.createTempDirectory("diff-coldkey").toString
+    StreamOps.indexUpsertBatch(snapB, batchId = 0L, cdir, layout,
+      Seq("title"), ckdir, genTag = "cold")
+    val coldKeyOf = liveKeys(cdir, ckdir)
+    def keysFor(d: String, m: Map[Long, String], q: String) =
+      BlockIndex.bm25TopK(spark, d, q, 10)
+        .collect().map(r => m.getOrElse(r.getLong(0), s"DEAD:${r.getLong(0)}"))
+        .sorted.toSeq
+    for (q <- Seq("tables", "doomed", "fresh", "queries", "spark", "stable")) {
+      assert(keysFor(dir, keyOf, q) == keysFor(cdir, coldKeyOf, q),
+        s"diff-applied ≠ cold build for query '$q'")
+    }
+    // the gram sidecar retired u2's old body and u4 entirely
+    val allBodies = (snapA.collect() ++ snapB.collect()).map(r =>
+      (r.getString(2), r.getString(1))).distinct.toSeq.toDF("url", "body")
+    val keyByUrl = keyOf.map(_.swap)
+    def grepKeys(needle: String) = {
+      val withIds = allBodies.collect().flatMap { r =>
+        keyByUrl.get(r.getString(0)).map(id => (id, r.getString(1)))
+      }.toSeq.toDF("docId", "body")
+      GramIndex.substringSearchIndexed(spark, gdir, withIds, "docId", "body",
+        needle).collect().map(r => keyOf(r.getLong(0))).toSet
+    }
+    assert(grepKeys("join on keys") == Set.empty[String])
+    assert(grepKeys("merge sorted") == Set("u2"))
+    assert(grepKeys("fresh inserted") == Set("u6"))
+    // replayed diff batch: no state change anywhere
+    val before = (BlockIndex.readSegments(dir).segs,
+      KeyMap.readMeta(kdir).segs, BlockIndex.readTombMeta(dir))
+    StreamOps.applyDiffBatch(diff, batchId = 1L, dir, layout,
+      Seq("title"), kdir, genTag = "dt", gramDir = Some(gdir), gramShards = 4)
+    assert((BlockIndex.readSegments(dir).segs,
+      KeyMap.readMeta(kdir).segs, BlockIndex.readTombMeta(dir)) == before)
+    // crash window: batch 2's delete step committed, upsert step not —
+    // the rerun must converge to the same state as an uncrashed batch 2
+    val snapC = Seq(
+      ("A u1", "spark shuffles data fast", "u1"),
+      ("B u2", "tables merge sorted runs", "u2"),
+      ("E u5", "stable unchanged text", "u5"),       // u3 deleted
+      ("F u6", "rewritten sixth body", "u6")         // update
+    ).toDF("title", "body", "url")
+    val diff2 = SnapshotOps.snapshotDiff(snapB, snapC, "url", Seq("title", "body"))
+    StreamOps.indexDeleteByKeyBatch(
+      diff2.where(col("op") === "delete").select(col("url").as("key")),
+      batchId = 2L, dir, kdir, genTag = "dtdd", gramDir = Some(gdir))
+    StreamOps.applyDiffBatch(diff2, batchId = 2L, dir, layout,
+      Seq("title"), kdir, genTag = "dt", gramDir = Some(gdir), gramShards = 4)
+    val keyOf2 = liveKeys(dir, kdir)
+    assert(keyOf2.values.toSet == Set("u1", "u2", "u5", "u6"))
+    assert(keysFor(dir, keyOf2, "queries") == Seq.empty)
+    assert(keysFor(dir, keyOf2, "rewritten") == Seq("u6"))
+  }
+
   test("watermarked window aggregation drops late events beyond the watermark") {
     val sp = spark
     import sp.implicits._
