@@ -58,6 +58,44 @@ object GateQueries {
       col("text").as("body"),
       lit("").as("url"))
 
+  /** Deterministic code-shaped derivation of the documents table for the
+    * symbol gates (q115/q115b): class/def/object declarations
+    * parameterized by doc_id residues, with the document text as trailing
+    * comment noise — same string both engines.
+    */
+  def codeFiles(spark: SparkSession, dir: String): DataFrame =
+    documents(spark, dir).select(col("doc_id"),
+      concat(
+        lit("class Widget"), (col("doc_id") % 7).cast("string"),
+        lit(" { def get"), (col("doc_id") % 5).cast("string"),
+        lit("(x) = x; def get"), (col("doc_id") % 5).cast("string"),
+        lit("(y) = y; object Obj"), (col("doc_id") % 3).cast("string"),
+        lit(" } // "), coalesce(col("text"), lit(""))).as("content"))
+
+  private val CodeFilesCte =
+    """files AS (
+      |  SELECT doc_id,
+      |    'class Widget' || (doc_id % 7) || ' { def get' || (doc_id % 5) ||
+      |    '(x) = x; def get' || (doc_id % 5) || '(y) = y; object Obj' ||
+      |    (doc_id % 3) || ' } // ' || coalesce(text, '') AS content
+      |  FROM documents
+      |)""".stripMargin
+
+  /** One UNION ALL arm per [[graft.pipeline.CodeOps.SymbolPatterns]]
+    * entry, generated FROM the engine's pattern list so the oracle can
+    * never drift from the implementation.
+    */
+  private lazy val SymbolOccCte = {
+    val arms = graft.pipeline.CodeOps.SymbolPatterns.map { case (kind, pat) =>
+      s"""  SELECT doc_id, '$kind' AS kind,
+         |    unnest(regexp_extract_all(content, '$pat', 1)) AS symbol
+         |  FROM files""".stripMargin
+    }
+    s"""occ AS (
+       |${arms.mkString("\n  UNION ALL\n")}
+       |)""".stripMargin
+  }
+
   private val bundles = scala.collection.mutable.Map.empty[String, IndexBundle]
   def bundle(spark: SparkSession, dir: String): IndexBundle = synchronized {
     bundles.getOrElseUpdate(dir, IndexBuilder.build(docsAsModel(spark, dir)))
@@ -4050,7 +4088,158 @@ object GateQueries {
               col("n_matches"), col("first_off"), col("excerpt"))
         }.reduce(_ union _).orderBy(col("needle"), col("doc_id"))
       },
-      Some(grepOracleSql)))
+      Some(grepOracleSql)),
+
+    // Symbol-definition extraction (ctags-lite): code-shaped content is
+    // derived deterministically from the documents table (class/def/
+    // object declarations parameterized by doc_id residues, with the
+    // document text as trailing comment noise); the oracle replays the
+    // same seven RE2 patterns and the per-file (kind, symbol) counts.
+    Gate("q115_symbol_defs",
+      (s, d) => {
+        CodeOps.symbolDefs(codeFiles(s, d), "doc_id", "content")
+          .select(col("id").as("doc_id"), col("kind"), col("symbol"),
+            col("n_defs"))
+          .orderBy(col("doc_id"), col("kind"), col("symbol"))
+      },
+      Some(s"""WITH $CodeFilesCte, $SymbolOccCte
+              |SELECT doc_id, kind, symbol, count(*)::BIGINT AS n_defs
+              |FROM occ GROUP BY doc_id, kind, symbol
+              |ORDER BY doc_id, kind, symbol""".stripMargin)),
+
+    // Symbol search over the extracted definitions: files DEFINING
+    // "get3", ranked by strongest defining kind (class family 3 >
+    // def/func 2), then definition count, then file id.
+    Gate("q115b_symbol_search",
+      (s, d) => {
+        val syms = CodeOps.symbolDefs(codeFiles(s, d), "doc_id", "content")
+        CodeOps.symbolSearch(syms, "get3")
+          .select(col("id").as("doc_id"), col("weight").cast("long")
+            .as("weight"), col("n_defs"))
+          .orderBy(col("weight").desc, col("n_defs").desc, col("doc_id"))
+      },
+      Some(s"""WITH $CodeFilesCte, $SymbolOccCte,
+              |defs AS (
+              |  SELECT doc_id, kind, symbol, count(*)::BIGINT AS n_defs
+              |  FROM occ GROUP BY doc_id, kind, symbol)
+              |SELECT doc_id,
+              |  max(CASE WHEN kind IN ('class','trait','object','type')
+              |    THEN 3 WHEN kind IN ('func','function','def') THEN 2
+              |    ELSE 0 END)::BIGINT AS weight,
+              |  sum(n_defs)::BIGINT AS n_defs
+              |FROM defs WHERE symbol = 'get3'
+              |GROUP BY doc_id
+              |ORDER BY weight DESC, n_defs DESC, doc_id""".stripMargin)),
+
+    // Query-likelihood ranking with Dirichlet smoothing (μ=2000): the
+    // oracle replays the smoothed-LM decomposition — per-query-term
+    // collection frequencies, a base of Σ qcnt·ln(μ·p_t), per-posting
+    // deltas, and the −qtot·ln(dl+μ) length normalization.
+    Gate("q116_lm_dirichlet",
+      (s, d) => engine(s, d).lmDirichletQuery(ScoredQ)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte,
+           |q(term, qcnt) AS (VALUES $q),
+           |tot AS (SELECT sum(len)::DOUBLE AS cl FROM dl),
+           |qp AS (
+           |  SELECT q.term, q.qcnt,
+           |    2000.0 * (SELECT sum(p.tf)::DOUBLE FROM postings p
+           |              WHERE p.term = q.term) / tot.cl AS mu_p
+           |  FROM q CROSS JOIN tot
+           |  WHERE EXISTS (SELECT 1 FROM postings p WHERE p.term = q.term)),
+           |base AS (SELECT sum(qcnt * ln(mu_p)) AS b,
+           |                sum(qcnt)::DOUBLE AS qtot FROM qp),
+           |contrib AS (
+           |  SELECT p.doc_id,
+           |    sum(qp.qcnt * (ln(p.tf::DOUBLE + qp.mu_p) - ln(qp.mu_p)))
+           |      AS dsum
+           |  FROM postings p JOIN qp ON p.term = qp.term
+           |  GROUP BY p.doc_id)
+           |SELECT c.doc_id,
+           |  round(base.b + c.dsum - base.qtot * ln(d.len::DOUBLE + 2000.0), 6)
+           |    AS score
+           |FROM contrib c JOIN dl d ON c.doc_id = d.doc_id CROSS JOIN base
+           |ORDER BY score DESC, c.doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // Metadata-filtered BM25 (the lang:/repo: filter every code-search
+    // frontend exposes), Lucene filter semantics: candidates restricted
+    // to lang='en' docs, scores IDENTICAL to the unfiltered q09
+    // arithmetic (corpus-global idf and avgdl).
+    Gate("q117_filtered_bm25",
+      (s, d) => {
+        val keep = documents(s, d).where(col("lang") === "en")
+          .select(col("doc_id").as("docId"))
+        engine(s, d).bm25FilteredQuery(ScoredQ, keep)
+          .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id)
+           |SELECT doc_id, round(raw, 6) AS score FROM scored
+           |WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
+    // Repo-level fork detection: a deterministic multi-repo file table
+    // (8 repos; every doc_id % 3 = 0 file carries one of 20 shared blob
+    // contents, the rest are unique) — repo pairs sharing ≥ 2 identical
+    // blobs, with the Jaccard of their distinct content-sha sets.
+    Gate("q118_repo_overlap",
+      (s, d) => {
+        val files = documents(s, d).select(
+          concat(lit("r"), (col("doc_id") % 8).cast("string")).as("repo"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("shared-"), (col("doc_id") % 20).cast("string")))
+            .otherwise(concat(lit("uniq-"), col("doc_id").cast("string"),
+              lit("-"), coalesce(col("text"), lit(""))))
+            .as("content"))
+        CodeOps.repoOverlap(files, "repo", "content", minShared = 2L)
+          .orderBy(col("repo_a"), col("repo_b"))
+      },
+      Some("""WITH files AS (
+             |  SELECT 'r' || (doc_id % 8) AS repo,
+             |    CASE WHEN doc_id % 3 = 0 THEN 'shared-' || (doc_id % 20)
+             |         ELSE 'uniq-' || doc_id || '-' || coalesce(text, '')
+             |    END AS content
+             |  FROM documents),
+             |shas AS (SELECT DISTINCT repo, sha256(content) AS sha FROM files),
+             |rare AS (SELECT sha FROM shas GROUP BY sha
+             |         HAVING count(*) <= 1000),
+             |kept AS (SELECT s.repo, s.sha FROM shas s
+             |         JOIN rare USING (sha)),
+             |sizes AS (SELECT repo, count(*)::BIGINT AS n FROM kept
+             |          GROUP BY repo),
+             |pairs AS (
+             |  SELECT a.repo AS repo_a, b.repo AS repo_b,
+             |    count(*)::BIGINT AS shared
+             |  FROM kept a JOIN kept b ON a.sha = b.sha AND a.repo < b.repo
+             |  GROUP BY a.repo, b.repo HAVING count(*) >= 2)
+             |SELECT p.repo_a, p.repo_b, p.shared,
+             |  round(p.shared::DOUBLE / (sa.n + sb.n - p.shared), 6) AS jaccard
+             |FROM pairs p
+             |JOIN sizes sa ON sa.repo = p.repo_a
+             |JOIN sizes sb ON sb.repo = p.repo_b
+             |ORDER BY repo_a, repo_b""".stripMargin)))
 
   /** Ground truth shared by q105/q105b: the grep statistics as plain
     * string arithmetic over every containing doc.

@@ -140,4 +140,129 @@ object CodeOps {
     */
   def moduleDependents(edges: DataFrame): DataFrame =
     edges.groupBy(col("module")).agg(count(lit(1)).as("n_files"))
+
+  // ---------------------------------------------------------------------
+  // Symbol-definition extraction (ctags-lite) and symbol search
+  // ---------------------------------------------------------------------
+
+  /** Definition-site patterns, one per declaration keyword family,
+    * RE2-portable (no backtracking constructs); group 1 captures the
+    * symbol name. The keywords are mutually exclusive on any given span
+    * because each requires a literal space after the whole keyword
+    * (`func ` never fires inside `function `), so per-kind counts never
+    * double-count. Covers the Scala/Java/Kotlin (`class`/`object`/
+    * `trait`/`def`), Go (`func`/`type`), Python (`def`/`class`), and
+    * JS/TS (`function`/`class`) declaration families — the same
+    * keyword-regex recipe ctags' default maps use.
+    */
+  val SymbolPatterns: Seq[(String, String)] = Seq(
+    "class" -> "\\bclass ([A-Za-z_][A-Za-z0-9_]*)",
+    "trait" -> "\\btrait ([A-Za-z_][A-Za-z0-9_]*)",
+    "object" -> "\\bobject ([A-Za-z_][A-Za-z0-9_]*)",
+    "type" -> "\\btype ([A-Za-z_][A-Za-z0-9_]*)",
+    "func" -> "\\bfunc ([A-Za-z_][A-Za-z0-9_]*)",
+    "function" -> "\\bfunction ([A-Za-z_][A-Za-z0-9_]*)",
+    "def" -> "\\bdef ([A-Za-z_][A-Za-z0-9_]*)")
+
+  /** The symbol-definition table: one row per (file, kind, symbol) with
+    * its in-file definition count — the code-search index every
+    * "go to definition" / symbol-ranked search starts from (GitHub code
+    * search and Zoekt both build exactly this ctags-shaped sidecar).
+    *
+    * Scale shape: extraction is a per-row Column expression (all seven
+    * regexes evaluate inside one whole-stage-codegen projection), the
+    * per-doc count comes from a NARROW array aggregation over the
+    * already-extracted list — the only exchange in any downstream plan is
+    * whatever the consumer adds (e.g. [[symbolSearch]]'s groupBy). On a
+    * 10^12-file corpus this is a single map-only pass.
+    */
+  def symbolDefs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val tagged = SymbolPatterns.map { case (kind, pat) =>
+      transform(regexp_extract_all(t, lit(pat), lit(1)),
+        s => struct(lit(kind).as("kind"), s.as("symbol")))
+    }
+    docs.select(col(idCol).as("id"), explode(concat(tagged: _*)).as("occ"))
+      .select(col("id"), col("occ.kind").as("kind"),
+        col("occ.symbol").as("symbol"))
+      .groupBy(col("id"), col("kind"), col("symbol"))
+      .agg(count(lit(1)).cast("long").as("n_defs"))
+  }
+
+  /** Rank weight per declaration kind: a type-introducing declaration
+    * outranks a member definition when both define the same name (the
+    * Zoekt/ctags symbol-kind boost). Fixed literal map so engine and
+    * oracle agree.
+    */
+  val SymbolKindWeight: Seq[(String, Int)] = Seq(
+    "class" -> 3, "trait" -> 3, "object" -> 3, "type" -> 3,
+    "func" -> 2, "function" -> 2, "def" -> 2)
+
+  private def kindWeightCol(kind: Column): Column =
+    SymbolKindWeight.foldLeft(lit(0)) { case (acc, (k, w)) =>
+      when(kind === k, w).otherwise(acc)
+    }
+
+  /** Symbol search: files DEFINING `name` (exact match on the extracted
+    * symbol), ranked by the strongest defining kind, then by definition
+    * count, then id — definition hits outrank any full-text hit by
+    * construction because only definition sites enter the relation.
+    * Input is a [[symbolDefs]] relation (precomputed and persisted in a
+    * real deployment); the lookup is one pushable equality filter plus a
+    * per-file max — at scale a parquet reader prunes row groups on
+    * `symbol` before anything runs.
+    */
+  def symbolSearch(symbols: DataFrame, name: String): DataFrame =
+    symbols.where(col("symbol") === name)
+      .groupBy(col("id"))
+      .agg(max(kindWeightCol(col("kind"))).as("weight"),
+        sum(col("n_defs")).cast("long").as("n_defs"))
+      .orderBy(col("weight").desc, col("n_defs").desc, col("id").asc)
+
+  // ---------------------------------------------------------------------
+  // Repo-level fork detection (content-sha overlap)
+  // ---------------------------------------------------------------------
+
+  /** Fork / mirror detection over a (repo, content) file table: repo
+    * pairs sharing at least `minShared` identical file contents, with
+    * the Jaccard of their distinct content-sha sets — the repo-level
+    * dedup every multi-repo code-training pipeline runs so a 10k-fork
+    * project cannot occupy 10k slots in the mix.
+    *
+    * Scale shape: the candidate join is keyed on the content sha —
+    * bucketed, never all-pairs; only repos that actually share a file
+    * ever meet. Ubiquitous blobs (empty `__init__.py`, LICENSE
+    * boilerplate) are the skew hazard: any sha present in more than
+    * `maxShaDf` repos is dropped from CANDIDATE GENERATION (it carries
+    * no fork signal — the standard AllPairs frequent-feature prune),
+    * which bounds the join's per-key fan-out at `maxShaDf²` pairs.
+    * Dropped shas also leave the size denominators, so `jaccard` is the
+    * Jaccard of the PRUNED sets — deterministic and oracle-replayable.
+    */
+  def repoOverlap(files: DataFrame, repoCol: String, contentCol: String,
+      minShared: Long = 1L, maxShaDf: Int = 1000): DataFrame = {
+    val shas = files.select(col(repoCol).as("repo"),
+        sha2(coalesce(col(contentCol), lit("")), 256).as("sha"))
+      .distinct()
+    val rare = shas.groupBy(col("sha"))
+      .agg(count(lit(1)).as("sha_df"))
+      .where(col("sha_df") <= maxShaDf)
+      .select(col("sha"))
+    val kept = shas.join(rare, Seq("sha"), "left_semi")
+    val sizes = kept.groupBy(col("repo"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    val pairs = kept.as("a")
+      .join(kept.as("b"),
+        col("a.sha") === col("b.sha") && col("a.repo") < col("b.repo"))
+      .groupBy(col("a.repo").as("repo_a"), col("b.repo").as("repo_b"))
+      .agg(count(lit(1)).cast("long").as("shared"))
+      .where(col("shared") >= minShared)
+    pairs
+      .join(sizes.select(col("repo").as("repo_a"), col("n").as("na")), "repo_a")
+      .join(sizes.select(col("repo").as("repo_b"), col("n").as("nb")), "repo_b")
+      .select(col("repo_a"), col("repo_b"), col("shared"),
+        round(col("shared").cast("double") /
+          (col("na") + col("nb") - col("shared")).cast("double"), 6)
+          .as("jaccard"))
+  }
 }

@@ -333,6 +333,87 @@ final class QueryEngine(
       .orderBy(col("query"), col("rank"))
   }
 
+  /** Metadata-filtered BM25 — the `lang:scala repo:foo/bar` query shape
+    * every code-search frontend exposes. Lucene filter semantics: the
+    * filter restricts the CANDIDATE SET only; scoring statistics (idf,
+    * avgdl) stay corpus-global, so a document's score is identical with
+    * and without the filter and results are a strict subset of
+    * [[bm25Query]]'s.
+    *
+    * `keepIds` is any (docId) relation — typically a pushed-down
+    * predicate scan of the corpus metadata columns. The semi-join runs
+    * AFTER the score aggregation: its left side is already collapsed to
+    * one row per candidate doc (bounded by the query terms' df), so the
+    * exchange it adds is on the small side of the plan, and Catalyst
+    * broadcasts the filter relation when the metadata predicate is
+    * selective.
+    */
+  def bm25FilteredQuery(query: String, keepIds: DataFrame,
+      topK: Option[Int] = None): DataFrame = {
+    val scored = bm25Query(query, None)
+      .join(keepIds.select(col("docId")), Seq("docId"), "left_semi")
+      .orderBy(col("score").desc, col("docId").asc)
+    topK.fold(scored)(scored.limit)
+  }
+
+  /** Query-likelihood ranking with Dirichlet smoothing (Zhai & Lafferty
+    * 2001, the standard μ=2000) — the language-model alternative to BM25:
+    *
+    *   score(d) = Σ_t qcnt_t · ln((tf_{t,d} + μ·p(t|C)) / (dl_d + μ))
+    *
+    * where p(t|C) = ctf_t / |C| is the collection unigram model. Query
+    * terms absent from the corpus (ctf = 0) are skipped, the standard
+    * convention (their smoothed probability is 0 for every document —
+    * a rank-constant −∞). Candidates are documents containing at least
+    * one surviving query term; for a candidate's MISSING terms the
+    * smoothing term ln(μ·p_t) still applies, decomposed as
+    *
+    *   score(d) = base + Σ_{t∈d} qcnt_t·(ln(tf+μp_t) − ln(μp_t))
+    *              − qtot·ln(dl_d + μ),   base = Σ_t qcnt_t·ln(μ·p_t)
+    *
+    * so the distributed pass touches ONLY present (term, doc) postings.
+    *
+    * Scale shape: postings are filtered to the query terms first (pushed
+    * `In` via the broadcast term join, same as [[bm25Query]]); the ctf
+    * probe collapses to ≤|q| rows before the driver collect (the same
+    * bounded-collect discipline as the WAND df probes); the per-doc
+    * aggregation is the plan's only data-sized exchange.
+    */
+  def lmDirichletQuery(query: String, mu: Double = 2000.0,
+      topK: Option[Int] = None): DataFrame = {
+    val toks = Analyzer.tokenize(query)
+    if (toks.isEmpty) return scoredEmpty
+    val qPost = postings.join(broadcast(queryTermsDf(toks)), "term")
+    // collection term frequencies for the ≤|q| query terms — bounded
+    val ctf: Map[String, Double] = qPost.groupBy(col("term"))
+      .agg(sum(col("tf").cast("double")).as("ctf"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val totalLen = index.stats.totalLen.toDouble
+    val qcnts = toks.groupBy(identity).view.mapValues(_.size).toSeq
+    val seen = qcnts.filter { case (t, _) => ctf.contains(t) }
+    if (seen.isEmpty) return scoredEmpty
+    val base = seen.map { case (t, n) =>
+      n * math.log(mu * ctf(t) / totalLen)
+    }.sum
+    val qtot = seen.map(_._2).sum.toDouble
+    // μ·p_t per term rides the already-broadcast query relation
+    val muP = seen.foldLeft(lit(0.0)) { case (acc, (t, _)) =>
+      when(col("term") === t, mu * ctf(t) / totalLen).otherwise(acc)
+    }
+    val scored = qPost
+      .select(col("docId"),
+        (col("qcnt") *
+          (log(col("tf").cast("double") + muP) - log(muP))).as("delta"))
+      .groupBy(col("docId"))
+      .agg(sum(col("delta")).as("dsum"))
+      .join(index.docLens, "docId")
+      .select(col("docId"),
+        (lit(base) + col("dsum") -
+          lit(qtot) * log(col("len").cast("double") + lit(mu))).as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+    topK.fold(scored)(scored.limit)
+  }
+
   /** Exact-phrase mode — an EXTENSION beyond the reference's six
     * algorithms (a tf-only index cannot express adjacency): documents
     * containing the query tokens contiguously, ranked by occurrence

@@ -122,4 +122,85 @@ class CodeOpsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(oov(9L) == ((2L, 5L)))
   }
+
+  test("symbolDefs extracts every declaration family with per-file counts") {
+    val docs = Seq(
+      (1L, "class Foo { def bar(x: Int) = x; def bar(y: Int) = y }\n" +
+        "object Foo extends App; trait Baz; type Alias = Int"),
+      (2L, "func main() {}\nfunc helper(a int) int { return a }\n" +
+        "type Point struct {}"),
+      (3L, "function render() {}\nclass View {}\ndef render(self): pass"),
+      // near-misses: no space / lowercase keyword inside a word / number start
+      (4L, "classless defiant subclass Foo function() def 9bad"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = CodeOps.symbolDefs(docs, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(out((1L, "class", "Foo")) == 1L)
+    assert(out((1L, "def", "bar")) == 2L) // count, not distinct
+    assert(out((1L, "object", "Foo")) == 1L)
+    assert(out((1L, "trait", "Baz")) == 1L)
+    assert(out((1L, "type", "Alias")) == 1L)
+    assert(out((2L, "func", "main")) == 1L)
+    assert(out((2L, "func", "helper")) == 1L)
+    assert(out((2L, "type", "Point")) == 1L)
+    assert(out((3L, "function", "render")) == 1L)
+    assert(out((3L, "class", "View")) == 1L)
+    assert(out((3L, "def", "render")) == 1L)
+    // `function render` must NOT also fire the `func` pattern
+    assert(!out.contains((3L, "func", "render")))
+    assert(!out.exists(_._1._1 == 4L), "near-misses must not extract")
+    assert(!out.exists(_._1._1 == 5L))
+  }
+
+  test("symbolSearch ranks type-introducing kinds above member defs") {
+    val docs = Seq(
+      (1L, "def hit(x) = x"), // weight 2
+      (2L, "class hit {}"), // weight 3
+      (3L, "def hit(a) = a; def hit(b) = b"), // weight 2, n_defs 2
+      (4L, "object hit; def hit(z) = z"), // weight 3, n_defs 2
+      (5L, "def miss(x) = x")
+    ).toDF("doc_id", "text")
+    val syms = CodeOps.symbolDefs(docs, "doc_id", "text")
+    val got = CodeOps.symbolSearch(syms, "hit")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // order: weight desc, n_defs desc, id asc
+    assert(got == Seq((4L, 3, 2L), (2L, 3, 1L), (3L, 2, 2L), (1L, 2, 1L)))
+  }
+
+  test("repoOverlap finds fork pairs; ubiquitous blobs are pruned from candidates") {
+    val files = Seq(
+      // r1 and r2 share two blobs (fork pair); r3 shares only one with r1
+      ("r1", "blob-a"), ("r1", "blob-b"), ("r1", "blob-c"),
+      ("r2", "blob-a"), ("r2", "blob-b"), ("r2", "blob-x"),
+      ("r3", "blob-c"), ("r3", "blob-y"),
+      // within-repo duplicate must count once (distinct sha set)
+      ("r2", "blob-a")
+    ).toDF("repo", "content")
+    val got = CodeOps.repoOverlap(files, "repo", "content", minShared = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    // only (r1, r2): shared 2 of |r1 ∪ r2| = 3 + 3 − 2 = 4
+    assert(got == Seq(("r1", "r2", 2L, 0.5)))
+    // jaccard denominator uses distinct sets (the duplicate blob-a in r2
+    // did not inflate nb) — 2/4 = 0.5 asserted above
+
+    // a blob present in MORE than maxShaDf repos is dropped from
+    // candidates AND from the size denominators
+    val wide = Seq("r1", "r2", "r3", "r4").flatMap(r =>
+      Seq((r, "everywhere"), (r, s"own-$r")))
+      .toDF("repo", "content")
+    val pruned = CodeOps.repoOverlap(wide, "repo", "content",
+      minShared = 1L, maxShaDf = 3)
+    assert(pruned.count() == 0, "the shared blob exceeded maxShaDf")
+    val unpruned = CodeOps.repoOverlap(wide, "repo", "content",
+      minShared = 1L, maxShaDf = 4)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getDouble(3))).toSeq
+    assert(unpruned.size == 6) // all C(4,2) pairs via the shared blob
+    // round(1/3, 6) — the operator rounds jaccard to 6dp
+    assert(unpruned.forall { case (_, _, s, j) => s == 1L && j == 0.333333 })
+  }
 }

@@ -558,4 +558,61 @@ class SearcherSpec extends AnyFunSuite {
     // doc 1's 2 keywords match only doc 2 (same as the MLT spec)
     assert(kw((2L, 1)) == "apple")
   }
+
+  test("bm25FilteredQuery: strict subset with IDENTICAL scores (Lucene filter semantics)") {
+    val sp = spark
+    import sp.implicits._
+    val all = scored(engine.bm25Query("is the"))
+    assert(all.size == 3)
+    val keepIds = Seq(1L, 3L).toDF("docId")
+    val got = scored(engine.bm25FilteredQuery("is the", keepIds))
+    // candidates restricted, scores unchanged (corpus-global stats)
+    assert(got.map(_._1).toSet == Set(1L, 3L))
+    val byId = all.toMap
+    got.foreach { case (id, s) => assert(math.abs(s - byId(id)) < 1e-12) }
+    // order is (score desc, docId asc) within the survivors
+    assert(got == got.sortBy { case (id, s) => (-s, id) })
+    // topK applies after the filter
+    assert(scored(engine.bm25FilteredQuery("is the", keepIds,
+      topK = Some(1))).size == 1)
+    // empty filter → empty results
+    assert(engine.bm25FilteredQuery("is the",
+      Seq.empty[Long].toDF("docId")).isEmpty)
+  }
+
+  test("lmDirichletQuery: hand-computed Dirichlet scores on a tiny corpus") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "apple banana apple", ""), // dl=3, tf(apple)=2
+      (2L, "", "apple cherry", ""), // dl=2, tf(apple)=1
+      (3L, "", "cherry cherry", "")) // no query term
+      .toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    val mu = 10.0
+    // collection: |C| = 7, ctf(apple) = 3 → p = 3/7; "zzz" unseen → skipped
+    val p = 3.0 / 7.0
+    def s(tf: Double, dl: Double) = math.log(tf + mu * p) - math.log(dl + mu)
+    val got = scored(e.lmDirichletQuery("apple zzz", mu = mu))
+    assert(got.map(_._1) == Seq(1L, 2L)) // doc 3 is not a candidate
+    assert(math.abs(got(0)._2 - s(2, 3)) < 1e-9)
+    assert(math.abs(got(1)._2 - s(1, 2)) < 1e-9)
+    // duplicate query tokens double-score, same convention as BM25
+    val dup = scored(e.lmDirichletQuery("apple apple", mu = mu))
+    assert(math.abs(dup(0)._2 - 2 * s(2, 3)) < 1e-9)
+    // all query terms unseen → empty; empty query → empty
+    assert(e.lmDirichletQuery("zzz qqq").isEmpty)
+    assert(e.lmDirichletQuery("").isEmpty)
+    // a MISSING term still pays its smoothing penalty: query "apple
+    // cherry" on doc 1 (has apple, lacks nothing? no — doc 1 lacks
+    // cherry): score = ln(2+10p_a) + ln(0+10p_c) − 2·ln(13)
+    val pc = 3.0 / 7.0 // ctf(cherry) = 3
+    val two = scored(e.lmDirichletQuery("apple cherry", mu = mu)).toMap
+    val want1 = math.log(2 + mu * p) + math.log(0 + mu * pc) -
+      2 * math.log(3 + mu)
+    assert(math.abs(two(1L) - want1) < 1e-9)
+    // topK limit applies
+    assert(scored(e.lmDirichletQuery("apple", mu = mu,
+      topK = Some(1))).size == 1)
+  }
 }
