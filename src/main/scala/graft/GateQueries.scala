@@ -209,6 +209,26 @@ object GateQueries {
     })
   }
 
+  /** Segmented persisted symbol index ([[graft.index.SymbolIndex]]) over
+    * the code-shaped corpus: half cold-built, the rest committed via
+    * refresh — q115c's indexed symbol search must equal q115b's
+    * transform-side ground truth across the segment boundary.
+    */
+  private val symSegDirs = scala.collection.mutable.Map.empty[String, String]
+  def symSegIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    symSegDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-symidx-seg").toString
+      val files = codeFiles(spark, dir)
+      val mid = files.agg(max(col("doc_id")) / 2).head().getDouble(0).toLong
+      graft.index.SymbolIndex.build(files.where(col("doc_id") <= mid),
+        "doc_id", "content", d, nShards = 8)
+      graft.index.SymbolIndex.refresh(files.where(col("doc_id") > mid),
+        "doc_id", "content", d)
+      d
+    })
+  }
+
   private val sq8Dirs = scala.collection.mutable.Map.empty[String, String]
   def sq8IndexDir(spark: SparkSession, dir: String): String = synchronized {
     sq8Dirs.getOrElseUpdate(dir, {
@@ -4114,6 +4134,31 @@ object GateQueries {
       (s, d) => {
         val syms = CodeOps.symbolDefs(codeFiles(s, d), "doc_id", "content")
         CodeOps.symbolSearch(syms, "get3")
+          .select(col("id").as("doc_id"), col("weight").cast("long")
+            .as("weight"), col("n_defs"))
+          .orderBy(col("weight").desc, col("n_defs").desc, col("doc_id"))
+      },
+      Some(s"""WITH $CodeFilesCte, $SymbolOccCte,
+              |defs AS (
+              |  SELECT doc_id, kind, symbol, count(*)::BIGINT AS n_defs
+              |  FROM occ GROUP BY doc_id, kind, symbol)
+              |SELECT doc_id,
+              |  max(CASE WHEN kind IN ('class','trait','object','type')
+              |    THEN 3 WHEN kind IN ('func','function','def') THEN 2
+              |    ELSE 0 END)::BIGINT AS weight,
+              |  sum(n_defs)::BIGINT AS n_defs
+              |FROM defs WHERE symbol = 'get3'
+              |GROUP BY doc_id
+              |ORDER BY weight DESC, n_defs DESC, doc_id""".stripMargin)),
+
+    // The PERSISTED symbol sidecar: same ground truth as q115b, but
+    // served from the segmented on-disk artifact (half cold-built, half
+    // refresh-committed) via a driver-routed single-shard read with the
+    // symbol equality pushed to parquet — extraction cost paid at build,
+    // not per query.
+    Gate("q115c_symbol_search_indexed",
+      (s, d) => {
+        graft.index.SymbolIndex.searchIndexed(s, symSegIndexDir(s, d), "get3")
           .select(col("id").as("doc_id"), col("weight").cast("long")
             .as("weight"), col("n_defs"))
           .orderBy(col("weight").desc, col("n_defs").desc, col("doc_id"))

@@ -198,7 +198,7 @@ object CodeOps {
     "class" -> 3, "trait" -> 3, "object" -> 3, "type" -> 3,
     "func" -> 2, "function" -> 2, "def" -> 2)
 
-  private def kindWeightCol(kind: Column): Column =
+  private[graft] def kindWeightCol(kind: Column): Column =
     SymbolKindWeight.foldLeft(lit(0)) { case (acc, (k, w)) =>
       when(kind === k, w).otherwise(acc)
     }

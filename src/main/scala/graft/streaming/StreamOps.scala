@@ -130,8 +130,10 @@ object StreamOps {
       gramShards: Int = 8,
       maxSegments: Int = 0,
       armNextword: Boolean = false,
-      docsWithIds: Option[DataFrame] = None): Unit = {
-    import graft.index.{BlockIndex, GramIndex, PositionalIndex}
+      docsWithIds: Option[DataFrame] = None,
+      symDir: Option[String] = None,
+      symShards: Int = 16): Unit = {
+    import graft.index.{BlockIndex, GramIndex, PositionalIndex, SymbolIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val corpusCols = batch.select(
       col("title").cast("string"), col("body").cast("string"),
@@ -160,6 +162,14 @@ object StreamOps {
         GramIndex.build(
           corpusCols.withColumn("docId", lit(0L)).limit(0),
           "docId", "body", gd, nShards = gramShards)
+    }
+    // the optional symbol (ctags) sidecar: same discipline again —
+    // committed FIRST under the same marker, gated by the block marker
+    symDir.foreach { sd =>
+      if (!SymbolIndex.exists(sd))
+        SymbolIndex.build(
+          corpusCols.withColumn("docId", lit(0L)).limit(0),
+          "docId", "body", sd, nShards = symShards)
     }
     if (BlockIndex.isSegmented(dir)) {
       val segs = graft.index.BlockIndex.readSegments(dir).segs
@@ -205,6 +215,13 @@ object StreamOps {
           })
         GramIndex.compact(gd)
     }
+    if (compactEvery > 0) symDir.foreach { sd =>
+      if (SymbolIndex.isSegmented(sd) && {
+            val segs = SymbolIndex.readSegments(sd).segs
+            segs.size >= compactEvery && !segs.contains(s"sseg-$marker")
+          })
+        SymbolIndex.compact(sd)
+    }
     // tiered maintenance (compactTiered): partial merges of the smallest
     // segments — bounded write amplification, the steady-state policy for
     // a long-running sink (compactEvery's full fold rewrites the whole
@@ -223,6 +240,11 @@ object StreamOps {
           !GramIndex.readSegments(gd).segs.contains(s"gseg-$marker"))
         GramIndex.compactTiered(gd, maxSegments)
     }
+    if (maxSegments > 0) symDir.foreach { sd =>
+      if (SymbolIndex.isSegmented(sd) &&
+          !SymbolIndex.readSegments(sd).segs.contains(s"sseg-$marker"))
+        SymbolIndex.compactTiered(sd, maxSegments)
+    }
     val docs = docsWithIds.getOrElse {
       val start =
         math.max(BlockIndex.committedMaxDocId(batch.sparkSession, dir) + 1L, 1L)
@@ -238,6 +260,8 @@ object StreamOps {
     if (armNextword) posDir.foreach(PositionalIndex.buildNextword)
     gramDir.foreach(gd =>
       GramIndex.refresh(docs, "docId", "body", gd, Some(marker)))
+    symDir.foreach(sd =>
+      SymbolIndex.refresh(docs, "docId", "body", sd, Some(marker)))
     BlockIndex.refresh(docs, dir, genName = Some(marker))
   }
 
@@ -260,14 +284,16 @@ object StreamOps {
       gramDir: Option[String] = None,
       gramShards: Int = 8,
       maxSegments: Int = 0,
-      armNextword: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery =
+      armNextword: Boolean = false,
+      symDir: Option[String] = None,
+      symShards: Int = 16): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexRefreshBatch(batch, batchId, dir, layout, idSortCols, compactEvery,
           genTag = runTag(checkpointDir), posDir = posDir, posShards = posShards,
           gramDir = gramDir, gramShards = gramShards, maxSegments = maxSegments,
-          armNextword = armNextword)
+          armNextword = armNextword, symDir = symDir, symShards = symShards)
       }
       .start()
 
@@ -284,12 +310,14 @@ object StreamOps {
     */
   def indexDeleteBatch(batch: DataFrame, batchId: Long, dir: String,
       genTag: String = "", posDir: Option[String] = None,
-      gramDir: Option[String] = None): Unit = {
-    import graft.index.{BlockIndex, GramIndex, PositionalIndex}
+      gramDir: Option[String] = None,
+      symDir: Option[String] = None): Unit = {
+    import graft.index.{BlockIndex, GramIndex, PositionalIndex, SymbolIndex}
     val marker = if (genTag.isEmpty) s"b$batchId" else s"b$genTag-$batchId"
     val ids = batch.select(col("docId").cast("long").as("docId"))
     posDir.foreach(pd => PositionalIndex.delete(ids, pd, Some(marker)))
     gramDir.foreach(gd => GramIndex.delete(ids, gd, Some(marker)))
+    symDir.foreach(sd => SymbolIndex.delete(ids, sd, Some(marker)))
     BlockIndex.delete(ids, dir, Some(marker))
   }
 
@@ -298,13 +326,15 @@ object StreamOps {
     * see each commit atomically and never a half-applied delete set.
     */
   def indexDeleteSink(ids: DataFrame, dir: String, checkpointDir: String,
-      posDir: Option[String] = None, gramDir: Option[String] = None)
+      posDir: Option[String] = None, gramDir: Option[String] = None,
+      symDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     ids.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         indexDeleteBatch(batch, batchId, dir,
-          genTag = runTag(checkpointDir), posDir = posDir, gramDir = gramDir)
+          genTag = runTag(checkpointDir), posDir = posDir, gramDir = gramDir,
+          symDir = symDir)
       }
       .start()
 

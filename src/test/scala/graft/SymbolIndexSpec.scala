@@ -1,0 +1,150 @@
+package graft
+
+import graft.index.SymbolIndex
+import graft.pipeline.CodeOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SymbolIndexSpec extends AnyFunSuite {
+
+  lazy val spark = SparkSessionFixture.spark
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"symidx-$tag").toString
+
+  private lazy val files = Seq(
+    (1L, "class Foo { def bar(x) = x; def bar(y) = y }"),
+    (2L, "object Foo; trait Baz"),
+    (3L, "func bar() {}\ntype Foo struct {}"),
+    (4L, "no declarations at all"),
+    (5L, null.asInstanceOf[String])
+  ).toDF("doc_id", "content")
+
+  private def search(dir: String, name: String) =
+    SymbolIndex.searchIndexed(spark, dir, name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  private def transformSearch(name: String) =
+    CodeOps.symbolSearch(
+        CodeOps.symbolDefs(files, "doc_id", "content"), name)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+
+  test("build + searchIndexed == the transform-side symbolSearch") {
+    val d = tmp("build")
+    SymbolIndex.build(files, "doc_id", "content", d, nShards = 4)
+    for (name <- Seq("Foo", "bar", "Baz", "missing"))
+      assert(search(d, name) == transformSearch(name), s"symbol '$name'")
+    // lookup exposes the raw (symbol, kind, docId, n_defs) rows
+    val rows = SymbolIndex.lookup(spark, d, "Foo")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set(("class", 1L, 1L), ("object", 2L, 1L),
+      ("type", 3L, 1L)))
+    // the routed read touches exactly ONE shard directory per segment
+    val scanned = SymbolIndex.lookup(spark, d, "Foo").queryExecution
+      .executedPlan.collectLeaves().flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles
+      }).flatten
+    val shards = scanned.flatMap(p =>
+      "shard=(\\d+)".r.findFirstMatchIn(p).map(_.group(1))).distinct
+    assert(shards.length == 1, s"expected one routed shard, got $shards")
+  }
+
+  test("meta records the CORPUS maxDocId even when the tail files define nothing") {
+    val d = tmp("floor")
+    SymbolIndex.build(files, "doc_id", "content", d, nShards = 4)
+    // docs 4 and 5 contribute no symbols but doc 5 must still set the floor
+    assert(SymbolIndex.readMeta(d) == ((4, 5L)))
+    val late = Seq((5L, "class Late")).toDF("doc_id", "content")
+    val err = intercept[IllegalArgumentException] {
+      SymbolIndex.refresh(late, "doc_id", "content", d)
+    }
+    assert(err.getMessage.contains("maxDocId=5"))
+  }
+
+  test("refresh commits a disjoint segment; segmented search == cold build; replay no-ops") {
+    val d = tmp("seg")
+    SymbolIndex.build(files.where(col("doc_id") <= 2), "doc_id", "content",
+      d, nShards = 4)
+    SymbolIndex.refresh(files.where(col("doc_id") > 2), "doc_id", "content",
+      d, Some("b1"))
+    assert(SymbolIndex.readSegments(d).segs == Seq(".", "sseg-b1"))
+    val cold = tmp("seg-cold")
+    SymbolIndex.build(files, "doc_id", "content", cold, nShards = 4)
+    for (name <- Seq("Foo", "bar", "Baz"))
+      assert(search(d, name) == search(cold, name), s"symbol '$name'")
+    // same genName again: detected replay, no new segment
+    SymbolIndex.refresh(files.where(col("doc_id") > 2), "doc_id", "content",
+      d, Some("b1"))
+    assert(SymbolIndex.readSegments(d).segs == Seq(".", "sseg-b1"))
+    // empty delta: state unchanged (but committed as segmented)
+    SymbolIndex.refresh(files.where(lit(false)), "doc_id", "content", d)
+    assert(SymbolIndex.readSegments(d).segs == Seq(".", "sseg-b1"))
+  }
+
+  test("delete tombstones; compact folds segments + tombstones == cold survivor build") {
+    val d = tmp("del")
+    SymbolIndex.build(files.where(col("doc_id") <= 2), "doc_id", "content",
+      d, nShards = 4)
+    SymbolIndex.refresh(files.where(col("doc_id") > 2), "doc_id", "content", d)
+    SymbolIndex.delete(Seq(1L).toDF("docId"), d)
+    // doc 1 (class Foo, weight 3) is gone; object Foo in doc 2 remains
+    assert(search(d, "Foo").map(_._1).toSet == Set(2L, 3L))
+    val m = SymbolIndex.compact(d)
+    assert(m.segs.size == 1)
+    val cold = tmp("del-cold")
+    SymbolIndex.build(files.where(col("doc_id") =!= 1), "doc_id", "content",
+      cold, nShards = 4)
+    for (name <- Seq("Foo", "bar", "Baz"))
+      assert(search(d, name) == search(cold, name), s"symbol '$name'")
+    // compaction preserved the docId floor
+    assert(SymbolIndex.readSegments(d).maxDocId == 5L)
+  }
+
+  test("compactTiered bounds segment count across a stream of small refreshes") {
+    val d = tmp("tier")
+    SymbolIndex.build(files.where(col("doc_id") <= 1), "doc_id", "content",
+      d, nShards = 4)
+    for (i <- 2L to 9L) {
+      SymbolIndex.refresh(
+        Seq((i * 10L, s"class Gen$i { def gen$i(x) = x }"))
+          .toDF("doc_id", "content"),
+        "doc_id", "content", d, Some(s"t$i"))
+      SymbolIndex.compactTiered(d, maxSegments = 3)
+    }
+    assert(SymbolIndex.readSegments(d).segs.size <= 4) // maxSegments + 1
+    // contents survived every partial fold
+    assert(search(d, "Gen5").map(_._1) == Seq(50L))
+    assert(search(d, "bar").map(_._1) == Seq(1L))
+  }
+
+  test("streaming refresh sink co-commits the symbol sidecar == cold build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("stream-blk")
+    val ckpt = tmp("stream-ckpt")
+    val sd = tmp("stream-sym")
+    val layout = graft.index.BlockIndex.Layout(blockSpan = 64, nShards = 4)
+    val b1 = Seq(("A", "class Foo { def bar(x) = x }", "u1"),
+      ("B", "object Foo", "u2"))
+    val b2 = Seq(("C", "func bar() {}", "u3"))
+    val in = MemoryStream[(String, String, String)]
+    val q = graft.streaming.StreamOps.indexRefreshSink(
+      in.toDF.toDF("title", "body", "url"), dir, layout, ckpt, Seq("title"),
+      symDir = Some(sd), symShards = 4)
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val coldDocs = Seq((1L, "class Foo { def bar(x) = x }"),
+      (2L, "object Foo"), (3L, "func bar() {}"))
+      .toDF("docId", "body")
+    val cold = tmp("stream-sym-cold")
+    SymbolIndex.build(coldDocs, "docId", "body", cold, nShards = 4)
+    for (name <- Seq("Foo", "bar", "missing"))
+      assert(search(sd, name) == search(cold, name), s"symbol '$name'")
+    // two segments committed (empty base + one per batch)
+    assert(SymbolIndex.readSegments(sd).segs.count(_.startsWith("sseg-")) == 2)
+  }
+}
