@@ -71,6 +71,7 @@ object Bench {
     // anti-join costs relative to bm25_wand_top10
     val gramDir = java.nio.file.Files.createTempDirectory("graft-bench-gram").toString
     val shufDir = java.nio.file.Files.createTempDirectory("graft-bench-shuf").toString
+    val symDir = java.nio.file.Files.createTempDirectory("graft-bench-sym").toString
     // replace-by-key: the full corpus loads untimed as upsert batch 0;
     // upsert_replace_10pct times batch 1 replacing 10% of the keys
     // (keymap lookup + tombstones + segment append)
@@ -354,7 +355,44 @@ object Bench {
         graft.pipeline.TextPipeline.writeShuffledShards(documents, "doc_id",
           shufDir, nShards = 16, seed = "bench")
         1L
-      }))
+      }),
+      // persisted ctags sidecar: one-shuffle sharded build over the
+      // code-shaped corpus, then three driver-routed single-shard lookups
+      "symbol_index_build" -> (() => {
+        graft.index.SymbolIndex.build(
+          GateQueries.codeFiles(spark, sfDir), "doc_id", "content", symDir,
+          nShards = 16)
+        1L
+      }),
+      "symbol_search_indexed" -> (() =>
+        Seq("get3", "Widget4", "Obj1").map(n =>
+          graft.index.SymbolIndex.searchIndexed(spark, symDir, n).count()).sum),
+      // query-likelihood ranking (Dirichlet μ=2000): postings filtered to
+      // the query terms, bounded ctf probe, one per-doc aggregation
+      "lm_dirichlet_top20" -> (() =>
+        engine.lmDirichletQuery(GateQueries.ScoredQ, topK = Some(20)).count()),
+      // metadata-filtered BM25: candidate semi-join after the score agg
+      "bm25_filtered_top20" -> (() =>
+        engine.bm25FilteredQuery(GateQueries.ScoredQ,
+          documents.where(col("lang") === "en")
+            .select(col("doc_id").as("docId")), topK = Some(20)).count()),
+      // fork detection: sha-keyed candidate join with frequent-blob prune
+      "repo_overlap" -> (() => graft.pipeline.CodeOps.repoOverlap(
+        documents.select(
+          concat(lit("r"), pmod(col("doc_id"), lit(8))).as("repo"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("s"), pmod(col("doc_id"), lit(20))))
+            .otherwise(concat(lit("u"), col("doc_id"), col("text")))
+            .as("content")),
+        "repo", "content", minShared = 2L).count()),
+      // newest-version-per-file selection: one map-combined struct-max agg
+      "latest_snapshot" -> (() => graft.pipeline.SnapshotOps.latestSnapshot(
+        documents.select(
+          concat(lit("r"), pmod(col("doc_id"), lit(8))).as("repo"),
+          concat(lit("p"), pmod(col("doc_id"), lit(50))).as("path"),
+          col("doc_id").as("commit_ord"), col("lang"),
+          coalesce(col("text"), lit("")).as("content")),
+        Seq("repo", "path"), "commit_ord").count()))
 
     // Query-path entries run once UNTIMED first: they model steady-state
     // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-
@@ -365,7 +403,8 @@ object Bench {
     // a warmup run would hit the idempotence fast-path and time a no-op
     val warmupSkip = Set("ivf_build", "pos_index_build", "pos_refresh_10pct",
       "nextword_build", "gram_index_build", "shuffle_export",
-      "pq_build", "ivfpq_build", "upsert_replace_10pct")
+      "pq_build", "ivfpq_build", "upsert_replace_10pct",
+      "symbol_index_build")
     val results: Seq[(String, Double)] =
       ("block_index_build" -> buildSec) +:
       ("logical_index_build" -> logicalSec) +:

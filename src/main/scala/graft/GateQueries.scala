@@ -2,7 +2,7 @@ package graft
 
 import graft.analysis.Analyzer
 import graft.index.{IndexBuilder, IndexBundle}
-import graft.pipeline.{CodeOps, Dedup, EventOps, Multimodal, Similarity, TextPipeline}
+import graft.pipeline.{CodeOps, Dedup, EventOps, Multimodal, Similarity, SnapshotOps, TextPipeline}
 import graft.query.QueryEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -3035,12 +3035,17 @@ object GateQueries {
     // in the test corpus.
     Gate("q79_hybrid_rrf",
       (s, d) => {
+        // limit-then-rank: the global sort becomes TakeOrderedAndProject
+        // (per-partition top-50 + driver merge) and the unpartitioned
+        // row_number window sees only the 50 survivors — never the full
+        // scored relation on one partition
         val w = org.apache.spark.sql.expressions.Window
           .orderBy(col("s").desc, col("docId").asc)
         val textRank = engine(s, d).bm25Query(ScoredQ)
           .select(col("docId"), round(col("score"), 6).as("s"))
+          .orderBy(col("s").desc, col("docId").asc).limit(50)
           .withColumn("rank", row_number().over(w))
-          .where(col("rank") <= 50).select(col("docId"), col("rank"))
+          .select(col("docId"), col("rank"))
         val e = embeddings(s, d)
         val vecRank = Similarity.bruteForceTopK(
             e.where(col("vec_id") === 0).withColumnRenamed("vec_id", "query_id"),
@@ -4284,7 +4289,39 @@ object GateQueries {
              |FROM pairs p
              |JOIN sizes sa ON sa.repo = p.repo_a
              |JOIN sizes sb ON sb.repo = p.repo_b
-             |ORDER BY repo_a, repo_b""".stripMargin)))
+             |ORDER BY repo_a, repo_b""".stripMargin)),
+
+    // Latest-commit snapshot over the north rule's input shape (repo,
+    // path, commit, lang, content): a deterministic multi-version file
+    // table (each (repo, path) key recurs every lcm(8, 50) = 200 ids →
+    // 2-3 crawled versions per file) collapsed to the newest version per
+    // file — the selection every code-corpus pipeline runs before
+    // indexing. One exchange, map-side-combined struct max; the oracle
+    // replays it as the window formulation.
+    Gate("q119_latest_snapshot",
+      (s, d) => {
+        val files = documents(s, d).select(
+          concat(lit("r"), (col("doc_id") % 8).cast("string")).as("repo"),
+          concat(lit("p"), (col("doc_id") % 50).cast("string")).as("path"),
+          col("doc_id").as("commit_ord"),
+          col("lang"),
+          coalesce(col("text"), lit("")).as("content"))
+        SnapshotOps.latestSnapshot(files, Seq("repo", "path"), "commit_ord")
+          .orderBy(col("repo"), col("path"))
+      },
+      Some("""WITH files AS (
+             |  SELECT 'r' || (doc_id % 8) AS repo,
+             |    'p' || (doc_id % 50) AS path,
+             |    doc_id AS commit_ord, lang,
+             |    coalesce(text, '') AS content
+             |  FROM documents),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY repo, path ORDER BY commit_ord DESC) AS rn
+             |  FROM files)
+             |SELECT repo, path, commit_ord, lang, content
+             |FROM ranked WHERE rn = 1
+             |ORDER BY repo, path""".stripMargin)))
 
   /** Ground truth shared by q105/q105b: the grep statistics as plain
     * string arithmetic over every containing doc.

@@ -82,4 +82,34 @@ object SnapshotOps {
         op.as("op") +:
         payloadCols.map(c => col(s"__n_$c").as(c)): _*)
   }
+
+  /** Latest-version selection over a multi-commit file table — the
+    * snapshot every code-corpus pipeline materializes first: an
+    * append-style table of (repo, path, commit, …) rows holds EVERY
+    * crawled version of every file, and downstream ops (indexing, dedup,
+    * training export) want exactly one — the newest per `keyCols`, by
+    * `ordCol`.
+    *
+    * Implemented as ONE exchange: `max` over a struct headed by the
+    * ordering column — a max aggregate combines MAP-SIDE, so the shuffle
+    * carries one candidate row per (partition, key) instead of every
+    * version; the window-function formulation (`row_number() OVER … = 1`)
+    * that first comes to mind shuffles EVERY version and sorts each
+    * group, with no partial aggregation. Ties on `ordCol` break by the
+    * remaining columns' struct order (total and deterministic); rows
+    * with a null `ordCol` sort below any value and are chosen only when
+    * a key has nothing else.
+    */
+  def latestSnapshot(files: DataFrame, keyCols: Seq[String],
+      ordCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "latestSnapshot needs at least one key column")
+    require(files.columns.contains(ordCol), s"no ordering column $ordCol")
+    val payload = files.columns.toSeq
+      .filterNot(c => keyCols.contains(c) || c == ordCol)
+    val ordered = struct((ordCol +: payload).map(col): _*)
+    files.groupBy(keyCols.map(col): _*)
+      .agg(max(ordered).as("__top"))
+      .select(keyCols.map(col) ++
+        (ordCol +: payload).map(c => col(s"__top.$c").as(c)): _*)
+  }
 }

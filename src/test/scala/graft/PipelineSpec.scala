@@ -1418,4 +1418,33 @@ class PipelineSpec extends AnyFunSuite {
         next, "url", Seq("title", "body"))
     }
   }
+
+  test("latestSnapshot: newest version per key, deterministic ties, null ord loses") {
+    import graft.pipeline.SnapshotOps
+    val files = Seq(
+      ("r1", "a.sc", Some(1L), "v1"),
+      ("r1", "a.sc", Some(3L), "v3"), // winner
+      ("r1", "a.sc", Some(2L), "v2"),
+      ("r1", "b.sc", Some(5L), "only"),
+      ("r2", "a.sc", Some(7L), "zz"), // tie on ord:
+      ("r2", "a.sc", Some(7L), "aa"), //   payload struct breaks it → zz
+      ("r3", "n.sc", None, "null-ord"), // null ord loses to any value
+      ("r3", "n.sc", Some(0L), "real"),
+      ("r4", "o.sc", None, "lone-null") // …but wins when alone
+    ).toDF("repo", "path", "commit_ord", "content")
+    val got = SnapshotOps.latestSnapshot(files, Seq("repo", "path"),
+        "commit_ord")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3))).toMap
+    assert(got.size == 5)
+    assert(got(("r1", "a.sc")) == ((Some(3L), "v3")))
+    assert(got(("r1", "b.sc")) == ((Some(5L), "only")))
+    assert(got(("r2", "a.sc")) == ((Some(7L), "zz")))
+    assert(got(("r3", "n.sc")) == ((Some(0L), "real")))
+    assert(got(("r4", "o.sc")) == ((None, "lone-null")))
+    // unknown ordering column refuses loudly
+    intercept[IllegalArgumentException] {
+      SnapshotOps.latestSnapshot(files, Seq("repo"), "nope")
+    }
+  }
 }
