@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.index.SymbolIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-efficiency evidence for the persisted symbol sidecar
+  * ([[graft.index.SymbolIndex]]) — the round-4 flagship structure run
+  * through the same N-vs-4N protocol as the block index
+  * ([[ScalingBench]]): the SAME pre-generated corpus parquet, timed at
+  * two parallelism levels, efficiency = (docs/sec@32) / (4 × docs/sec@8).
+  *
+  * Usage:
+  *   runMain graft.tools.CorpusGen 2000000 /tmp/graft-corpus   # once
+  *   SPARK_GRAFT_CPUS=8  runMain graft.tools.SymbolScaleBench /tmp/graft-corpus
+  *   SPARK_GRAFT_CPUS=32 runMain graft.tools.SymbolScaleBench /tmp/graft-corpus
+  *
+  * The timed job is the full build — seven-regex codegen extraction,
+  * per-file aggregation, one shard shuffle, sorted parquet write — i.e.
+  * everything a production symbol-sidecar build pays.
+  */
+object SymbolScaleBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"), col("content"))
+    val nDocs = docs.count()
+
+    def freshDir() =
+      java.nio.file.Files.createTempDirectory("graft-symscale").toString
+
+    // untimed warmup on a 10% slice: JIT + codegen compile + reader init
+    SymbolIndex.build(docs.where(col("docId") % 10 === 0), "docId",
+      "content", freshDir(), nShards = 16)
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    var lastDir = ""
+    val secs = (1 to reps).map { _ =>
+      val d = freshDir()
+      lastDir = d
+      val t0 = System.nanoTime()
+      SymbolIndex.build(docs, "docId", "content", d, nShards = 16)
+      (System.nanoTime() - t0) / 1e9
+    }
+    val sec = secs.min // best-of-N: least external-noise contamination
+    // sanity: the built index must answer a symbol lookup
+    val hits = SymbolIndex.searchIndexed(spark, lastDir, "id0").count()
+    val all = secs.map(s => f"$s%.2f").mkString("[", ",", "]")
+    println(s"""{"cpus":$cpus,"n_docs":$nDocs,"build_sec":${f"$sec%.2f"},"docs_per_sec":${f"${nDocs / sec}%.1f"},"reps_sec":$all,"probe_hits":$hits,"corpus":"$corpusDir"}""")
+    spark.stop()
+  }
+}
