@@ -707,10 +707,32 @@ final class QueryEngine(
       .orderBy(col("score").desc, col("docId").asc)
   }
 
+  /** Symbol mode — files DEFINING the queried name (ctags-ranked code
+    * search): the [[graft.pipeline.CodeOps.symbolSearch]] transform over
+    * the RAW body, scored monotonically in (strongest defining kind,
+    * definition count) so the (docId, score) serving contract holds; a
+    * persisted deployment uses
+    * [[graft.index.SymbolIndex.searchIndexed]]'s routed single-shard
+    * plan instead. Same loud-without-rawDocs contract as [[grepQuery]].
+    */
+  def symbolQuery(name: String): DataFrame = {
+    val docs = rawDocs.getOrElse(throw new IllegalStateException(
+      "symbol queries need the raw corpus — construct QueryEngine with " +
+        "rawDocs = Some(docs)"))
+    val q = name.trim
+    if (q.isEmpty) scoredEmpty
+    else graft.pipeline.CodeOps.symbolSearch(
+        graft.pipeline.CodeOps.symbolDefs(docs, "docId", "body"), q)
+      .select(col("id").as("docId"),
+        (col("weight").cast("double") * 1000000.0 + col("n_defs"))
+          .as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
-    * back to BM25. "Phrase", "Proximity", and "Grep" are this engine's
-    * extension modes — every reference name resolves exactly as the
-    * reference's registry does.
+    * back to BM25. "Phrase", "Proximity", "Grep", and "Symbol" are this
+    * engine's extension modes — every reference name resolves exactly as
+    * the reference's registry does.
     */
   def byName(name: String): String => DataFrame = name match {
     case "Classic TF-IDF" => vectorSpaceQuery
@@ -721,6 +743,7 @@ final class QueryEngine(
     case "Phrase" => phraseQuery
     case "Proximity" => proximityQuery
     case "Grep" => grepQuery
+    case "Symbol" => symbolQuery
     case _ => q => bm25Query(q)
   }
 

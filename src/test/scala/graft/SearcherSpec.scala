@@ -282,6 +282,30 @@ class SearcherSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bare.grepQuery("readTable") }
   }
 
+  test("Symbol mode: ctags-ranked definition search, dispatched by name, loud without rawDocs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "def hit(x) = x", ""), // weight 2, 1 def
+      (2L, "", "class hit {}", ""), // weight 3 → ranks first
+      (3L, "", "def hit(a) = a; def hit(b) = b", ""), // weight 2, 2 defs
+      (4L, "", "hit mentioned but never defined", "")
+    ).toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false),
+      rawDocs = Some(docs))
+    // score is monotone in (kind weight, n_defs): class(3) > def-twice >
+    // def-once; the mere MENTION in doc 4 never enters the relation
+    assert(e.byName("Symbol")("hit").collect().map(_.getLong(0)).toSeq
+      == Seq(2L, 3L, 1L))
+    assert(e.symbolQuery("missing").count() == 0)
+    assert(e.symbolQuery("  ").count() == 0)
+    // full-text BM25 DOES match doc 4 — the modes really differ there
+    assert(e.byName("BM25")("hit").collect().map(_.getLong(0)).toSet
+      .contains(4L))
+    val bare = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    intercept[IllegalStateException] { bare.symbolQuery("hit") }
+  }
+
   test("moreLikeThis: seed's top tf·idf terms drive BM25, seed excluded") {
     val sp = spark
     import sp.implicits._

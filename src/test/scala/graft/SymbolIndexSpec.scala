@@ -49,6 +49,12 @@ class SymbolIndexSpec extends AnyFunSuite {
     val shards = scanned.flatMap(p =>
       "shard=(\\d+)".r.findFirstMatchIn(p).map(_.group(1))).distinct
     assert(shards.length == 1, s"expected one routed shard, got $shards")
+    // …and the equality filter reaches the parquet reader (row-group
+    // pruning on the (symbol, docId)-sorted files)
+    val planStr = SymbolIndex.lookup(spark, d, "Foo")
+      .queryExecution.executedPlan.toString
+    assert(planStr.contains("EqualTo(symbol,Foo)"),
+      s"symbol equality not pushed to parquet:\n$planStr")
   }
 
   test("meta records the CORPUS maxDocId even when the tail files define nothing") {
