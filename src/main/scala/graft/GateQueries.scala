@@ -229,6 +229,23 @@ object GateQueries {
     })
   }
 
+  /** Gram index over the MULTILINE derivation (spaces → newlines) used
+    * by the grep -n gates — built on the same content the search runs
+    * over, so the candidate prefilter is sound for any needle.
+    */
+  private val mlGramDirs = scala.collection.mutable.Map.empty[String, String]
+  def mlGramIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    mlGramDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-mlgramidx").toString
+      graft.index.GramIndex.build(
+        documents(spark, dir).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content")),
+        "doc_id", "content", d, k = 3, nShards = 8)
+      d
+    })
+  }
+
   private val sq8Dirs = scala.collection.mutable.Map.empty[String, String]
   def sq8IndexDir(spark: SparkSession, dir: String): String = synchronized {
     sq8Dirs.getOrElseUpdate(dir, {
@@ -4321,7 +4338,55 @@ object GateQueries {
              |  FROM files)
              |SELECT repo, path, commit_ord, lang, content
              |FROM ranked WHERE rn = 1
-             |ORDER BY repo, path""".stripMargin)))
+             |ORDER BY repo, path""".stripMargin)),
+
+    // grep -n: per-matching-LINE output with 1-based line numbers over a
+    // deterministic multiline derivation (every space becomes a newline,
+    // so line numbering is non-trivial). Narrow split + posexplode +
+    // contains — the filter runs inside the scan's codegen stage.
+    Gate("q120_grep_lines",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLines(ml, "doc_id", "content", "tabl")
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepLinesOracle)),
+
+    // The same ground truth served through the persisted gram index
+    // (built over the SAME multiline content): only gram-plausible docs
+    // are exploded into lines — at corpus scale the explode touches
+    // candidates, not the corpus.
+    Gate("q120b_grep_lines_indexed",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLinesIndexed(s, mlGramIndexDir(s, d),
+            ml, "doc_id", "content", "tabl")
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepLinesOracle)))
+
+  /** Ground truth shared by q120/q120b: DuckDB's positionally-zipped
+    * double unnest reproduces (line, ordinal) over the same split.
+    */
+  private lazy val GrepLinesOracle =
+    """WITH ml AS (
+      |  SELECT doc_id,
+      |    replace(coalesce(text, ''), ' ', chr(10)) AS content
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(content, chr(10))) AS line,
+      |    generate_subscripts(string_split(content, chr(10)), 1) AS line_no
+      |  FROM ml)
+      |SELECT doc_id, line_no::BIGINT AS line_no, line
+      |FROM lines WHERE contains(line, 'tabl')
+      |ORDER BY doc_id, line_no""".stripMargin
 
   /** Ground truth shared by q105/q105b: the grep statistics as plain
     * string arithmetic over every containing doc.

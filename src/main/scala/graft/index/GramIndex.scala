@@ -159,6 +159,42 @@ object GramIndex {
       col("__t").substr(start, off - start + len + ctx).as("excerpt"))
   }
 
+  /** grep -n: one row per MATCHING LINE — (docId, line_no, line), line
+    * numbers 1-based. A narrow pass: split + posexplode + contains
+    * filter, no shuffle; the explode multiplies rows but the filter runs
+    * inside the same codegen stage, so non-matching lines never leave
+    * the scan's pipeline. `split(…, -1)` keeps trailing empty lines so
+    * numbering matches the file's physical lines exactly.
+    */
+  def grepLines(docs: DataFrame, idCol: String, textCol: String,
+      needle: String): DataFrame = {
+    require(needle.nonEmpty, "empty needle matches everything; refusing")
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).cast("long").as("docId"),
+        posexplode(split(t, "\n", -1)).as(Seq("__p", "line")))
+      .where(contains(col("line"), lit(needle)))
+      .select(col("docId"), (col("__p") + 1).cast("long").as("line_no"),
+        col("line"))
+  }
+
+  /** [[grepLines]] riding the persisted index: only gram-plausible docs
+    * are exploded — at corpus scale the explode touches candidate docs,
+    * not the corpus.
+    */
+  def grepLinesIndexed(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, needle: String): DataFrame = {
+    val m = gramMeta(spark, dir)
+    val sel = rarestGrams(spark, dir, allGrams(needle, m.k), m.nShards,
+      MaxQueryGrams)
+    val base = docs.select(col(idCol).cast("long").as("docId"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val cand =
+      if (sel.isEmpty) base
+      else base.join(candidates(indexedPostings(spark, dir, sel, m.nShards),
+        sel), Seq("docId"), "left_semi")
+    liveOnly(spark, dir, grepLines(cand, "docId", "__t", needle))
+  }
+
   // ---------------------------------------------------------------------
   // Persisted sharded layout
   // ---------------------------------------------------------------------

@@ -300,4 +300,50 @@ class GramIndexSpec extends AnyFunSuite {
           .collect().map(_.getLong(0)).toSet == bruteRegexIds(p),
         s"pattern '$p'")
   }
+
+  test("grepLines: per-matching-line rows with 1-based numbers; empty lines keep numbering") {
+    val ml = Seq(
+      (1L, "alpha\nhas table here\n\ntable again"), // lines 2 and 4 match
+      (2L, "table on line one"),
+      (3L, "no match at all"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ends with newline\ntable\n") // trailing empty line preserved
+    ).toDF("doc_id", "text")
+    val got = GramIndex.grepLines(ml, "doc_id", "text", "table")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+      .sorted
+    assert(got == Seq(
+      (1L, 2L, "has table here"), (1L, 4L, "table again"),
+      (2L, 1L, "table on line one"), (5L, 2L, "table")))
+    intercept[IllegalArgumentException] {
+      GramIndex.grepLines(ml, "doc_id", "text", "")
+    }
+  }
+
+  test("grepLinesIndexed ≡ transform; deletes excluded; short-needle fallback") {
+    val sp = spark
+    import sp.implicits._
+    val ml = Seq(
+      (1L, "first line\nspark table scan\nlast"),
+      (2L, "spark\ntable"),
+      (3L, "nothing here"),
+      (4L, "ta\nble split across lines") // needle crosses lines → no hit
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-lines").toString
+    GramIndex.build(ml, "doc_id", "text", dir, k = 3, nShards = 4)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    for (n <- Seq("table", "spark", "zzz"))
+      assert(norm(GramIndex.grepLinesIndexed(spark, dir, ml, "doc_id",
+        "text", n)) == norm(GramIndex.grepLines(ml, "doc_id", "text", n)),
+        s"needle '$n'")
+    // needle shorter than k: empty gram set → full-scan fallback, equal
+    assert(norm(GramIndex.grepLinesIndexed(spark, dir, ml, "doc_id",
+      "text", "ta")) == norm(GramIndex.grepLines(ml, "doc_id", "text", "ta")))
+    // tombstoned doc disappears from the indexed path
+    GramIndex.delete(Seq(2L).toDF("docId"), dir)
+    assert(norm(GramIndex.grepLinesIndexed(spark, dir, ml, "doc_id",
+      "text", "table")).map(_._1).toSet == Set(1L))
+  }
 }
