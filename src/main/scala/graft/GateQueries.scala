@@ -4340,6 +4340,25 @@ object GateQueries {
              |FROM ranked WHERE rn = 1
              |ORDER BY repo, path""".stripMargin)),
 
+    // Case-INSENSITIVE substring search (grep -i) as pure composition:
+    // the existing gram-prefiltered search over the case-folded relation
+    // with a folded needle — the same one-build-serves-folded-queries
+    // recipe Zoekt uses (fold at index time, fold the needle at query
+    // time, exact verify on the folded pair). No new operator needed;
+    // the gate pins the composition's semantics.
+    Gate("q121_substring_fold",
+      (s, d) => {
+        val folded = documents(s, d).select(col("doc_id"),
+          lower(coalesce(col("text"), lit(""))).as("content"))
+        graft.index.GramIndex.substringSearch(folded, "doc_id", "content",
+            "tablE".toLowerCase(java.util.Locale.ROOT))
+          .select(col("docId").as("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id FROM documents
+             |WHERE contains(lower(coalesce(text, '')), lower('tablE'))
+             |ORDER BY doc_id""".stripMargin)),
+
     // grep -n: per-matching-LINE output with 1-based line numbers over a
     // deterministic multiline derivation (every space becomes a newline,
     // so line numbering is non-trivial). Narrow split + posexplode +
