@@ -392,7 +392,47 @@ object Bench {
           concat(lit("p"), pmod(col("doc_id"), lit(50))).as("path"),
           col("doc_id").as("commit_ord"), col("lang"),
           coalesce(col("text"), lit("")).as("content")),
-        Seq("repo", "path"), "commit_ord").count()))
+        Seq("repo", "path"), "commit_ord").count()),
+      // blob-level dedup: collapse a fork-shaped 2× duplication to
+      // distinct blobs, search blobs, expand hits to file occurrences
+      "blob_dedup_search" -> (() => {
+        val base = documents.select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        val files = base.select(col("doc_id").as("id"),
+            concat(lit("r"), pmod(col("doc_id"), lit(7))).as("repo"),
+            concat(lit("p"), col("doc_id")).as("path"),
+            (lit(1) + pmod(col("doc_id"), lit(nDocs / 2))).as("__src"))
+          .join(base.select(col("doc_id").as("__src"),
+            col("text").as("content")), "__src")
+        val (blobs, occ) = graft.pipeline.CodeOps.blobDedup(
+          files, "id", "content", Seq("repo", "path"))
+        val hits = graft.index.GramIndex.substringSearch(blobs, "blob_id",
+            "content", "spark table")
+          .select(col("docId").as("blob_id"), lit(1.0).as("score"))
+        graft.pipeline.CodeOps.expandBlobHits(hits, blobs, occ).count()
+      }),
+      // MOSS winnowing: per-row array pipeline (shingle → md5 → window
+      // min), no shuffle
+      "winnow_fingerprints" -> (() => documents.select(col("doc_id"),
+        explode(graft.pipeline.TextPipeline.winnow(
+          coalesce(col("text"), lit("")), 3, 4)).as("f")).count()),
+      // Codex admission stats: one map-only pass of line/char arithmetic
+      "code_shape_scan" -> (() => documents.select(
+        graft.pipeline.CodeOps.codeShapeOk(
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n")))
+          .as("ok")).where(col("ok")).count()),
+      // grep -C over the multiline derivation: match positions found in
+      // array land, context windows merged before the explode
+      "grep_context" -> (() => graft.index.GramIndex.grepLinesContext(
+        documents.select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content")),
+        "doc_id", "content", "tabl", 2).count()),
+      // corpus sed via the persisted gram index: only candidates run the
+      // replace; the rest anti-join through untouched
+      "rewrite_indexed" -> (() => graft.index.GramIndex.rewriteIndexed(
+        spark, gramDir, documents, "doc_id", "text", "table", "TBL")
+        .agg(sum(length(col("content")))).head().getLong(0)))
 
     // Query-path entries run once UNTIMED first: they model steady-state
     // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-

@@ -4388,7 +4388,278 @@ object GateQueries {
           .select(col("docId").as("doc_id"), col("line_no"), col("line"))
           .orderBy(col("doc_id"), col("line_no"))
       },
-      Some(GrepLinesOracle)))
+      Some(GrepLinesOracle)),
+
+    // Blob-level dedup indexing: a fork-shaped file table (every content
+    // recurs every 200 ids) collapsed to DISTINCT blobs, searched at the
+    // BLOB level, hits expanded back to file occurrences — and the
+    // oracle is simply the DIRECT search over every file, pinning that
+    // the collapse loses nothing. The searchable relation shrinks by the
+    // corpus's duplication factor (the content-addressable layout GitHub
+    // indexes over).
+    Gate("q122_blob_dedup_search",
+      (s, d) => {
+        val base = documents(s, d).select(col("doc_id"),
+          coalesce(col("text"), lit("")).as("text"))
+        val files = base.select(col("doc_id").as("id"),
+            concat(lit("r"), (col("doc_id") % 7).cast("string")).as("repo"),
+            concat(lit("p"), col("doc_id").cast("string")).as("path"),
+            (lit(1) + col("doc_id") % 200).as("__src"))
+          .join(base.select(col("doc_id").as("__src"),
+            col("text").as("content")), "__src")
+        val (blobs, occ) = CodeOps.blobDedup(files, "id", "content",
+          Seq("repo", "path"))
+        val hits = graft.index.GramIndex.substringSearch(blobs, "blob_id",
+            "content", "table")
+          .select(col("docId").as("blob_id"), lit(1.0).as("score"))
+        CodeOps.expandBlobHits(hits, blobs, occ)
+          .select(col("id").as("file_id"), col("repo"), col("path"))
+          .orderBy(col("file_id"))
+      },
+      Some("""WITH files AS (
+             |  SELECT d.doc_id AS id, 'r' || (d.doc_id % 7) AS repo,
+             |    'p' || d.doc_id AS path, coalesce(c.text, '') AS content
+             |  FROM documents d
+             |  JOIN documents c ON c.doc_id = 1 + (d.doc_id % 200))
+             |SELECT id AS file_id, repo, path FROM files
+             |WHERE contains(content, 'table')
+             |ORDER BY file_id""".stripMargin)),
+
+    // Codex-recipe code-shape statistics over the multiline derivation:
+    // line counts/lengths by pure arithmetic (total line chars =
+    // length − separators), alphanumeric density, and the composed
+    // admission verdict at thresholds that split this corpus.
+    Gate("q123_code_shape",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("c"))
+        ml.select(col("doc_id"),
+            CodeOps.lineCount(col("c")).cast("long").as("n_lines"),
+            CodeOps.maxLineLen(col("c")).cast("long").as("max_line"),
+            CodeOps.avgLineLen(col("c")).as("avg_line"),
+            CodeOps.alnumFrac(col("c")).as("alnum_frac"),
+            CodeOps.codeShapeOk(col("c"), maxLine = 12, maxAvg = 8,
+              minAlnum = 0.5).as("shape_ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ml AS (
+             |  SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS c
+             |  FROM documents),
+             |st AS (
+             |  SELECT doc_id, c, string_split(c, chr(10)) AS ls FROM ml),
+             |feat AS (
+             |  SELECT doc_id,
+             |    len(ls)::BIGINT AS n_lines,
+             |    list_max(list_transform(ls, l -> length(l)))::BIGINT
+             |      AS max_line,
+             |    round((length(c) - len(ls) + 1)::DOUBLE / len(ls)::DOUBLE,
+             |      6) AS avg_line,
+             |    CASE WHEN length(c) = 0 THEN 0.0
+             |         ELSE round(length(regexp_replace(c, '[^A-Za-z0-9]',
+             |           '', 'g'))::DOUBLE / length(c)::DOUBLE, 6)
+             |    END AS alnum_frac,
+             |    (contains(lower(c), 'generated by') OR
+             |     contains(lower(c), 'do not edit') OR
+             |     contains(lower(c), 'auto-generated') OR
+             |     contains(lower(c), 'autogenerated')) AS autogen
+             |  FROM st)
+             |SELECT doc_id, n_lines, max_line, avg_line, alnum_frac,
+             |  (max_line <= 12 AND avg_line <= 8 AND alnum_frac >= 0.5
+             |   AND NOT autogen) AS shape_ok
+             |FROM feat ORDER BY doc_id""".stripMargin)),
+
+    // Comment/blank/code line accounting and comment density over a
+    // derivation with planted comment and blank lines.
+    Gate("q124_comment_stats",
+      (s, d) => {
+        val c = concat(lit("// hdr\n"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n")),
+          lit("\n\n# tail"))
+        CodeOps.commentStats(
+            documents(s, d).select(col("doc_id"), c.as("content")),
+            "doc_id", "content")
+          .select(col("id").as("doc_id"), col("n_lines"),
+            col("comment_lines"), col("blank_lines"), col("code_lines"),
+            col("comment_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH ml AS (
+             |  SELECT doc_id, '// hdr' || chr(10) ||
+             |    replace(coalesce(text, ''), ' ', chr(10)) ||
+             |    chr(10) || chr(10) || '# tail' AS c
+             |  FROM documents),
+             |ls AS (SELECT doc_id, string_split(c, chr(10)) AS lines FROM ml),
+             |cnt AS (
+             |  SELECT doc_id, len(lines)::BIGINT AS n_lines,
+             |    len(list_filter(lines, l ->
+             |      starts_with(ltrim(l), '//') OR starts_with(ltrim(l), '#')
+             |      OR starts_with(ltrim(l), '--')
+             |      OR starts_with(ltrim(l), '*')))::BIGINT AS comment_lines,
+             |    len(list_filter(lines, l -> trim(l) = '' AND NOT (
+             |      starts_with(ltrim(l), '//') OR starts_with(ltrim(l), '#')
+             |      OR starts_with(ltrim(l), '--')
+             |      OR starts_with(ltrim(l), '*'))))::BIGINT AS blank_lines
+             |  FROM ls)
+             |SELECT doc_id, n_lines, comment_lines, blank_lines,
+             |  n_lines - comment_lines - blank_lines AS code_lines,
+             |  CASE WHEN n_lines - blank_lines = 0 THEN 0.0
+             |       ELSE round(comment_lines::DOUBLE /
+             |         (n_lines - blank_lines)::DOUBLE, 6)
+             |  END AS comment_frac
+             |FROM cnt ORDER BY doc_id""".stripMargin)),
+
+    // GitHub-style repo-grouped SERP: the BM25 top-50 collapsed to one
+    // row per repo (best score, argmax doc with min-docId tie-break, hit
+    // count). The oracle chains the q09 scoring CTEs into the window-free
+    // group/argmax formulation.
+    Gate("q125_repo_grouped_search",
+      (s, d) => {
+        val scored = engine(s, d).bm25Query(ScoredQ)
+          .select(col("docId"), round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("docId").asc).limit(50)
+        val meta = documents(s, d).select(col("doc_id").as("docId"),
+          concat(lit("r"), (col("doc_id") % 8).cast("string")).as("repo"))
+        QueryEngine.groupHitsBy(scored, meta, "repo")
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id),
+           |hits AS (
+           |  SELECT doc_id, round(raw, 6) AS score FROM scored
+           |  ORDER BY score DESC, doc_id ASC LIMIT 50),
+           |tagged AS (
+           |  SELECT doc_id, score, 'r' || (doc_id % 8) AS repo FROM hits),
+           |grp AS (
+           |  SELECT repo, max(score) AS best_score,
+           |    count(*)::BIGINT AS n_files
+           |  FROM tagged GROUP BY repo),
+           |best AS (
+           |  SELECT t.repo, min(t.doc_id)::BIGINT AS best_doc
+           |  FROM tagged t JOIN grp g
+           |    ON t.repo = g.repo AND t.score = g.best_score
+           |  GROUP BY t.repo)
+           |SELECT g.repo, g.best_score, b.best_doc, g.n_files
+           |FROM grp g JOIN best b ON g.repo = b.repo
+           |ORDER BY g.repo""".stripMargin
+      }),
+
+    // Robust winnowing fingerprints (Schleimer et al. SIGMOD'03): every
+    // w-window of the positional shingle-hash sequence selects its
+    // rightmost minimal hash; distinct (pos, hash) pairs. The oracle
+    // replays window/min/rightmost relationally.
+    Gate("q126_winnow",
+      (s, d) => documents(s, d).select(col("doc_id"),
+          explode(TextPipeline.winnow(coalesce(col("text"), lit("")), 3, 4))
+            .as("f"))
+        .select(col("doc_id"), col("f.pos"), col("f.hash"))
+        .orderBy(col("doc_id"), col("pos"), col("hash")),
+      Some(s"""WITH cl AS (
+             |  SELECT doc_id, coalesce(text, '') AS t FROM documents),
+             |$WinnowCtes
+             |SELECT doc_id, pos, hash FROM wfp
+             |ORDER BY doc_id, pos, hash""".stripMargin)),
+
+    // MOSS clone-pair report over the winnow fingerprints: pairs sharing
+    // ≥ 2 distinct fingerprint hashes on a derivation where groups of 4
+    // consecutive ids share a planted 200-char passage. Hashes in more
+    // than 8 docs are pruned from candidates AND denominators (the
+    // boilerplate prune) — common corpus phrases can't blow up the
+    // candidate join.
+    Gate("q129_winnow_clone_pairs",
+      (s, d) => Dedup.winnowPairs(cloneFiles(s, d), "doc_id", "t",
+          n = 3, w = 4, minShared = 2L, maxHashDf = 8)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH $CloneFilesCte, $WinnowCtes, $ClonePairCtes
+             |SELECT p.id_a, p.id_b, p.shared,
+             |  round(p.shared::DOUBLE / least(sa.sz, sb.sz)::DOUBLE, 6)
+             |    AS overlap
+             |FROM prs p JOIN sizes sa ON sa.doc_id = p.id_a
+             |JOIN sizes sb ON sb.doc_id = p.id_b
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Clone CLUSTERS: the q129 pairs closed into connected components
+    // with one canonical keeper (q45's machinery over winnow edges); the
+    // oracle closes the same edges with a recursive reachability CTE.
+    Gate("q130_clone_clusters",
+      (s, d) => Dedup.dupGroupsFromPairs(
+          cloneFiles(s, d).select(col("doc_id")),
+          Dedup.winnowPairs(cloneFiles(s, d), "doc_id", "t",
+            n = 3, w = 4, minShared = 2L, maxHashDf = 8),
+          idCol = "doc_id")
+        .select(col("id").as("doc_id"), col("canonical_id"), col("keep"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH RECURSIVE $CloneFilesCte, $WinnowCtes, $ClonePairCtes,
+             |edges AS (
+             |  SELECT id_a AS src, id_b AS dst FROM prs
+             |  UNION SELECT id_b, id_a FROM prs),
+             |reach(id, r) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id)
+             |SELECT id AS doc_id, min(r) AS canonical_id,
+             |  (id = min(r)) AS keep
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
+
+    // grep -C 2: matching lines plus their clamped, merged context
+    // windows, context flagged false — transform and indexed twins share
+    // one oracle.
+    Gate("q127_grep_context",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLinesContext(ml, "doc_id", "content",
+            "tabl", 2)
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"),
+            col("is_match"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepCtxOracle)),
+
+    Gate("q127b_grep_context_indexed",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLinesContextIndexed(s,
+            mlGramIndexDir(s, d), ml, "doc_id", "content", "tabl", 2)
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"),
+            col("is_match"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepCtxOracle)),
+
+    // Corpus-scale literal sed through the gram index: candidates take
+    // the replace projection, everything else is an anti-join
+    // passthrough; ≡ replace() over every row.
+    Gate("q128_rewrite_indexed",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.rewriteIndexed(s, mlGramIndexDir(s, d), ml,
+            "doc_id", "content", "table", "TBL")
+          .select(col("docId").as("doc_id"), col("content"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""SELECT doc_id,
+             |  replace(replace(coalesce(text, ''), ' ', chr(10)),
+             |    'table', 'TBL') AS content
+             |FROM documents ORDER BY doc_id""".stripMargin)))
 
   /** Ground truth shared by q120/q120b: DuckDB's positionally-zipped
     * double unnest reproduces (line, ordinal) over the same split.
@@ -4406,6 +4677,108 @@ object GateQueries {
       |SELECT doc_id, line_no::BIGINT AS line_no, line
       |FROM lines WHERE contains(line, 'tabl')
       |ORDER BY doc_id, line_no""".stripMargin
+
+  /** Clone-shaped derivation shared by q129/q130: groups of 4
+    * consecutive ids share a planted 200-char passage (each doc's own
+    * 200-char prefix + the group representative's), so clone pairs exist
+    * at every scale with group size INDEPENDENT of corpus size.
+    */
+  def cloneFiles(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir)
+    base.select(col("doc_id"),
+        (floor(col("doc_id") / 4) * 4).as("__src"),
+        substring(coalesce(col("text"), lit("")), 1, 200).as("__pre"))
+      .join(base.select(col("doc_id").as("__src"),
+        substring(coalesce(col("text"), lit("")), 1, 200).as("__tail")),
+        "__src")
+      .select(col("doc_id"),
+        concat(col("__pre"), lit(" "), col("__tail")).as("t"))
+  }
+
+  private lazy val CloneFilesCte =
+    """cl AS (
+      |  SELECT d.doc_id,
+      |    substring(coalesce(d.text, ''), 1, 200) || ' ' ||
+      |    substring(coalesce(c.text, ''), 1, 200) AS t
+      |  FROM documents d
+      |  JOIN documents c ON c.doc_id = (d.doc_id // 4) * 4)""".stripMargin
+
+  /** Winnowing CTE chain (n=3, w=4) over a `cl(doc_id, t)` relation the
+    * caller prepends; ends with `wfp(doc_id, pos, hash)` — the rightmost
+    * minimal hash per window, distinct (mirrors TextPipeline.winnow).
+    */
+  private lazy val WinnowCtes =
+    """tokarr AS (
+      |  SELECT doc_id, list_transform(list_filter(
+      |    regexp_split_to_array(t, '[^a-zA-Z0-9]+'),
+      |    x -> x <> ''), x -> lower(x)) AS toks
+      |  FROM cl),
+      |shing AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |    ELSE [array_to_string(toks[i:i+2], ' ')
+      |          for i in range(1, len(toks) - 1)] END AS sl
+      |  FROM tokarr),
+      |hs AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(sl, s -> md5(s))) AS h,
+      |    generate_subscripts(sl, 1) AS i
+      |  FROM shing),
+      |m AS (SELECT doc_id, max(i) AS mm FROM hs GROUP BY doc_id),
+      |starts AS (
+      |  SELECT doc_id, unnest(range(1, greatest(mm - 3, 1) + 1)) AS j
+      |  FROM m),
+      |win AS (
+      |  SELECT s.doc_id, s.j, h.i, h.h
+      |  FROM starts s JOIN hs h
+      |    ON h.doc_id = s.doc_id AND h.i BETWEEN s.j AND s.j + 3),
+      |sel AS (
+      |  SELECT doc_id, j, min(h) AS mh FROM win GROUP BY doc_id, j),
+      |pk AS (
+      |  SELECT w.doc_id, w.j, s.mh, max(w.i) AS pos
+      |  FROM win w JOIN sel s
+      |    ON w.doc_id = s.doc_id AND w.j = s.j AND w.h = s.mh
+      |  GROUP BY w.doc_id, w.j, s.mh),
+      |wfp AS (
+      |  SELECT DISTINCT doc_id, pos::BIGINT AS pos, mh AS hash FROM pk)""".stripMargin
+
+  /** Dedup.winnowPairs replayed relationally (minShared=2, maxHashDf=8)
+    * over `wfp`; ends with `kept`/`sizes`/`prs`.
+    */
+  private lazy val ClonePairCtes =
+    """fpd AS (SELECT DISTINCT doc_id, hash FROM wfp),
+      |hdf AS (SELECT hash FROM fpd GROUP BY hash HAVING count(*) <= 8),
+      |kept AS (
+      |  SELECT f.doc_id, f.hash FROM fpd f JOIN hdf r ON f.hash = r.hash),
+      |sizes AS (
+      |  SELECT doc_id, count(*)::BIGINT AS sz FROM kept GROUP BY doc_id),
+      |prs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*)::BIGINT AS shared
+      |  FROM kept a JOIN kept b
+      |    ON a.hash = b.hash AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Ground truth shared by q127/q127b: every line within 2 lines of a
+    * match, deduplicated by DISTINCT over the range join, flagged.
+    */
+  private lazy val GrepCtxOracle =
+    """WITH ml AS (
+      |  SELECT doc_id,
+      |    replace(coalesce(text, ''), ' ', chr(10)) AS content
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(content, chr(10))) AS line,
+      |    generate_subscripts(string_split(content, chr(10)), 1) AS line_no
+      |  FROM ml),
+      |matches AS (
+      |  SELECT doc_id, line_no FROM lines WHERE contains(line, 'tabl'))
+      |SELECT DISTINCT l.doc_id, l.line_no::BIGINT AS line_no, l.line,
+      |  contains(l.line, 'tabl') AS is_match
+      |FROM lines l JOIN matches m
+      |  ON l.doc_id = m.doc_id AND abs(l.line_no - m.line_no) <= 2
+      |ORDER BY l.doc_id, l.line_no""".stripMargin
 
   /** Ground truth shared by q105/q105b: the grep statistics as plain
     * string arithmetic over every containing doc.

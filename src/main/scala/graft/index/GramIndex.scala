@@ -195,6 +195,91 @@ object GramIndex {
     liveOnly(spark, dir, grepLines(cand, "docId", "__t", needle))
   }
 
+  /** grep -C: every line within `ctx` lines of a match — (docId, line_no,
+    * line, is_match), context lines flagged false, overlapping context
+    * regions deduplicated. One narrow per-row pass, LINEAR in file size:
+    * match positions are found by one scan of the line array, expanded to
+    * clamped ±ctx ranges, deduplicated and ordered IN ARRAY LAND, and
+    * only the kept lines are exploded — no window function, no shuffle,
+    * docs without a match vanish at the explode. `ctx = 0` degenerates to
+    * [[grepLines]] plus the flag column.
+    */
+  def grepLinesContext(docs: DataFrame, idCol: String, textCol: String,
+      needle: String, ctx: Int): DataFrame = {
+    require(needle.nonEmpty, "empty needle matches everything; refusing")
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val t = coalesce(col(textCol), lit(""))
+    val lines = split(t, "\n", -1)
+    val mpos = filter(sequence(lit(1), size(lines)),
+      i => contains(element_at(lines, i), lit(needle)))
+    val keep = array_sort(array_distinct(flatten(transform(mpos,
+      p => sequence(greatest(p - ctx, lit(1)),
+        least(p + ctx, size(lines)))))))
+    val rows = transform(keep, i => struct(
+      i.cast("long").as("line_no"),
+      element_at(lines, i).as("line"),
+      contains(element_at(lines, i), lit(needle)).as("is_match")))
+    docs.select(col(idCol).cast("long").as("docId"),
+        explode(rows).as("__r"))
+      .select(col("docId"), col("__r.line_no"), col("__r.line"),
+        col("__r.is_match"))
+  }
+
+  /** [[grepLinesContext]] riding the persisted index: only gram-plausible
+    * candidate docs have their line arrays built at all.
+    */
+  def grepLinesContextIndexed(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String, needle: String,
+      ctx: Int): DataFrame = {
+    val m = gramMeta(spark, dir)
+    val sel = rarestGrams(spark, dir, allGrams(needle, m.k), m.nShards,
+      MaxQueryGrams)
+    val base = docs.select(col(idCol).cast("long").as("docId"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val cand =
+      if (sel.isEmpty) base
+      else base.join(candidates(indexedPostings(spark, dir, sel, m.nShards),
+        sel), Seq("docId"), "left_semi")
+    liveOnly(spark, dir, grepLinesContext(cand, "docId", "__t", needle, ctx))
+  }
+
+  /** Corpus-scale literal sed: rewrite every occurrence of `needle` to
+    * `replacement` across the WHOLE corpus, with the persisted gram index
+    * bounding which rows ever evaluate the string scan — candidate docs
+    * take the `replace` projection, everything else streams through as an
+    * anti-join passthrough, so rewrite work is proportional to the
+    * PLAUSIBLE-MATCH set, not the corpus (the shape a secrets-removal or
+    * notice-update pass needs at 100 TB). Output: (docId, content) for
+    * every input row; ≡ `replace()` over every row (the index candidates
+    * are a superset of true matches, and replacing a non-match is the
+    * identity). Contract: the index at `dir` must cover every id in
+    * `docs` (same coverage contract as every other `*Indexed` read);
+    * tombstones are deliberately NOT applied — the output is a transform
+    * of the INPUT relation, not a search over live docs.
+    */
+  def rewriteIndexed(spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, needle: String,
+      replacement: String): DataFrame = {
+    require(needle.nonEmpty, "empty needle matches everything; refusing")
+    val m = gramMeta(spark, dir)
+    val sel = rarestGrams(spark, dir, allGrams(needle, m.k), m.nShards,
+      MaxQueryGrams)
+    val base = docs.select(col(idCol).cast("long").as("docId"),
+      coalesce(col(textCol), lit("")).as("content"))
+    if (sel.isEmpty)
+      base.select(col("docId"),
+        replace(col("content"), lit(needle), lit(replacement)).as("content"))
+    else {
+      val cand = candidates(indexedPostings(spark, dir, sel, m.nShards), sel)
+      val hit = base.join(cand, Seq("docId"), "left_semi")
+        .select(col("docId"),
+          replace(col("content"), lit(needle), lit(replacement))
+            .as("content"))
+      val pass = base.join(cand, Seq("docId"), "left_anti")
+      hit.unionByName(pass)
+    }
+  }
+
   // ---------------------------------------------------------------------
   // Persisted sharded layout
   // ---------------------------------------------------------------------

@@ -220,6 +220,152 @@ object CodeOps {
       .orderBy(col("weight").desc, col("n_defs").desc, col("id").asc)
 
   // ---------------------------------------------------------------------
+  // Code-shape quality statistics (the Codex / StarCoder admission filters)
+  // ---------------------------------------------------------------------
+
+  private def txt(text: Column): Column = coalesce(text, lit(""))
+
+  /** Physical line count (`split(…, -1)` keeps trailing empties, so an
+    * empty file is one empty line — matching `wc -l` + 1 semantics of
+    * newline-separated text).
+    */
+  def lineCount(text: Column): Column =
+    size(split(txt(text), "\n", -1))
+
+  /** Longest line, in characters. */
+  def maxLineLen(text: Column): Column =
+    array_max(transform(split(txt(text), "\n", -1), l => length(l)))
+
+  /** Mean line length, 6dp. Total line characters = `length(t) − (nLines
+    * − 1)` (every char except the separators), so no per-line pass is
+    * needed — one arithmetic expression both engines reproduce exactly.
+    */
+  def avgLineLen(text: Column): Column = {
+    val n = lineCount(text)
+    round((length(txt(text)) - n + 1).cast("double") / n.cast("double"), 6)
+  }
+
+  /** Fraction of characters that are ASCII alphanumeric, 6dp; 0 for the
+    * empty file. Minified blobs and binary-ish payloads score low on
+    * ALPHANUMERIC density only when symbol soup dominates — the Codex
+    * paper's "small percentage of alphanumeric characters" rule.
+    */
+  def alnumFrac(text: Column): Column = {
+    val t = txt(text)
+    when(length(t) === 0, lit(0.0)).otherwise(
+      round(length(regexp_replace(t, "[^A-Za-z0-9]", ""))
+        .cast("double") / length(t).cast("double"), 6))
+  }
+
+  /** Auto-generated-file marker: the conventional banner phrases, matched
+    * case-insensitively anywhere in the file ("Generated by protoc", "DO
+    * NOT EDIT", …). Generated code is near-duplicate boilerplate at
+    * corpus scale and is excluded from training mixes wholesale.
+    */
+  def autoGenerated(text: Column): Column = {
+    val t = lower(txt(text))
+    t.contains("generated by") || t.contains("do not edit") ||
+      t.contains("auto-generated") || t.contains("autogenerated")
+  }
+
+  /** The Codex-recipe code-shape admission filter (Chen et al. 2021 §3):
+    * reject files with a line longer than `maxLine`, mean line length
+    * over `maxAvg`, alphanumeric fraction under `minAlnum`, or an
+    * auto-generation banner. Pure per-row Column logic — a map-only pass
+    * at any corpus size.
+    */
+  def codeShapeOk(text: Column, maxLine: Int = 1000, maxAvg: Int = 100,
+      minAlnum: Double = 0.25): Column =
+    maxLineLen(text) <= maxLine && avgLineLen(text) <= maxAvg &&
+      alnumFrac(text) >= minAlnum && !autoGenerated(text)
+
+  // ---------------------------------------------------------------------
+  // Comment statistics
+  // ---------------------------------------------------------------------
+
+  /** Per-file comment/blank/code line counts and comment density, from
+    * one narrow line split (no regex — prefix tests on the trimmed line,
+    * so the expression stays cheap inside codegen and replays exactly in
+    * any engine). A line is a COMMENT line if its first non-blank chars
+    * are `//`, `#`, `--`, or `*` (block-comment body convention); BLANK
+    * if all-whitespace; CODE otherwise. `comment_frac` = comments /
+    * (comments + code), 6dp, 0 for files with neither.
+    *
+    * Comment density is a quality signal in both directions: ~0 on
+    * minified/generated blobs, ~1 on license-header-only stubs.
+    */
+  def commentStats(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val lines = split(txt(col(textCol)), "\n", -1)
+    def isComment(l: Column): Column = {
+      val s = ltrim(l)
+      s.startsWith("//") || s.startsWith("#") || s.startsWith("--") ||
+        s.startsWith("*")
+    }
+    def isBlank(l: Column): Column = trim(l) === ""
+    val nCom = size(filter(lines, l => isComment(l)))
+    val nBlank = size(filter(lines, l => isBlank(l) && !isComment(l)))
+    val nAll = size(lines)
+    docs.select(col(idCol).cast("long").as("id"),
+        nAll.cast("long").as("n_lines"),
+        nCom.cast("long").as("comment_lines"),
+        nBlank.cast("long").as("blank_lines"),
+        (nAll - nCom - nBlank).cast("long").as("code_lines"))
+      .withColumn("comment_frac",
+        when(col("comment_lines") + col("code_lines") === 0, lit(0.0))
+          .otherwise(round(col("comment_lines").cast("double") /
+            (col("comment_lines") + col("code_lines")).cast("double"), 6)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Blob-level dedup indexing (content-addressable corpus collapse)
+  // ---------------------------------------------------------------------
+
+  /** Collapse a fork-heavy file corpus to its DISTINCT content blobs —
+    * the content-addressable layout GitHub's code search indexes over
+    * (forks share almost every blob, so the searchable corpus is the
+    * distinct-blob set, 5–20× smaller than the file set at 10^12-file
+    * scale). Returns `(blobs, occ)`:
+    *
+    *   - `blobs(blob_id, sha, content)` — one row per distinct content,
+    *     canonical `blob_id` = min file id carrying that sha;
+    *   - `occ(sha, id, …metaCols)` — every (file, metadata) occurrence,
+    *     keyed by sha for hit expansion.
+    *
+    * Scale shape: the canonical-id aggregation shuffles only `(sha, id)`
+    * pairs — content BYTES never ride the dedup exchange; the canonical
+    * rows' content is fetched by one id-equi join against the original
+    * relation (each blob's bytes cross the wire once). Searching `blobs`
+    * then expanding hits through `occ` ≡ searching every file directly —
+    * the q122 gate pins that equivalence.
+    */
+  def blobDedup(files: DataFrame, idCol: String, contentCol: String,
+      metaCols: Seq[String]): (DataFrame, DataFrame) = {
+    val sha = sha2(txt(col(contentCol)), 256)
+    val withSha = files.select(
+      (col(idCol).cast("long").as("id") +: sha.as("sha") +:
+        metaCols.map(col)): _*)
+    val canon = withSha.groupBy(col("sha"))
+      .agg(min(col("id")).as("blob_id"))
+    val blobs = files.select(col(idCol).cast("long").as("blob_id"),
+        txt(col(contentCol)).as("content"))
+      .join(canon, Seq("blob_id"))
+      .select(col("blob_id"), col("sha"), col("content"))
+    (blobs, withSha)
+  }
+
+  /** Expand blob-level hits back to file occurrences: every extra hit
+    * column (score, line_no, …) is carried through. `hits` must be keyed
+    * by `blob_id`; the first join is hit-sized (top-k bounded in the
+    * search use), the occurrence join is sha-keyed — bucketed, never
+    * all-pairs.
+    */
+  def expandBlobHits(hits: DataFrame, blobs: DataFrame,
+      occ: DataFrame): DataFrame =
+    hits.join(blobs.select(col("blob_id"), col("sha")), Seq("blob_id"))
+      .join(occ, Seq("sha"))
+
+  // ---------------------------------------------------------------------
   // Repo-level fork detection (content-sha overlap)
   // ---------------------------------------------------------------------
 

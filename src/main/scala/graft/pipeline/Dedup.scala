@@ -222,6 +222,56 @@ object Dedup {
     * minhashes. Two documents collide in a band iff all rows of that band
     * agree — P[collide] = jaccard^(numHashes/bands) per band.
     */
+  /** Local clone-pair detection over robust winnowing fingerprints — the
+    * MOSS pair report (Schleimer et al. SIGMOD'03 §5): document pairs
+    * sharing ≥ `minShared` distinct winnow hashes, with the shared count
+    * and the containment-style overlap `shared / min(|A|, |B|)` (6dp).
+    * Winnowing selects POSITION-LOCAL hashes, so a shared fingerprint
+    * witnesses a shared ≥ n-token run — this catches copied PASSAGES
+    * (function-level clones) that whole-document Jaccard dilutes away,
+    * the complement of [[ngramJaccardPairs]].
+    *
+    * Scale shape, same as [[graft.pipeline.CodeOps.repoOverlap]] at
+    * fingerprint granularity: candidates come from the hash-keyed
+    * self-join (bucketed — only docs that actually share a fingerprint
+    * ever meet, never all-pairs); hashes in more than `maxHashDf` docs
+    * (ubiquitous boilerplate: license headers, import blocks) are
+    * pruned from candidate generation AND the size denominators,
+    * bounding per-key fan-out at `maxHashDf²`. Pruned-set semantics are
+    * deterministic and oracle-replayable.
+    */
+  def winnowPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 5, w: Int = 4,
+      minShared: Long = 2L, maxHashDf: Int = 1000): DataFrame = {
+    val fp = docs.select(col(idCol).cast("long").as("id"),
+        explode(TextPipeline.winnow(coalesce(col(textCol), lit("")), n, w))
+          .as("f"))
+      .select(col("id"), col("f.hash").as("h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rare = fp.groupBy(col("h")).agg(count(lit(1)).as("__hdf"))
+        .where(col("__hdf") <= maxHashDf).select(col("h"))
+      val kept = fp.join(rare, Seq("h"), "left_semi")
+      val sizes = kept.groupBy(col("id"))
+        .agg(count(lit(1)).cast("long").as("sz"))
+      val pairs = kept.as("a")
+        .join(kept.as("b"),
+          col("a.h") === col("b.h") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).cast("long").as("shared"))
+        .where(col("shared") >= minShared)
+      pairs
+        .join(sizes.select(col("id").as("id_a"), col("sz").as("sza")), "id_a")
+        .join(sizes.select(col("id").as("id_b"), col("sz").as("szb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("shared"),
+          round(col("shared").cast("double") /
+            least(col("sza"), col("szb")).cast("double"), 6).as("overlap"))
+        .localCheckpoint() // eager: materialize before the cache drops
+    } finally fp.unpersist()
+  }
+
   def lshBands(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int, bands: Int): DataFrame = {

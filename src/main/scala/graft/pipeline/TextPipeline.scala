@@ -149,6 +149,37 @@ object TextPipeline {
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingleSet(text, n), s => md5(s)))
 
+  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): over the POSITIONAL shingle-hash
+    * sequence h₁..hₘ, every window of `w` consecutive hashes selects its
+    * minimum (ties → the RIGHTMOST minimal position, the paper's rule),
+    * and the fingerprint is the distinct selected `(pos, hash)` pairs.
+    * Guarantees: any shared substring of ≥ w+n−1 tokens yields at least
+    * one shared fingerprint, and fingerprint density is ~2/(w+1) — the
+    * local, position-aware near-dup primitive (plagiarism / clone
+    * detection) that [[fingerprint]]'s single global minimum cannot give.
+    *
+    * Everything is array-level per row (shingle → md5 → window scan) —
+    * a map-only pass with no shuffle at any corpus size; the selected
+    * set is ~2m/(w+1) entries, so output bytes shrink with w. Documents
+    * shorter than w shingles winnow their whole (short) sequence as one
+    * window.
+    */
+  def winnow(text: Column, n: Int = 5, w: Int = 4): Column = {
+    val hs = transform(shingles(text, n), s => md5(s))
+    val m = size(hs)
+    val starts = sequence(lit(1), greatest(m - (w - 1), lit(1)))
+    val sel = transform(starts, j => {
+      val win = slice(hs, j, lit(w))
+      val mn = array_min(win)
+      // Left-to-right fold keeps the LAST matching offset → rightmost min.
+      val off = aggregate(sequence(lit(1), size(win)), lit(0),
+        (acc, i) => when(element_at(win, i) === mn, i).otherwise(acc))
+      struct((j + off - 1).cast("long").as("pos"), mn.as("hash"))
+    })
+    array_distinct(sel)
+  }
+
   /** Exact-identity content hash (the per-row identity anchor of the north
     * rule: sha256 of content — BASELINE.json input_hint).
     */

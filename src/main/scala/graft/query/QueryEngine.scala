@@ -789,6 +789,25 @@ object QueryEngine {
     */
   val CandidateInCap = 4096
 
+  /** Repository-grouped results (the GitHub-code-search "group by repo"
+    * SERP view): scored hits collapsed to one row per group — best score,
+    * the doc achieving it (min docId on score ties — deterministic), and
+    * the group's hit count — ranked (best_score desc, n_files desc, key).
+    * `hits` is a (docId, score) relation, top-k bounded by the caller, so
+    * the metadata join is hit-sized (broadcast) and the groupBy touches
+    * ≤ k rows; the corpus-sized `meta` relation is never shuffled. The
+    * argmax is one `max(struct(score, −docId))` — no window.
+    */
+  def groupHitsBy(hits: DataFrame, meta: DataFrame,
+      keyCol: String): DataFrame =
+    meta.join(broadcast(hits.select(col("docId"), col("score"))), "docId")
+      .groupBy(col(keyCol))
+      .agg(max(struct(col("score"), (-col("docId")).as("negId"))).as("__b"),
+        count(lit(1)).cast("long").as("n_files"))
+      .select(col(keyCol), col("__b.score").as("best_score"),
+        (-col("__b.negId")).cast("long").as("best_doc"), col("n_files"))
+      .orderBy(col("best_score").desc, col("n_files").desc, col(keyCol))
+
   /** Simple BM25F (Robertson & Zaragoza 2004/2009 §3.3, the "weighted
     * field concatenation" variant): per-field term frequencies and
     * lengths are combined with field weights BEFORE the BM25 saturation,

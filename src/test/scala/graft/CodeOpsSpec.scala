@@ -170,6 +170,77 @@ class CodeOpsSpec extends AnyFunSuite {
     assert(got == Seq((4L, 3, 2L), (2L, 3, 1L), (3L, 2, 2L), (1L, 2, 1L)))
   }
 
+  test("code-shape stats: line lengths, alnum fraction, autogen banner") {
+    val t = "short\n" + ("x" * 40) + "\n\nlast"
+    // lines: 5, 40, 0, 4 chars
+    assert(one(t, CodeOps.lineCount(col("text"))) == 4)
+    assert(one(t, CodeOps.maxLineLen(col("text"))) == 40)
+    // total chars = 5+40+0+4 = 49 = length(51) − 3 separators + 1 − 1
+    assert(one(t, CodeOps.avgLineLen(col("text"))) == 12.25)
+    assert(one("", CodeOps.lineCount(col("text"))) == 1)
+    assert(one("", CodeOps.maxLineLen(col("text"))) == 0)
+    assert(one("ab!?", CodeOps.alnumFrac(col("text"))) == 0.5)
+    assert(one("", CodeOps.alnumFrac(col("text"))) == 0.0)
+    assert(one("// Generated by protoc. DO NOT EDIT.\ncode",
+      CodeOps.autoGenerated(col("text"))) == true)
+    assert(one("// generator pattern implementation",
+      CodeOps.autoGenerated(col("text"))) == false)
+  }
+
+  test("codeShapeOk applies the Codex admission thresholds") {
+    def ok(t: String) = one(t, CodeOps.codeShapeOk(col("text")))
+    assert(ok("def f(x):\n    return x + 1\n") == true)
+    assert(ok("minified" + "x" * 1001) == false) // line > 1000
+    assert(ok(("y" * 150 + "\n") * 3) == false) // avg line > 100
+    assert(ok("!@#$%^&*()!@#$%^&*()ab") == false) // alnum < 0.25
+    assert(ok("ok code\n// DO NOT EDIT\nmore") == false) // autogen banner
+  }
+
+  test("commentStats counts comment/blank/code lines and density") {
+    val docs = Seq(
+      (1L, "// header\npackage x\n\n  # note\ncode();\n-- sql\n * doc body"),
+      (2L, "only code"),
+      (3L, "// all\n# comments"),
+      (4L, "\n\n"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = CodeOps.commentStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // doc 1: 7 lines = 4 comment (//, #, --, *) + 1 blank + 2 code
+    assert(got(1L) == ((7L, 4L, 1L, 2L, 0.666667)))
+    assert(got(2L) == ((1L, 0L, 0L, 1L, 0.0)))
+    assert(got(3L) == ((2L, 2L, 0L, 0L, 1.0)))
+    assert(got(4L) == ((3L, 0L, 3L, 0L, 0.0))) // neither → frac 0
+    assert(got(5L) == ((1L, 0L, 1L, 0L, 0.0))) // null → one blank line
+  }
+
+  test("blobDedup collapses to distinct blobs; hit expansion ≡ direct search") {
+    val files = Seq(
+      (1L, "r1", "a.txt", "shared payload alpha"),
+      (2L, "r1", "b.txt", "unique beta"),
+      (3L, "r2", "a.txt", "shared payload alpha"), // fork copy
+      (4L, "r2", "c.txt", "shared payload alpha"), // same blob again
+      (5L, "r3", "d.txt", "unique gamma alpha")
+    ).toDF("id", "repo", "path", "content")
+    val (blobs, occ) = CodeOps.blobDedup(files, "id", "content",
+      Seq("repo", "path"))
+    val b = blobs.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // 3 distinct contents; canonical id = min id per sha
+    assert(b == Map(1L -> "shared payload alpha", 2L -> "unique beta",
+      5L -> "unique gamma alpha"))
+    assert(occ.count() == 5)
+    // search the BLOB relation, expand → every file occurrence
+    val hits = blobs.where(col("content").contains("alpha"))
+      .select(col("blob_id"), lit(1.0).as("score"))
+    val expanded = CodeOps.expandBlobHits(hits, blobs, occ)
+      .select(col("repo"), col("path"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(expanded == Set(("r1", "a.txt"), ("r2", "a.txt"),
+      ("r2", "c.txt"), ("r3", "d.txt")))
+  }
+
   test("repoOverlap finds fork pairs; ubiquitous blobs are pruned from candidates") {
     val files = Seq(
       // r1 and r2 share two blobs (fork pair); r3 shares only one with r1

@@ -346,4 +346,70 @@ class GramIndexSpec extends AnyFunSuite {
     assert(norm(GramIndex.grepLinesIndexed(spark, dir, ml, "doc_id",
       "text", "table")).map(_._1).toSet == Set(1L))
   }
+
+  test("grepLinesContext: ±ctx windows, clamped, merged, flagged; indexed ≡ transform") {
+    val sp = spark
+    import sp.implicits._
+    val ml = Seq(
+      // matches at lines 2 and 8 of 10; ctx=2 → keep 1-4 and 6-10
+      (1L, "l1\nhit a\nl3\nl4\nl5\nl6\nl7\nhit b\nl9\nl10"),
+      // match on line 1: window clamps at the file start
+      (2L, "hit start\nl2\nl3\nl4"),
+      // adjacent matches: overlapping windows merge, no duplicate rows
+      (3L, "l1\nhit\nhit\nl4"),
+      (4L, "no match here")
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getBoolean(3))).toSeq.sorted
+    val got = rows(GramIndex.grepLinesContext(ml, "doc_id", "text", "hit", 2))
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._4)) ==
+      Seq((1L, false), (2L, true), (3L, false), (4L, false),
+        (6L, false), (7L, false), (8L, true), (9L, false), (10L, false)))
+    assert(got.filter(_._1 == 2L).map(t => (t._2, t._4)) ==
+      Seq((1L, true), (2L, false), (3L, false)))
+    assert(got.filter(_._1 == 3L).map(t => (t._2, t._4)) ==
+      Seq((1L, false), (2L, true), (3L, true), (4L, false)))
+    assert(!got.exists(_._1 == 4L))
+    // ctx = 0 degenerates to grepLines plus the flag
+    val z = rows(GramIndex.grepLinesContext(ml, "doc_id", "text", "hit", 0))
+    assert(z.forall(_._4) && z.map(t => (t._1, t._2)) ==
+      Seq((1L, 2L), (1L, 8L), (2L, 1L), (3L, 2L), (3L, 3L)))
+    // indexed twin ≡ transform; tombstoned doc excluded
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-ctx").toString
+    GramIndex.build(ml, "doc_id", "text", dir, k = 3, nShards = 4)
+    assert(rows(GramIndex.grepLinesContextIndexed(spark, dir, ml, "doc_id",
+      "text", "hit", 2)) == got)
+    GramIndex.delete(Seq(1L).toDF("docId"), dir)
+    assert(rows(GramIndex.grepLinesContextIndexed(spark, dir, ml, "doc_id",
+      "text", "hit", 2)).map(_._1).toSet == Set(2L, 3L))
+  }
+
+  test("rewriteIndexed ≡ replace everywhere; non-candidates pass through untouched") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "uses oldName twice: oldName"),
+      (2L, "no occurrence at all"),
+      (3L, "oldNameoldName adjacent"),
+      (4L, "prefix oldNam but never the full token")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-rw").toString
+    GramIndex.build(docs, "doc_id", "text", dir, k = 3, nShards = 4)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = m(GramIndex.rewriteIndexed(spark, dir, docs, "doc_id", "text",
+      "oldName", "newName"))
+    val want = m(docs.select(col("doc_id").cast("long").as("docId"),
+      replace(col("text"), lit("oldName"), lit("newName")).as("content")))
+    assert(got == want)
+    assert(got(2L) == "no occurrence at all") // identity on the passthrough
+    assert(got(3L) == "newNamenewName adjacent")
+    // short needle (< k): full-scan fallback still ≡ replace everywhere
+    val short = m(GramIndex.rewriteIndexed(spark, dir, docs, "doc_id",
+      "text", "ol", "OL"))
+    val wantShort = m(docs.select(col("doc_id").cast("long").as("docId"),
+      replace(col("text"), lit("ol"), lit("OL")).as("content")))
+    assert(short == wantShort)
+  }
 }

@@ -1447,4 +1447,74 @@ class PipelineSpec extends AnyFunSuite {
       SnapshotOps.latestSnapshot(files, Seq("repo"), "nope")
     }
   }
+
+  test("winnowPairs finds planted clone passages; boilerplate prune; exact dup overlap 1.0") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, "unique one " + passage + " trailing words here"),
+      (2L, "other prefix text " + passage + " different tail entirely"),
+      (3L, "completely unrelated content with no overlap at all whatsoever"),
+      (4L, "more unrelated words that never match anything else anywhere")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowPairs(docs, "doc_id", "text", n = 3, w = 4,
+        minShared = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSet == Set((1L, 2L)))
+    assert(got.head._3 >= 2L && got.head._4 > 0.0 && got.head._4 <= 1.0)
+    // exact duplicates share every fingerprint → overlap exactly 1.0
+    val dups = Seq((1L, passage + " " + passage), (2L, passage + " " + passage))
+      .toDF("doc_id", "text")
+    val d = Dedup.winnowPairs(dups, "doc_id", "text", n = 3, w = 4,
+      minShared = 1L).head()
+    assert(d.getDouble(3) == 1.0)
+    // a hash present in more docs than maxHashDf carries no clone signal:
+    // five copies of one text, cap 4 → every hash pruned → no pairs
+    val boiler = (1L to 5L).map(i => (i, "common header " + passage))
+      .toDF("doc_id", "text")
+    assert(Dedup.winnowPairs(boiler, "doc_id", "text", n = 3, w = 4,
+      minShared = 1L, maxHashDf = 4).count() == 0)
+    assert(Dedup.winnowPairs(boiler, "doc_id", "text", n = 3, w = 4,
+      minShared = 1L, maxHashDf = 5).count() == 10) // all C(5,2) pairs
+  }
+
+  test("winnow ≡ driver-side reference incl. rightmost-tie and short docs") {
+    // driver-side reference: the SIGMOD'03 algorithm as plain loops
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(
+        s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def ref(text: String, n: Int, w: Int): Set[(Long, String)] = {
+      val toks = graft.analysis.Analyzer.tokenize(text)
+      val sh = if (toks.size < n) Seq(toks.mkString(" "))
+        else toks.sliding(n).map(_.mkString(" ")).toSeq
+      val hs = sh.map(md5hex)
+      val starts = 1 to math.max(hs.size - (w - 1), 1)
+      starts.map { j =>
+        val win = hs.slice(j - 1, j - 1 + w)
+        val mn = win.min
+        val off = win.lastIndexOf(mn) // rightmost minimal
+        ((j + off).toLong, mn)
+      }.toSet
+    }
+    val texts = Seq(
+      1L -> base,
+      2L -> "x y x y x y x y", // duplicate shingles → hash ties in-window
+      3L -> "a b c", // fewer shingles than w
+      4L -> "one two", // fewer tokens than n → single whole-text shingle
+      5L -> "")
+    val df = texts.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        explode(TextPipeline.winnow(col("text"), 2, 4)).as("f"))
+      .select(col("doc_id"), col("f.pos"), col("f.hash"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getString(2))).toSet)
+      .toMap
+    for ((id, t) <- texts)
+      assert(got(id) == ref(t, 2, 4), s"doc $id")
+    // guarantee: two docs sharing a ≥ w+n−1-token run share a fingerprint
+    val shared = "alpha beta gamma delta epsilon" // 5 tokens = w+n−1
+    val a = ref("xx yy " + shared + " zz", 2, 4).map(_._2)
+    val b = ref("qq " + shared + " rr ss tt", 2, 4).map(_._2)
+    assert(a.intersect(b).nonEmpty)
+  }
 }

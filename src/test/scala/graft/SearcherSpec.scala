@@ -375,6 +375,27 @@ class SearcherSpec extends AnyFunSuite {
     assert(fc == Map("web" -> 1L, "code" -> 1L))
   }
 
+  test("groupHitsBy collapses hits per repo: best score, argmax doc, counts") {
+    val sp = spark
+    import sp.implicits._
+    val hits = Seq((1L, 3.0), (2L, 5.0), (3L, 5.0), (4L, 1.0))
+      .toDF("docId", "score")
+    val meta = Seq((1L, "rA"), (2L, "rA"), (3L, "rB"), (4L, "rC"),
+      (9L, "rD")).toDF("docId", "repo")
+    val got = QueryEngine.groupHitsBy(hits, meta, "repo")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // rA best 5.0 via doc 2 (not 1), 2 files; rB ties rA's best score →
+    // fewer files ranks after; rD has no hits and must not appear
+    assert(got == Seq(("rA", 5.0, 2L, 2L), ("rB", 5.0, 3L, 1L),
+      ("rC", 1.0, 4L, 1L)))
+    // score tie within a group → min docId wins the argmax
+    val tied = Seq((7L, 2.0), (5L, 2.0)).toDF("docId", "score")
+    val m2 = Seq((5L, "r"), (7L, "r")).toDF("docId", "repo")
+    val one = QueryEngine.groupHitsBy(tied, m2, "repo").head()
+    assert(one.getLong(2) == 5L && one.getLong(3) == 2L)
+  }
+
   test("bm25F: field weights boost title hits before saturation, hand-checked") {
     val sp = spark
     import sp.implicits._
