@@ -4614,6 +4614,167 @@ object GateQueries {
              |  (id = min(r)) AS keep
              |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)),
 
+    // Phrase autocomplete from the nextword accelerator: top-10
+    // continuations of "spark" by bigram doc frequency, served from the
+    // armed sidecar's bigram df-STATS tables alone (no postings). The
+    // oracle rebuilds bigram document frequencies from raw adjacency.
+    Gate("q131_nextword_suggest",
+      (s, d) => graft.index.PositionalIndex.nextwordSuggest(
+        s, nwPosIndexDir(s, d), "spark", 10),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |bg AS (
+             |  SELECT DISTINCT t1.doc_id, t2.term AS next_term
+             |  FROM tokpos t1 JOIN tokpos t2
+             |    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+             |  WHERE t1.term = 'spark')
+             |SELECT next_term, count(*)::BIGINT AS df
+             |FROM bg GROUP BY next_term
+             |ORDER BY df DESC, next_term LIMIT 10""".stripMargin)),
+
+    // SERP near-dup collapse (predecessor rule): a deterministic ranked
+    // list over a derivation where ids equal mod 100 share the SAME
+    // simhash (sketch of the shared source doc), ham ≤ 3 → the
+    // lower-ranked copies drop. The oracle replays the bounded
+    // dominated-by-higher self-join over the q23 simhash CTEs.
+    Gate("q132_serp_collapse",
+      (s, d) => {
+        val docs = documents(s, d)
+        val hits = docs.select(col("doc_id").as("docId"),
+            ((col("doc_id") * 37) % 100).cast("double").as("score"))
+          .orderBy(col("score").desc, col("docId").asc).limit(40)
+        val sims = docs.select(col("doc_id").as("docId"),
+            (col("doc_id") % 100).as("__src"))
+          .join(docs.select(col("doc_id").as("__src"),
+            Dedup.simhash64(col("text")).as("simhash")), "__src")
+          .select(col("docId"), col("simhash"))
+        QueryEngine.collapseSimilarHits(hits, sims, maxHamming = 3)
+          .select(col("docId").as("doc_id"), col("score"))
+      },
+      Some(s"""WITH $SimhashCtes,
+             |hits AS (
+             |  SELECT doc_id, ((doc_id * 37) % 100)::DOUBLE AS score
+             |  FROM documents ORDER BY score DESC, doc_id ASC LIMIT 40),
+             |sims AS (
+             |  SELECT d.doc_id, s.simhash FROM documents d
+             |  JOIN sh s ON s.doc_id = d.doc_id % 100),
+             |j AS (
+             |  SELECT h.doc_id, h.score, s2.simhash
+             |  FROM hits h JOIN sims s2 ON s2.doc_id = h.doc_id),
+             |dropped AS (
+             |  SELECT DISTINCT a.doc_id FROM j a JOIN j b
+             |    ON (b.score > a.score OR
+             |        (b.score = a.score AND b.doc_id < a.doc_id))
+             |    AND bit_count(xor(a.simhash, b.simhash)) <= 3)
+             |SELECT doc_id, score FROM j
+             |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+             |ORDER BY score DESC, doc_id""".stripMargin)),
+
+    // Per-doc content novelty vs the id-ordered corpus: fraction of a
+    // doc's distinct shingles FIRST seen in that doc (min-doc-id
+    // attribution) — the dedup-aware mixing signal, one shingle agg +
+    // one doc agg, no pairwise comparison.
+    Gate("q133_novelty",
+      (s, d) => TextPipeline.noveltyRate(documents(s, d), "doc_id",
+          "text", n = 3)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_novel"),
+          col("novelty"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH ${shingleIdxCte(3)},
+             |fo AS (
+             |  SELECT shingle, min(doc_id) AS first_id
+             |  FROM sidx GROUP BY shingle),
+             |agg AS (
+             |  SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+             |    sum(CASE WHEN f.first_id = s.doc_id THEN 1 ELSE 0 END)
+             |      ::BIGINT AS n_novel
+             |  FROM sidx s JOIN fo f ON s.shingle = f.shingle
+             |  GROUP BY s.doc_id)
+             |SELECT doc_id, n_shingles, n_novel,
+             |  round(n_novel::DOUBLE / n_shingles::DOUBLE, 6) AS novelty
+             |FROM agg ORDER BY doc_id""".stripMargin)),
+
+    // Path glob search (the `file:` filter): glob → anchored
+    // RE2-portable regex; the oracle's regex is generated FROM the
+    // engine's translator so the two can never drift.
+    Gate("q134_path_glob",
+      (s, d) => {
+        val files = documents(s, d).select(col("doc_id"),
+          concat(lit("src/"), col("lang"), lit("/f"),
+            col("doc_id").cast("string"),
+            when(col("doc_id") % 2 === 0, ".py").otherwise(".txt"))
+            .as("path"))
+        CodeOps.pathGlobFilter(files, "path", "src/*/f*.py")
+          .orderBy(col("doc_id"))
+      },
+      Some {
+        val re = CodeOps.globToRegex("src/*/f*.py")
+        s"""WITH files AS (
+           |  SELECT doc_id, 'src/' || lang || '/f' || doc_id ||
+           |    CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.txt' END AS path
+           |  FROM documents)
+           |SELECT doc_id, path FROM files
+           |WHERE regexp_matches(path, '$re')
+           |ORDER BY doc_id""".stripMargin
+      }),
+
+    // Top-quantile selection WITHOUT a global sort: keep docs at or
+    // above the exact interpolated 0.8-quantile of 6dp quality — one
+    // aggregation + broadcast threshold + filter (the 100 TB shape for
+    // "top 20% by quality"; orderBy+limit would TakeOrdered the corpus).
+    Gate("q135_top_quantile",
+      (s, d) => TextPipeline.selectTopQuantile(
+          documents(s, d).select(col("doc_id"),
+            TextPipeline.qualityScore(col("text")).as("quality")),
+          "quality", 0.2)
+        .orderBy(col("doc_id")),
+      Some(s"""WITH $DocFeatCtes,
+             |thr AS (SELECT quantile_cont(quality, 0.8) AS t FROM docfeat)
+             |SELECT doc_id, quality FROM docfeat CROSS JOIN thr
+             |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin)),
+
+    // Chunk→doc embedding mean-pooling, dumped in long form (key, pos,
+    // v): elements 6dp-scaled to BIGINT, summed exactly, mean rounded
+    // by INTEGER half-away division (s/n lands on half-micro boundaries
+    // where the engines' double round() disagrees by an ulp), so both
+    // engines pool bit-identically.
+    Gate("q136_meanpool_embeddings",
+      (s, d) => Similarity.meanPoolEmbeddings(
+          embeddings(s, d).select((col("vec_id") % 100).as("key"),
+            col("embedding")),
+          "key", "embedding")
+        .select(col("key").cast("long").as("key"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("key"), col("pos").cast("long").as("pos"), col("v"))
+        .orderBy(col("key"), col("pos")),
+      Some("""WITH ch AS (
+             |  SELECT vec_id % 100 AS key, embedding FROM embeddings),
+             |el AS (
+             |  SELECT key, generate_subscripts(embedding, 1) - 1 AS pos,
+             |    unnest(embedding) AS v
+             |  FROM ch),
+             |sm AS (
+             |  SELECT key, pos,
+             |    sum(CAST(round(CAST(v AS DOUBLE) * 1000000.0, 0) AS BIGINT))
+             |      AS s,
+             |    count(*)::BIGINT AS n
+             |  FROM el GROUP BY key, pos),
+             |mm AS (
+             |  SELECT key, pos,
+             |    CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+             |         ELSE -((-2 * s + n) // (2 * n)) END AS m
+             |  FROM sm)
+             |SELECT key::BIGINT AS key, pos::BIGINT AS pos,
+             |  CAST(m AS DOUBLE) / 1000000.0 AS v
+             |FROM mm ORDER BY key, pos""".stripMargin)),
+
     // grep -C 2: matching lines plus their clamped, merged context
     // windows, context flagged false — transform and indexed twins share
     // one oracle.

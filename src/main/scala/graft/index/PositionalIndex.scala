@@ -768,6 +768,42 @@ object PositionalIndex {
       .agg(sort_array(collect_list(col("pos"))).as("positions"))
   }
 
+  /** Phrase autocomplete from the nextword accelerator: the top-k
+    * next-word continuations of `prev`'s LAST token, ranked by bigram
+    * DOCUMENT frequency (df desc, term asc — typeahead's rule at bigram
+    * granularity). Reads ONLY the armed segments' bigram df-stats
+    * tables — one row per distinct bigram, metadata-scale; postings are
+    * never touched — so a suggestion probe costs a stats scan, not an
+    * index query. Unarmed segments contribute nothing (callers wanting
+    * full coverage run [[buildNextword]] first; [[nextwordFresh]]
+    * probes). Like typeahead, tombstoned docs still count: df is a
+    * ranking signal, refreshed by compaction.
+    */
+  def nextwordSuggest(spark: SparkSession, dir: String, prev: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    require(k > 0, s"k must be positive, got $k")
+    val empty = Seq.empty[(String, Long)].toDF("next_term", "df")
+    graft.analysis.Analyzer.tokenize(prev).lastOption match {
+      case None => empty
+      case Some(p) =>
+        val armed = segDirs(dir).filter(hasNextword)
+        if (armed.isEmpty) empty
+        else
+          armed.map(seg =>
+              spark.read.parquet(dfStatsDir(nextwordDir(seg)))
+                .select(col("term"), col("df")))
+            .reduce(_ unionByName _)
+            .where(col("term").startsWith(p + " "))
+            .groupBy(col("term"))
+            .agg(sum(col("df")).cast("long").as("df"))
+            .select(substring_index(col("term"), " ", -1).as("next_term"),
+              col("df"))
+            .orderBy(col("df").desc, col("next_term").asc)
+            .limit(k)
+    }
+  }
+
   /** True iff EVERY committed segment is armed — i.e. phrase queries run
     * fully accelerated, with no unigram mixing. Metadata existence
     * checks only, no job. (Partial arming still accelerates: armed

@@ -318,6 +318,44 @@ object CodeOps {
   }
 
   // ---------------------------------------------------------------------
+  // Path glob search (the `file:` filter of a code-search frontend)
+  // ---------------------------------------------------------------------
+
+  /** Translate a shell glob over slash-separated paths into an anchored,
+    * RE2-portable regex (no backtracking constructs, so Java regex and
+    * RE2/DuckDB agree): `**` crosses directory separators, `*` and `?`
+    * do not (`[^/]*` / `[^/]`), every other char is escaped as a
+    * literal. The standard gitignore/Zoekt `file:` semantics.
+    */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
+          sb.append(".*"); i += 1
+        case '*' => sb.append("[^/]*")
+        case '?' => sb.append("[^/]")
+        case c if "\\.[]{}()+^$|".indexOf(c) >= 0 =>
+          sb.append('\\').append(c)
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append("$").toString
+  }
+
+  /** Rows whose `pathCol` matches the glob — one codegen'd `rlike`
+    * filter; on a path-sorted parquet layout the anchored literal prefix
+    * (everything before the first wildcard) is additionally sargable as
+    * a range predicate, which a caller can pre-apply for row-group
+    * pruning.
+    */
+  def pathGlobFilter(files: DataFrame, pathCol: String,
+      glob: String): DataFrame =
+    files.where(col(pathCol).rlike(globToRegex(glob)))
+
+  // ---------------------------------------------------------------------
   // Blob-level dedup indexing (content-addressable corpus collapse)
   // ---------------------------------------------------------------------
 

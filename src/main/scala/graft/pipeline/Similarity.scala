@@ -16,6 +16,41 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Chunk→document embedding pooling: the element-wise MEAN of each
+    * group's vectors (the standard long-document recipe — embed chunks,
+    * pool to one document vector). Determinism is engineered ENTIRELY
+    * in integer space: each element is 6dp-scaled to a BIGINT
+    * (round(v·10⁶) — exact; a double sum would vary with partition
+    * order), summed exactly, and the mean is rounded to micro-units by
+    * INTEGER half-away-from-zero division — never a double `round()`,
+    * because s/n lands exactly on half-micro boundaries where Spark's
+    * BigDecimal HALF_UP and DuckDB's multiply-round-divide disagree by
+    * one ulp (observed at sf0.1; a DECIMAL(38,12) sum fails the same
+    * way through its not-correctly-rounded double cast). The final
+    * micro→double division of an exact small integer is deterministic
+    * in any engine. Output: (key, embedding), dimensions in order.
+    *
+    * Scale shape: one narrow dim-explode then two map-combined
+    * aggregations — (key, pos) mean, then per-key array reassembly; no
+    * vector ever crosses the wire whole until the bounded final group.
+    */
+  def meanPoolEmbeddings(chunks: DataFrame, keyCol: String,
+      vecCol: String): DataFrame =
+    chunks.select(col(keyCol).as("key"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("key"), col("pos"),
+        round(col("v").cast("double") * 1000000.0, 0).cast("long").as("iv"))
+      .groupBy(col("key"), col("pos"))
+      .agg(sum(col("iv")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__mm", expr(
+        "CASE WHEN __s >= 0 THEN (2 * __s + __n) div (2 * __n) " +
+          "ELSE -((-2 * __s + __n) div (2 * __n)) END"))
+      .select(col("key"), col("pos"),
+        (col("__mm").cast("double") / 1000000.0).as("m"))
+      .groupBy(col("key"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        e => e.getField("m")).as("embedding"))
+
   private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
 
   /** Sequential-sum dot product of two float-array columns. */

@@ -185,6 +185,52 @@ object TextPipeline {
     */
   def contentSha(text: Column): Column = sha2(text, 256)
 
+  /** Per-doc content NOVELTY against the id-ordered corpus: the fraction
+    * of a document's distinct n-gram shingles whose FIRST occurrence
+    * (min doc id over all docs containing the shingle) is the document
+    * itself. Crawl-ordered corpora use this as the dedup-aware mixing
+    * signal — a later near-copy scores ~0 without any pairwise
+    * comparison, and boilerplate-heavy docs score low against the whole
+    * corpus at once. Output: (id, n_shingles, n_novel, novelty 6dp).
+    *
+    * Scale shape: one shingle-keyed aggregation for first-occurrence
+    * attribution + one id-keyed aggregation — both map-combined; the
+    * join is shingle-bucketed, never all-pairs. Contrast
+    * [[graft.pipeline.Dedup.winnowPairs]]: novelty is a per-DOC scalar
+    * in two exchanges, not a pair report.
+    */
+  def noveltyRate(docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val idx = Dedup.shingleIndex(docs, idCol, textCol, n)
+    val first = idx.groupBy(col("shingle")).agg(min(col("id")).as("__first"))
+    idx.join(first, "shingle")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum(when(col("__first") === col("id"), 1L).otherwise(0L))
+          .cast("long").as("n_novel"))
+      .withColumn("novelty", round(col("n_novel").cast("double") /
+        col("n_shingles").cast("double"), 6))
+  }
+
+  /** Top-quantile corpus selection WITHOUT a global sort: keep every row
+    * whose `scoreCol` is at or above the exact interpolated
+    * (1 − frac)-quantile — one tiny aggregation, one broadcast scalar,
+    * one filter. This is how a "top 20% by quality" cut must run at
+    * 100 TB: the orderBy+limit formulation is a global TakeOrdered over
+    * the corpus, while the threshold form never moves a row. Ties at
+    * the threshold are kept, so the cut is deterministic and
+    * engine-reproducible on 6dp-rounded scores; output size is ≥ frac·N
+    * under ties, not exactly frac·N.
+    */
+  def selectTopQuantile(docs: DataFrame, scoreCol: String,
+      frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
+    if (frac == 1.0) return docs
+    val thr = docs
+      .agg(expr(s"percentile($scoreCol, ${1.0 - frac})")).head().getDouble(0)
+    docs.where(col(scoreCol) >= thr)
+  }
+
   // ---------------------------------------------------------------------
   // Repetition (Gopher-style quality rules — Rae et al. 2021)
   // ---------------------------------------------------------------------

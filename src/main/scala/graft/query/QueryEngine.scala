@@ -798,6 +798,34 @@ object QueryEngine {
     * ≤ k rows; the corpus-sized `meta` relation is never shuffled. The
     * argmax is one `max(struct(score, −docId))` — no window.
     */
+  /** SERP near-duplicate collapse: drop any hit whose sketch is within
+    * `maxHamming` bits of a HIGHER-ranked hit (rank = score desc, docId
+    * asc). This is the PREDECESSOR rule, not MOSS/Lucene's greedy
+    * leader walk: a hit is dropped if ANY higher hit is similar, kept
+    * or not — on a chain A~B~C (A≁C) greedy keeps C, this rule drops
+    * it. Chosen deliberately: the rule is relational (one bounded
+    * self-join — exact at any scale with no driver-side sequencing),
+    * deterministic, and strictly more aggressive, which is the safe
+    * direction for result diversity. `hits` is (docId, score), top-k
+    * bounded by the caller; `sims` maps docId → 64-bit sketch
+    * ([[graft.pipeline.Dedup.simhash64]]). Output: surviving hits,
+    * (score desc, docId) order.
+    */
+  def collapseSimilarHits(hits: DataFrame, sims: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val h = hits.select(col("docId"), col("score"))
+      .join(broadcast(sims.select(col("docId"), col("simhash"))), "docId")
+    val higher = col("b.score") > col("a.score") ||
+      (col("b.score") === col("a.score") && col("b.docId") < col("a.docId"))
+    val near = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <=
+      maxHamming
+    val dropped = h.as("a").join(h.as("b"), higher && near, "left_semi")
+      .select(col("docId"))
+    hits.join(dropped, Seq("docId"), "left_anti")
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
   def groupHitsBy(hits: DataFrame, meta: DataFrame,
       keyCol: String): DataFrame =
     meta.join(broadcast(hits.select(col("docId"), col("score"))), "docId")

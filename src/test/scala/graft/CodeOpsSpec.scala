@@ -216,6 +216,32 @@ class CodeOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 0L, 1L, 0L, 0.0))) // null → one blank line
   }
 
+  test("globToRegex: * stops at /, ** crosses, ? single non-slash, literals escaped") {
+    def m(glob: String, path: String): Boolean =
+      path.matches(CodeOps.globToRegex(glob))
+    assert(m("a/*.txt", "a/b.txt"))
+    assert(!m("a/*.txt", "a/b/c.txt")) // * must not cross the separator
+    assert(!m("a/*.txt", "a/b.txtx")) // anchored at the end
+    assert(!m("a/*.txt", "xa/b.txt")) // anchored at the start
+    assert(m("**/*.py", "deep/nested/dir/f.py")) // ** crosses
+    assert(m("src/**", "src/a/b/c"))
+    assert(m("f?.py", "f1.py"))
+    assert(!m("f?.py", "f/.py")) // ? is non-slash
+    assert(!m("f?.py", "f12.py")) // exactly one char
+    assert(m("a.b", "a.b"))
+    assert(!m("a.b", "axb")) // dot is literal, not regex-any
+    assert(m("v(1)+[x]", "v(1)+[x]")) // regex metachars escaped
+    val sp = spark
+    import sp.implicits._
+    val files = Seq((1L, "src/en/f1.py"), (2L, "src/de/f2.txt"),
+      (3L, "src/en/sub/f3.py"), (4L, "lib/en/f4.py"))
+      .toDF("doc_id", "path")
+    assert(CodeOps.pathGlobFilter(files, "path", "src/*/f*.py")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(CodeOps.pathGlobFilter(files, "path", "**/*.py")
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 3L, 4L))
+  }
+
   test("blobDedup collapses to distinct blobs; hit expansion ≡ direct search") {
     val files = Seq(
       (1L, "r1", "a.txt", "shared payload alpha"),

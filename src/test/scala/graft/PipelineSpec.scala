@@ -1448,6 +1448,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("noveltyRate: copies score 0, originals 1, partial copies in between") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, a), // original → all shingles first here
+      (2L, a), // exact copy → nothing novel
+      (3L, a + " " + b), // half novel: a-shingles seen, b-shingles + seam new
+      (4L, "entirely fresh content never repeated anywhere")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.noveltyRate(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L)._3 == 1.0)
+    assert(got(2L) == ((got(1L)._1, 0L, 0.0)))
+    assert(got(3L)._3 > 0.0 && got(3L)._3 < 1.0)
+    assert(got(4L)._3 == 1.0)
+  }
+
+  test("selectTopQuantile keeps scores at/above the exact threshold, ties included") {
+    val docs = (1L to 10L).map(i => (i, (i % 5).toDouble))
+      .toDF("doc_id", "score") // scores 0,1,2,3,4 twice each
+    // frac 0.2 → threshold = 0.8-quantile of (0..4 ×2) = 3.2 → keep score 4
+    val top = TextPipeline.selectTopQuantile(docs, "score", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(top == Set(4L, 9L))
+    // threshold landing ON a value keeps ALL its ties: frac 0.5 →
+    // 0.5-quantile of the ten scores = 2.0 → six rows (2,3,4 ×2)
+    val half = TextPipeline.selectTopQuantile(docs, "score", 0.5)
+    assert(half.count() == 6)
+    // frac 1.0 is the identity
+    assert(TextPipeline.selectTopQuantile(docs, "score", 1.0).count() == 10)
+    intercept[IllegalArgumentException] {
+      TextPipeline.selectTopQuantile(docs, "score", 0.0)
+    }
+  }
+
+  test("meanPoolEmbeddings: hand-computed means, dimension order, partition-proof") {
+    val chunks = Seq(
+      ("d1", Seq(1.0f, 2.0f, 30.0f)),
+      ("d1", Seq(3.0f, 2.0f, 10.0f)),
+      ("d2", Seq(5.0f, 0.0f, 1.0f))
+    ).toDF("key", "vec").repartition(7) // scramble partitioning
+    val got = Similarity.meanPoolEmbeddings(chunks, "key", "vec")
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("d1") == Seq(2.0, 2.0, 20.0))
+    assert(got("d2") == Seq(5.0, 0.0, 1.0))
+  }
+
   test("winnowPairs finds planted clone passages; boilerplate prune; exact dup overlap 1.0") {
     val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(

@@ -155,6 +155,32 @@ class PositionalIndexSpec extends AnyFunSuite {
     assert(search("beta gamma") == Map.empty[Long, Long])
   }
 
+  test("nextwordSuggest: continuations by bigram df; last token; unarmed → empty") {
+    val docs = modelDocs(Seq(
+      (1L, "", "spark table join spark table"),
+      (2L, "", "spark table spark stream"),
+      (3L, "", "spark stream processing"),
+      (4L, "", "no relevant words here")))
+    val dir = Files.createTempDirectory("graft-pos-sug").toString
+    PositionalIndex.build(docs, dir, nShards = 4)
+    // unarmed: no accelerator → empty suggestion, never an error
+    assert(PositionalIndex.nextwordSuggest(spark, dir, "spark", 10)
+      .count() == 0)
+    PositionalIndex.buildNextword(dir)
+    def sug(p: String, k: Int = 10) =
+      PositionalIndex.nextwordSuggest(spark, dir, p, k)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // "spark table" in docs 1,2 (df 2, twice in doc 1 counts once);
+    // "spark stream" in docs 2,3 (df 2) → tie broken term-asc
+    assert(sug("spark") == Seq(("stream", 2L), ("table", 2L)))
+    assert(sug("spark", 1) == Seq(("stream", 2L)))
+    // multi-token prefix: the LAST token drives the suggestion
+    assert(sug("the query spark") == Seq(("stream", 2L), ("table", 2L)))
+    assert(sug("table") == Seq(("join", 1L), ("spark", 1L)))
+    assert(sug("zebra").isEmpty)
+    assert(sug("").isEmpty)
+  }
+
   test("tombstoned sidecar: deleted docs vanish from phrase/proximity; compact reclaims") {
     val sp = spark
     import sp.implicits._

@@ -375,6 +375,29 @@ class SearcherSpec extends AnyFunSuite {
     assert(fc == Map("web" -> 1L, "code" -> 1L))
   }
 
+  test("collapseSimilarHits: predecessor rule drops every hit similar to a higher one") {
+    val sp = spark
+    import sp.implicits._
+    val hits = Seq((1L, 9.0), (2L, 8.0), (5L, 8.0), (3L, 7.0), (4L, 6.0))
+      .toDF("docId", "score")
+    // chain: 1 ~ 3 (ham 3), 3 ~ 4 (ham 3), 1 !~ 4 (ham 6) — greedy would
+    // keep 4 after dropping 3; the predecessor rule drops BOTH (pinned)
+    val sims = Seq((1L, 0x0L), (2L, 0x0F00L), (5L, 0xF000L),
+      (3L, 0x7L), (4L, 0x3FL)).toDF("docId", "simhash")
+    val kept = QueryEngine.collapseSimilarHits(hits, sims, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(kept == Seq((1L, 9.0), (2L, 8.0), (5L, 8.0)))
+    // maxHamming 0: only exact sketch copies collapse → everything stays
+    assert(QueryEngine.collapseSimilarHits(hits, sims, maxHamming = 0)
+      .count() == 5)
+    // equal scores tie-break by docId: an exact copy of 2's sketch at a
+    // HIGHER docId drops, the lower docId survives
+    val h2 = Seq((2L, 8.0), (9L, 8.0)).toDF("docId", "score")
+    val s2 = Seq((2L, 0x0F00L), (9L, 0x0F00L)).toDF("docId", "simhash")
+    assert(QueryEngine.collapseSimilarHits(h2, s2, 0)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("groupHitsBy collapses hits per repo: best score, argmax doc, counts") {
     val sp = spark
     import sp.implicits._
