@@ -4775,6 +4775,152 @@ object GateQueries {
              |  CAST(m AS DOUBLE) / 1000000.0 AS v
              |FROM mm ORDER BY key, pos""".stripMargin)),
 
+    // grep -n for REGEX patterns (alternation exercises the Cox AND/OR
+    // gram algebra on the indexed twin); transform and indexed paths
+    // share one oracle.
+    Gate("q137_grep_lines_regex",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLinesRegex(ml, "doc_id", "content",
+            "tab(le|ular)")
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepRegexLinesOracle)),
+
+    Gate("q137b_grep_lines_regex_indexed",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLinesRegexIndexed(s, mlGramIndexDir(s, d),
+            ml, "doc_id", "content", "tab(le|ular)")
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepRegexLinesOracle)),
+
+    // The code-curation CAPSTONE: shape gate (q123 thresholds) ∧
+    // secret-free ∧ exact-dedup keeper ∧ novelty ≥ 0.3, then the
+    // sort-free top-half quality cut computed over the SURVIVORS — five
+    // already-gated operators composed end-to-end, the whole pipeline a
+    // code-training corpus runs before tokenization.
+    Gate("q138_code_curation",
+      (s, d) => {
+        val docs = documents(s, d)
+        val mlc = replace(coalesce(col("text"), lit("")), lit(" "),
+          lit("\n"))
+        val keep = Dedup.exactDupGroups(docs, "doc_id", "text")
+          .where(col("keep")).select(col("id").as("doc_id"))
+        val nov = TextPipeline.noveltyRate(docs, "doc_id", "text", n = 3)
+          .where(col("novelty") >= 0.3).select(col("id").as("doc_id"))
+        val admitted = docs
+          .where(CodeOps.codeShapeOk(mlc, maxLine = 12, maxAvg = 8,
+              minAlnum = 0.5) &&
+            CodeOps.secretCount(col("text")) === 0)
+          .join(keep, Seq("doc_id"), "left_semi")
+          .join(nov, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"),
+            TextPipeline.qualityScore(col("text")).as("quality"))
+        TextPipeline.selectTopQuantile(admitted, "quality", 0.5)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH mlc AS (
+             |  SELECT doc_id, replace(coalesce(text, ''), ' ', chr(10)) AS c
+             |  FROM documents),
+             |stc AS (
+             |  SELECT doc_id, c, string_split(c, chr(10)) AS ls FROM mlc),
+             |shape AS (
+             |  SELECT doc_id FROM stc
+             |  WHERE list_max(list_transform(ls, l -> length(l))) <= 12
+             |    AND round((length(c) - len(ls) + 1)::DOUBLE /
+             |          len(ls)::DOUBLE, 6) <= 8
+             |    AND (CASE WHEN length(c) = 0 THEN 0.0
+             |          ELSE round(length(regexp_replace(c, '[^A-Za-z0-9]',
+             |            '', 'g'))::DOUBLE / length(c)::DOUBLE, 6) END)
+             |        >= 0.5
+             |    AND NOT (contains(lower(c), 'generated by') OR
+             |      contains(lower(c), 'do not edit') OR
+             |      contains(lower(c), 'auto-generated') OR
+             |      contains(lower(c), 'autogenerated'))),
+             |sec AS (
+             |  SELECT doc_id FROM documents
+             |  WHERE len(regexp_extract_all(text,
+             |      '${CodeOps.AwsKeyPattern}')) = 0
+             |    AND len(regexp_extract_all(text,
+             |      '${CodeOps.GithubTokenPattern}')) = 0
+             |    AND len(regexp_extract_all(text,
+             |      '${CodeOps.PrivateKeyPattern}')) = 0),
+             |hashedc AS (SELECT doc_id, sha256(text) AS cs FROM documents),
+             |keepers AS (
+             |  SELECT min(doc_id) AS doc_id FROM hashedc GROUP BY cs),
+             |${shingleIdxCte(3)},
+             |fo AS (
+             |  SELECT shingle, min(doc_id) AS first_id
+             |  FROM sidx GROUP BY shingle),
+             |nov AS (
+             |  SELECT s.doc_id FROM sidx s
+             |  JOIN fo f ON s.shingle = f.shingle
+             |  GROUP BY s.doc_id
+             |  HAVING round(sum(CASE WHEN f.first_id = s.doc_id
+             |      THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, 6)
+             |    >= 0.3),
+             |$DocFeatCtes,
+             |admitted AS (
+             |  SELECT d.doc_id, d.quality FROM docfeat d
+             |  JOIN shape USING (doc_id) JOIN sec USING (doc_id)
+             |  JOIN keepers USING (doc_id) JOIN nov USING (doc_id)),
+             |thr AS (SELECT quantile_cont(quality, 0.5) AS t FROM admitted)
+             |SELECT doc_id, quality FROM admitted CROSS JOIN thr
+             |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin)),
+
+    // Glob-filtered BM25 (`file:src/**/*.py` + query terms): the q134
+    // path filter composed into q117's filtered scoring — scores stay
+    // corpus-global (strict-subset Lucene filter semantics).
+    Gate("q139_glob_filtered_bm25",
+      (s, d) => {
+        val files = documents(s, d).select(col("doc_id"),
+          concat(lit("src/"), col("lang"), lit("/f"),
+            col("doc_id").cast("string"),
+            when(col("doc_id") % 2 === 0, ".py").otherwise(".txt"))
+            .as("path"))
+        val keep = CodeOps.pathGlobFilter(files, "path", "src/*/f*.py")
+          .select(col("doc_id").as("docId"))
+        engine(s, d).bm25FilteredQuery(ScoredQ, keep)
+          .select(col("docId").as("doc_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc)
+          .limit(20)
+      },
+      Some {
+        val q = valuesOf(withMult(Analyzer.tokenize(ScoredQ)))
+        val re = CodeOps.globToRegex("src/*/f*.py")
+        s"""WITH $ToksCte, $PostingsCte, $DlCte, $TstatsCte,
+           |vocab AS (SELECT count(*)::DOUBLE AS n FROM tstats),
+           |avg_dl AS (SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl),
+           |q(term, qcnt) AS (VALUES $q),
+           |scored AS (
+           |  SELECT p.doc_id,
+           |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+           |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+           |  FROM postings p
+           |  JOIN q ON p.term = q.term
+           |  JOIN tstats t ON p.term = t.term
+           |  JOIN dl d ON p.doc_id = d.doc_id
+           |  CROSS JOIN vocab CROSS JOIN avg_dl
+           |  GROUP BY p.doc_id),
+           |files AS (
+           |  SELECT doc_id, 'src/' || lang || '/f' || doc_id ||
+           |    CASE WHEN doc_id % 2 = 0 THEN '.py' ELSE '.txt' END AS path
+           |  FROM documents)
+           |SELECT doc_id, round(raw, 6) AS score FROM scored
+           |WHERE doc_id IN (
+           |  SELECT doc_id FROM files WHERE regexp_matches(path, '$re'))
+           |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
+      }),
+
     // grep -C 2: matching lines plus their clamped, merged context
     // windows, context flagged false — transform and indexed twins share
     // one oracle.
@@ -4919,6 +5065,23 @@ object GateQueries {
       |  FROM kept a JOIN kept b
       |    ON a.hash = b.hash AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Ground truth shared by q137/q137b: per-line regex matches
+    * (find-anywhere within the line) over the multiline derivation.
+    */
+  private lazy val GrepRegexLinesOracle =
+    """WITH ml AS (
+      |  SELECT doc_id,
+      |    replace(coalesce(text, ''), ' ', chr(10)) AS content
+      |  FROM documents),
+      |lines AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(content, chr(10))) AS line,
+      |    generate_subscripts(string_split(content, chr(10)), 1) AS line_no
+      |  FROM ml)
+      |SELECT doc_id, line_no::BIGINT AS line_no, line
+      |FROM lines WHERE regexp_matches(line, 'tab(le|ular)')
+      |ORDER BY doc_id, line_no""".stripMargin
 
   /** Ground truth shared by q127/q127b: every line within 2 lines of a
     * match, deduplicated by DISTINCT over the range join, flagged.

@@ -655,28 +655,76 @@ object GramIndex {
       .select(col("docId"))
   }
 
+  /** Restrict `verified` (docId, __t) to the gram-plausible candidate
+    * set of a compiled gram condition — the shared prefilter of every
+    * regex read path.
+    */
+  private def gramCandJoin(verified: DataFrame, q: GramQ,
+      postings: => DataFrame): DataFrame = q match {
+    case GramQ.Any => verified
+    case GramQ.Gram(g) =>
+      verified.join(candidates(postings, Seq(g)), Seq("docId"), "left_semi")
+    case GramQ.And(xs) if xs.forall(_.isInstanceOf[GramQ.Gram]) =>
+      // pure conjunction (the concatenation subset): the cheaper
+      // count-based intersection, same plan as substring search
+      verified.join(
+        candidates(postings, xs.collect { case g: GramQ.Gram => g.g }),
+        Seq("docId"), "left_semi")
+    case _ =>
+      verified.join(candidatesOf(postings, q), Seq("docId"), "left_semi")
+  }
+
   private def regexVerify(docs: DataFrame, idCol: String,
       textCol: String, pattern: String, q: GramQ,
       postings: => DataFrame): DataFrame = {
     require(pattern.nonEmpty, "empty pattern matches everything; refusing")
     val verified = docs.select(col(idCol).cast("long").as("docId"),
       coalesce(col(textCol), lit("")).as("__t"))
-    val base = q match {
-      case GramQ.Any => verified
-      case GramQ.Gram(g) =>
-        verified.join(candidates(postings, Seq(g)), Seq("docId"), "left_semi")
-      case GramQ.And(xs) if xs.forall(_.isInstanceOf[GramQ.Gram]) =>
-        // pure conjunction (the concatenation subset): the cheaper
-        // count-based intersection, same plan as substring search
-        verified.join(
-          candidates(postings, xs.collect { case g: GramQ.Gram => g.g }),
-          Seq("docId"), "left_semi")
-      case _ =>
-        verified.join(candidatesOf(postings, q), Seq("docId"), "left_semi")
-    }
+    val base = gramCandJoin(verified, q, postings)
     // find-anywhere semantics (Java Matcher.find ≡ RE2 partial match on
     // the supported subset)
     base.where(col("__t").rlike(pattern)).select(col("docId"))
+  }
+
+  /** grep -n for REGEX patterns: one row per line with a find-anywhere
+    * match — (docId, line_no, line), 1-based numbering, trailing empties
+    * kept (the [[grepLines]] layout with `rlike` as the verifier). Line
+    * splitting makes the semantics exactly grep's: a pattern can never
+    * match across a line boundary. Narrow pass — split + posexplode +
+    * rlike inside one codegen stage.
+    */
+  def grepLinesRegex(docs: DataFrame, idCol: String, textCol: String,
+      pattern: String): DataFrame = {
+    require(pattern.nonEmpty, "empty pattern matches everything; refusing")
+    val t = coalesce(col(textCol), lit(""))
+    docs.select(col(idCol).cast("long").as("docId"),
+        posexplode(split(t, "\n", -1)).as(Seq("__p", "line")))
+      .where(col("line").rlike(pattern))
+      .select(col("docId"), (col("__p") + 1).cast("long").as("line_no"),
+        col("line"))
+  }
+
+  /** [[grepLinesRegex]] riding the persisted index: the pattern compiles
+    * to its Cox AND/OR gram condition ([[regexGramQuery]]) and only
+    * gram-plausible docs are split into lines; the doc-level prefilter
+    * is sound for line-level matching because it is a SUPERSET test (a
+    * doc whose literal fragments straddle lines survives the prefilter
+    * and dies at the per-line verify). Patterns outside the gram-able
+    * subset fall back to the full line scan.
+    */
+  def grepLinesRegexIndexed(spark: SparkSession, dir: String,
+      docs: DataFrame, idCol: String, textCol: String,
+      pattern: String): DataFrame = {
+    val m = gramMeta(spark, dir)
+    val q0 = regexGramQuery(pattern, m.k).getOrElse(GramQ.Any)
+    val q = pruneGramQuery(q0,
+      readGramDfs(spark, dir, GramQ.gramsOf(q0), m.nShards))
+    val sel = GramQ.gramsOf(q)
+    val base = docs.select(col(idCol).cast("long").as("docId"),
+      coalesce(col(textCol), lit("")).as("__t"))
+    val cand = gramCandJoin(base, q,
+      indexedPostings(spark, dir, sel, m.nShards))
+    liveOnly(spark, dir, grepLinesRegex(cand, "docId", "__t", pattern))
   }
 
   /** Batched substring search against the persisted index — the

@@ -1,0 +1,72 @@
+package graft.tools
+
+import graft.pipeline.{CodeOps, TextPipeline}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-efficiency evidence for the late-round curation operators,
+  * run through the same N-vs-4N protocol as [[ScalingBench]] (same
+  * pre-generated corpus, two parallelism levels, efficiency =
+  * (rows/sec@4N) / (4 × rows/sec@N)). Two workloads, chosen for their
+  * contrasting shapes:
+  *
+  *   - `winnow`: [[TextPipeline.winnow]] fingerprint extraction — the
+  *     heaviest MAP-ONLY pass of the round (shingle → md5 → window
+  *     scan per row, zero exchanges), so it measures pure per-core
+  *     compute scaling;
+  *   - `blob`: [[CodeOps.blobDedup]] — one (sha, id) aggregation
+  *     exchange plus the canonical-row content join, so it measures a
+  *     shuffle-bearing collapse.
+  *
+  * Usage:
+  *   runMain graft.tools.CorpusGen 2000000 /tmp/graft-corpus   # once
+  *   SPARK_GRAFT_CPUS=2 runMain graft.tools.CurateScaleBench /tmp/graft-corpus
+  *   SPARK_GRAFT_CPUS=8 runMain graft.tools.CurateScaleBench /tmp/graft-corpus
+  *
+  * `SPARK_GRAFT_SCALE_DOCS` (default 500000) bounds the doc count so
+  * the 2-core leg stays in minutes: the same slice is used at both
+  * parallelism levels, which is all the efficiency ratio needs.
+  */
+object CurateScaleBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val cap = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "500000").toLong
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"), col("content"))
+      .where(col("docId") <= cap)
+    val nDocs = docs.count()
+
+    def timed(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // untimed warmup: JIT + codegen + page cache on a 10% slice
+    docs.where(col("docId") % 10 === 0)
+      .select(explode(TextPipeline.winnow(col("content"), 5, 8))).count()
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    val winnowRuns = (1 to reps).map(_ => timed(
+      docs.select(explode(TextPipeline.winnow(col("content"), 5, 8)))
+        .count()))
+    val blobRuns = (1 to reps).map(_ => timed {
+      val (blobs, occ) = CodeOps.blobDedup(docs, "docId", "content", Seq())
+      blobs.count() + occ.count()
+    })
+    def best(rs: Seq[(Double, Long)]) = rs.minBy(_._1)
+    val (ws, wr) = best(winnowRuns)
+    val (bs, br) = best(blobRuns)
+    def fmt(rs: Seq[(Double, Long)]) =
+      rs.map(r => f"${r._1}%.2f").mkString("[", ",", "]")
+    println(s"""{"cpus":$cpus,"n_docs":$nDocs,"winnow_sec":${f"$ws%.2f"},"winnow_rows":$wr,"winnow_docs_per_sec":${f"${nDocs / ws}%.1f"},"winnow_reps":${fmt(winnowRuns)},"blob_sec":${f"$bs%.2f"},"blob_rows":$br,"blob_docs_per_sec":${f"${nDocs / bs}%.1f"},"blob_reps":${fmt(blobRuns)},"corpus":"$corpusDir"}""")
+    spark.stop()
+  }
+}

@@ -385,6 +385,37 @@ class GramIndexSpec extends AnyFunSuite {
       "text", "hit", 2)).map(_._1).toSet == Set(2L, 3L))
   }
 
+  test("grepLinesRegex: per-line find-anywhere; indexed ≡ transform incl. fallback") {
+    val sp = spark
+    import sp.implicits._
+    val ml = Seq(
+      (1L, "spark table here\nplain line\ntabular data"),
+      (2L, "tab\n(le broken across lines)"), // alternation can't span lines
+      (3L, "nothing relevant"),
+      (4L, "tables everywhere") // 'table' inside 'tables' still matches
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("gramidx-relines")
+      .toString
+    GramIndex.build(ml, "doc_id", "text", dir, k = 3, nShards = 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSeq.sorted
+    val got = rows(GramIndex.grepLinesRegex(ml, "doc_id", "text",
+      "tab(le|ular)"))
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq((1L, 1L), (1L, 3L), (4L, 1L)))
+    // indexed twin ≡ transform for the alternation AND a
+    // fallback-regime pattern (char class → full scan)
+    for (p <- Seq("tab(le|ular)", "t[ax]ble", "spark|tabular"))
+      assert(rows(GramIndex.grepLinesRegexIndexed(spark, dir, ml,
+        "doc_id", "text", p)) ==
+        rows(GramIndex.grepLinesRegex(ml, "doc_id", "text", p)), s"'$p'")
+    // tombstoned doc excluded on the indexed path
+    GramIndex.delete(Seq(1L).toDF("docId"), dir)
+    assert(rows(GramIndex.grepLinesRegexIndexed(spark, dir, ml, "doc_id",
+      "text", "tab(le|ular)")).map(_._1).toSet == Set(4L))
+  }
+
   test("rewriteIndexed ≡ replace everywhere; non-candidates pass through untouched") {
     val sp = spark
     import sp.implicits._
