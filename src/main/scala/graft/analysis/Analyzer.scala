@@ -219,6 +219,20 @@ object Analyzer {
   // Column expressions (index build — executors)
   // ---------------------------------------------------------------------
 
+  /** Pure-Column LET binding: evaluate `value` ONCE per row and hand it
+    * to `body` as a lambda variable (a 1-element `transform` +
+    * `element_at`). Required correctness-of-scale tool for composing
+    * higher-order array expressions: Spark's higher-order functions are
+    * CodegenFallback, and a lambda BODY that embeds an expression tree
+    * re-evaluates that tree on EVERY array element — e.g.
+    * `transform(seq, i => f(expensive, i))` costs elements × expensive.
+    * Binding turns the reference into a NamedLambdaVariable read (O(1)).
+    * A 5k-doc winnow pass went from 900+ s of single-task CPU to
+    * sub-second when its token and hash arrays were bound this way.
+    */
+  private[graft] def bind1(value: Column, body: Column => Column): Column =
+    element_at(transform(array(value), body), 1)
+
   /** tokens of a string column, duplicates and order preserved — the
     * native codegen'd [[TokensExpr]] (zero-copy byte scan; no ScalaUDF
     * boundary on 100 TB pipeline passes).

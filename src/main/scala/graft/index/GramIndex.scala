@@ -209,16 +209,20 @@ object GramIndex {
     require(needle.nonEmpty, "empty needle matches everything; refusing")
     require(ctx >= 0, s"ctx must be >= 0, got $ctx")
     val t = coalesce(col(textCol), lit(""))
-    val lines = split(t, "\n", -1)
-    val mpos = filter(sequence(lit(1), size(lines)),
-      i => contains(element_at(lines, i), lit(needle)))
-    val keep = array_sort(array_distinct(flatten(transform(mpos,
-      p => sequence(greatest(p - ctx, lit(1)),
-        least(p + ctx, size(lines)))))))
-    val rows = transform(keep, i => struct(
-      i.cast("long").as("line_no"),
-      element_at(lines, i).as("line"),
-      contains(element_at(lines, i), lit(needle)).as("is_match")))
+    // The line array is LET-BOUND (Analyzer.bind1): the match-scan and
+    // reassembly lambdas reference it per element, which would
+    // otherwise re-split the document per line (quadratic per doc).
+    val rows = graft.analysis.Analyzer.bind1(split(t, "\n", -1), lines => {
+      val mpos = filter(sequence(lit(1), size(lines)),
+        i => contains(element_at(lines, i), lit(needle)))
+      val keep = array_sort(array_distinct(flatten(transform(mpos,
+        p => sequence(greatest(p - ctx, lit(1)),
+          least(p + ctx, size(lines)))))))
+      transform(keep, i => struct(
+        i.cast("long").as("line_no"),
+        element_at(lines, i).as("line"),
+        contains(element_at(lines, i), lit(needle)).as("is_match")))
+    })
     docs.select(col(idCol).cast("long").as("docId"),
         explode(rows).as("__r"))
       .select(col("docId"), col("__r.line_no"), col("__r.line"),

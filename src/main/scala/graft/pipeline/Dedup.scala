@@ -210,12 +210,14 @@ object Dedup {
     * per-component MinHash; md5's hex ordering is a total order so `min`
     * is well-defined and engine-portable.
     */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val sh = TextPipeline.shingleSet(text, n)
-    array((0 until numHashes).map { h =>
-      array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    // the shingle set is LET-BOUND: each of the numHashes arms would
+    // otherwise re-shingle the document (numHashes× per row;
+    // graft.analysis.Analyzer.bind1)
+    graft.analysis.Analyzer.bind1(TextPipeline.shingleSet(text, n), sh =>
+      array((0 until numHashes).map { h =>
+        array_min(transform(sh, s => md5(concat(lit(s"$h:"), s))))
+      }: _*))
 
   /** (id, band, bandKey) — the LSH blocking relation. `numHashes` must be
     * divisible by `bands`; band key = md5 of its rows' concatenated

@@ -106,18 +106,21 @@ object TextPipeline {
   /** Detected language: argmax of marker-word hits; ties resolved by the
     * declaration order above; zero hits → "und" (undetermined).
     */
-  def langId(text: Column): Column = {
-    val toks = Analyzer.tokensCol(text)
-    val hits = LangMarkers.map { case (lang, words) =>
-      lang -> size(filter(toks, t => t.isin(words: _*)))
-    }
-    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
-    // First language reaching the max wins (deterministic tie-break).
-    val cases = hits.foldLeft(when(best <= 0, "und")) { case (acc, (lang, h)) =>
-      acc.when(h === best, lang)
-    }
-    cases.otherwise("und")
-  }
+  def langId(text: Column): Column =
+    // the token array is LET-BOUND: the marker-hit counts, their
+    // greatest(), and each when() arm all embed it — ~10 re-tokenizations
+    // per row otherwise (Analyzer.bind1)
+    Analyzer.bind1(Analyzer.tokensCol(text), toks => {
+      val hits = LangMarkers.map { case (lang, words) =>
+        lang -> size(filter(toks, t => t.isin(words: _*)))
+      }
+      val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+      // First language reaching the max wins (deterministic tie-break).
+      val cases = hits.foldLeft(when(best <= 0, "und")) {
+        case (acc, (lang, h)) => acc.when(h === best, lang)
+      }
+      cases.otherwise("und")
+    })
 
   // ---------------------------------------------------------------------
   // Shingling + fingerprinting
@@ -127,14 +130,17 @@ object TextPipeline {
     * Documents with fewer than n tokens yield one shingle = all tokens
     * joined (so no document fingerprints to empty).
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = Analyzer.tokensCol(text)
-    when(size(toks) < n, array(concat_ws(" ", toks)))
-      .otherwise(
-        transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // tokensCol is LET-BOUND: the transform lambda would otherwise
+    // re-tokenize the whole document once per shingle (higher-order
+    // functions evaluate interpreted — quadratic per doc; see
+    // Analyzer.bind1).
+    Analyzer.bind1(Analyzer.tokensCol(text), toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(
+          transform(
+            sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n))))))
 
   /** Distinct shingle set (the input to Jaccard / MinHash). */
   def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
@@ -165,20 +171,26 @@ object TextPipeline {
     * shorter than w shingles winnow their whole (short) sequence as one
     * window.
     */
-  def winnow(text: Column, n: Int = 5, w: Int = 4): Column = {
-    val hs = transform(shingles(text, n), s => md5(s))
-    val m = size(hs)
-    val starts = sequence(lit(1), greatest(m - (w - 1), lit(1)))
-    val sel = transform(starts, j => {
-      val win = slice(hs, j, lit(w))
-      val mn = array_min(win)
-      // Left-to-right fold keeps the LAST matching offset → rightmost min.
-      val off = aggregate(sequence(lit(1), size(win)), lit(0),
-        (acc, i) => when(element_at(win, i) === mn, i).otherwise(acc))
-      struct((j + off - 1).cast("long").as("pos"), mn.as("hash"))
+  def winnow(text: Column, n: Int = 5, w: Int = 4): Column =
+    // The hash array is LET-BOUND (Analyzer.bind1): referencing it
+    // directly inside the window lambda would re-shingle + re-md5 the
+    // whole document once per window — cubic per doc once shingles'
+    // own re-tokenization stacked on top (a 5k-doc corpus burned 900+ s
+    // of single-task CPU before the binding; sub-second after).
+    Analyzer.bind1(transform(shingles(text, n), s => md5(s)), hs => {
+      val m = size(hs)
+      val starts = sequence(lit(1), greatest(m - (w - 1), lit(1)))
+      val sel = transform(starts, j =>
+        Analyzer.bind1(slice(hs, j, lit(w)), win => {
+          val mn = array_min(win)
+          // Left-to-right fold keeps the LAST matching offset →
+          // rightmost min; win/mn references are O(w), w is small.
+          val off = aggregate(sequence(lit(1), size(win)), lit(0),
+            (acc, i) => when(element_at(win, i) === mn, i).otherwise(acc))
+          struct((j + off - 1).cast("long").as("pos"), mn.as("hash"))
+        }))
+      array_distinct(sel)
     })
-    array_distinct(sel)
-  }
 
   /** Exact-identity content hash (the per-row identity anchor of the north
     * rule: sha256 of content — BASELINE.json input_hint).
