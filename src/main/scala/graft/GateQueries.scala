@@ -4876,6 +4876,59 @@ object GateQueries {
              |SELECT doc_id, quality FROM admitted CROSS JOIN thr
              |WHERE quality >= thr.t ORDER BY doc_id""".stripMargin)),
 
+    // Gapped exact phrase ("table * join" — Lucene MultiPhraseQuery
+    // position-increment semantics): anchors vote, the wildcard slot
+    // constrains alignment only; served from the persisted positional
+    // sidecar's unigram path (nextword is bigram-keyed, deliberately
+    // not consulted).
+    Gate("q140_gapped_phrase",
+      (s, d) => graft.index.PositionalIndex.phraseSearchGapped(
+          s, posIndexDir(s, d), "table * join", 20)
+        .select(col("docId").as("doc_id"), col("phrase_tf"))
+        .orderBy(col("phrase_tf").desc, col("doc_id")),
+      Some("""WITH d AS (
+             |  SELECT doc_id, list_transform(list_filter(
+             |    regexp_split_to_array(text, '[^a-zA-Z0-9]+'),
+             |    x -> x <> ''), x -> lower(x)) AS l
+             |  FROM documents),
+             |dn AS (SELECT doc_id, l, len(l) AS n FROM d),
+             |s AS (SELECT doc_id, l, unnest(range(0, n)) AS pos
+             |      FROM dn WHERE n > 0),
+             |tokpos AS (SELECT doc_id, pos, l[pos+1] AS term FROM s),
+             |m AS (
+             |  SELECT a.doc_id, a.pos AS start
+             |  FROM tokpos a JOIN tokpos c
+             |    ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+             |  WHERE a.term = 'table' AND c.term = 'join')
+             |SELECT doc_id, count(*)::BIGINT AS phrase_tf
+             |FROM m GROUP BY doc_id
+             |ORDER BY phrase_tf DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // camelCase-aware identifier search over the code-shaped corpus:
+    // conjunctive subtoken match ranked by summed subtoken tf — the
+    // oracle replays the regex-twin subtokenization (spec-pinned ≡ the
+    // engine's scanner) over the same derivation.
+    Gate("q141_subtoken_search",
+      (s, d) => CodeOps.subtokenSearch(codeFiles(s, d), "doc_id",
+          "content", "Widget3 get2")
+        .select(col("id").as("doc_id"), col("sub_tf")),
+      Some(s"""WITH $CodeFilesCte,
+             |subs AS (
+             |  SELECT doc_id, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(
+             |      regexp_replace(regexp_replace(content,
+             |        '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+             |        '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             |      '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x))) AS sub
+             |  FROM files),
+             |posts AS (
+             |  SELECT doc_id, sub, count(*)::BIGINT AS tf
+             |  FROM subs GROUP BY doc_id, sub)
+             |SELECT doc_id, sum(tf)::BIGINT AS sub_tf FROM posts
+             |WHERE sub IN ('widget3', 'get2')
+             |GROUP BY doc_id HAVING count(*) = 2
+             |ORDER BY sub_tf DESC, doc_id""".stripMargin)),
+
     // Glob-filtered BM25 (`file:src/**/*.py` + query terms): the q134
     // path filter composed into q117's filtered scoring — scores stay
     // corpus-global (strict-subset Lucene filter semantics).

@@ -90,6 +90,60 @@ object PositionalIndex {
       .agg(count(lit(1)).as("phrase_tf"))
   }
 
+  /** Gapped exact phrase (Lucene MultiPhraseQuery position-increment
+    * semantics): `pattern` positions holding `None` are single-token
+    * wildcards — "spark * join" matches spark at i and join at i+2,
+    * whatever sits between. Same vote dataflow as [[phraseHits]], with
+    * votes cast only by the ANCHOR terms and the hit bar at the anchor
+    * count. Gap positions are not re-verified against the token stream:
+    * interior positions of a field are contiguous by construction, and
+    * the title→body field gap is far larger than any pattern, so a
+    * cross-field alignment cannot fake a match. Leading/trailing
+    * wildcards are the caller's to trim — they constrain nothing here
+    * (a leading gap aligned before the first token would otherwise
+    * admit a doc with no token in that slot).
+    */
+  def phraseHitsGapped(positions: DataFrame,
+      pattern: Seq[Option[String]]): DataFrame = {
+    val sp = positions.sparkSession
+    import sp.implicits._
+    val anchors = pattern.zipWithIndex.collect { case (Some(t), i) => (i, t) }
+    if (anchors.isEmpty)
+      return Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    val pat = anchors.toDF("i", "term")
+    positions
+      .join(broadcast(pat), "term")
+      .select(col("docId"), (col("pos") - col("i")).as("start"), col("i"))
+      .repartition(col("docId"))
+      .groupBy(col("docId"), col("start"))
+      .agg(countDistinct(col("i")).as("nhit"))
+      .where(col("nhit") === anchors.size)
+      .groupBy(col("docId"))
+      .agg(count(lit(1)).as("phrase_tf"))
+  }
+
+  /** Top-k gapped phrase search against a persisted sidecar: the query
+    * string tokenized with the WILDCARD analyzer (`*` survives as the
+    * single-token gap marker), edge gaps trimmed, anchors scanned
+    * through the shard-routed unigram path (the nextword accelerator is
+    * bigram-keyed and cannot answer gapped patterns — deliberately not
+    * consulted). Output: (docId, phrase_tf), (tf desc, docId) order.
+    */
+  def phraseSearchGapped(spark: SparkSession, dir: String, phrase: String,
+      k: Int): DataFrame = {
+    import spark.implicits._
+    val raw = Analyzer.tokenizeWildcard(phrase)
+      .map(t => if (t == "*") None else Some(t))
+    val pattern = raw.dropWhile(_.isEmpty).reverse.dropWhile(_.isEmpty)
+      .reverse
+    val empty = Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
+    val anchors = pattern.flatten
+    if (anchors.isEmpty) return empty
+    queryPositions(spark, dir, anchors)
+      .fold(empty)(p => phraseHitsGapped(p, pattern)
+        .orderBy(col("phrase_tf").desc, col("docId").asc).limit(k))
+  }
+
   /** Proximity ranking: the smallest position window containing ALL the
     * (distinct) query terms, per document — the classic minimal-cover
     * primitive behind "sloppy phrase" / proximity-boosted retrieval

@@ -404,6 +404,38 @@ object CodeOps {
       .join(occ, Seq("sha"))
 
   // ---------------------------------------------------------------------
+  // camelCase-aware identifier search (subtoken conjunction)
+  // ---------------------------------------------------------------------
+
+  /** Identifier search over the SUBTOKEN stream: files containing every
+    * query subtoken (camelCase/acronym/digit splitting on both sides —
+    * query "HTTPResponse parse" hits `parseHTTPResponse`), ranked by
+    * summed subtoken tf then id. This is the reason code search engines
+    * index subtokens: whole-token search can never match inside an
+    * identifier. One tf aggregation + the q06-style conjunctive
+    * count — a production deployment persists the subtoken postings
+    * exactly like the main index. Output: (id, sub_tf).
+    */
+  def subtokenSearch(docs: DataFrame, idCol: String, textCol: String,
+      query: String): DataFrame = {
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val qs = graft.analysis.Analyzer.subtokenizeFast(query).distinct
+    if (qs.isEmpty) return Seq.empty[(Long, Long)].toDF("id", "sub_tf")
+    docs.select(col(idCol).cast("long").as("id"),
+        explode(graft.analysis.Analyzer.subtokensCol(
+          coalesce(col(textCol), lit("")))).as("sub"))
+      .where(col("sub").isin(qs: _*))
+      .groupBy(col("id"), col("sub"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("nhit"), sum(col("tf")).cast("long").as("sub_tf"))
+      .where(col("nhit") === qs.size)
+      .select(col("id"), col("sub_tf"))
+      .orderBy(col("sub_tf").desc, col("id").asc)
+  }
+
+  // ---------------------------------------------------------------------
   // Repo-level fork detection (content-sha overlap)
   // ---------------------------------------------------------------------
 

@@ -216,6 +216,24 @@ class CodeOpsSpec extends AnyFunSuite {
     assert(got(5L) == ((1L, 0L, 1L, 0L, 0.0))) // null → one blank line
   }
 
+  test("subtokenSearch matches inside camelCase identifiers, ranked by subtoken tf") {
+    val docs = Seq(
+      (1L, "def parseHTTPResponse(x) = x"), // has parse + http + response
+      (2L, "val httpClient = new HTTPResponse(); httpClient.send()"),
+      (3L, "plain response handler with no protocol words"),
+      (4L, "HTTP only here")
+    ).toDF("doc_id", "text")
+    def ids(q: String) =
+      CodeOps.subtokenSearch(docs, "doc_id", "text", q)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // conjunction: needs BOTH http and response subtokens
+    assert(ids("HTTPResponse").map(_._1) == Seq(2L, 1L)) // doc2: 2 http + 1 response = 3 > doc1's 2
+    assert(ids("http response").map(_._1) == Seq(2L, 1L)) // query splitting ≡
+    assert(ids("parse http") == Seq((1L, 2L)))
+    assert(ids("zzz").isEmpty)
+    assert(ids("").isEmpty)
+  }
+
   test("globToRegex: * stops at /, ** crosses, ? single non-slash, literals escaped") {
     def m(glob: String, path: String): Boolean =
       path.matches(CodeOps.globToRegex(glob))

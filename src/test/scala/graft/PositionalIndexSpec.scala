@@ -155,6 +155,29 @@ class PositionalIndexSpec extends AnyFunSuite {
     assert(search("beta gamma") == Map.empty[Long, Long])
   }
 
+  test("phraseSearchGapped: anchors align across the wildcard slot; edge gaps trim") {
+    val docs = modelDocs(Seq(
+      (1L, "", "table full join here"), // table _ join → hit
+      (2L, "", "table join now"), // adjacent ≠ gapped
+      (3L, "", "table x y join"), // gap of 2 ≠ gap of 1
+      (4L, "", "a table b join table c join d"), // two hits
+      (5L, "", "join q table")))
+    val dir = Files.createTempDirectory("graft-pos-gap").toString
+    PositionalIndex.build(docs, dir, nShards = 4)
+    def hits(q: String) =
+      PositionalIndex.phraseSearchGapped(spark, dir, q, 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits("table * join") == Map(1L -> 1L, 4L -> 2L))
+    // two wildcards
+    assert(hits("table * * join") == Map(3L -> 1L))
+    // edge gaps constrain nothing: "* table * join *" ≡ "table * join"
+    assert(hits("* table * join *") == Map(1L -> 1L, 4L -> 2L))
+    // no anchors → empty; unknown anchor → empty
+    assert(hits("* *").isEmpty && hits("zzz * join").isEmpty)
+    // gap-free degenerates to exact phrase
+    assert(hits("table join") == Map(2L -> 1L))
+  }
+
   test("nextwordSuggest: continuations by bigram df; last token; unarmed → empty") {
     val docs = modelDocs(Seq(
       (1L, "", "spark table join spark table"),
