@@ -21,8 +21,8 @@ import org.apache.spark.sql.SparkSession
   * that do not fit an interactive rebuild.
   *
   * `algorithm` ∈ BM25 | "Classic TF-IDF" | Boolean | Terms | Fuzzy |
-  * Wildcard | Phrase | Proximity | Grep | Symbol (the last four
-  * extension modes; unknown → BM25, like the reference's registry
+  * Wildcard | Phrase | Proximity | Grep | Symbol | Subtoken (the last
+  * five extension modes; unknown → BM25, like the reference's registry
   * server.go:39-53).
   * A path ending in .csv is read as the reference's id,title,body,URL CSV;
   * otherwise it is read as the Iceberg-shaped source-file Parquet corpus.

@@ -43,5 +43,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // Forked JVM (build.sbt run/fork): hard-exit so a lingering
+    // non-daemon thread can never hang the driver's correctness gate
+    // after every output is already on disk (observed once: all dumps +
+    // oracle_sql.json written, JVM idle >5 min before teardown).
+    sys.exit(0)
   }
 }

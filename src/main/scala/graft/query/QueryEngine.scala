@@ -729,10 +729,25 @@ final class QueryEngine(
       .orderBy(col("score").desc, col("docId").asc)
   }
 
+  /** Subtoken mode — camelCase-aware identifier search over the RAW
+    * body ([[graft.pipeline.CodeOps.subtokenSearch]]): every query
+    * subtoken must appear in the file's subtoken stream, score = summed
+    * subtoken tf. Same loud-without-rawDocs contract as [[grepQuery]].
+    */
+  def subtokenQuery(query: String): DataFrame = {
+    val docs = rawDocs.getOrElse(throw new IllegalStateException(
+      "subtoken queries need the raw corpus — construct QueryEngine with " +
+        "rawDocs = Some(docs)"))
+    if (query.trim.isEmpty) scoredEmpty
+    else graft.pipeline.CodeOps.subtokenSearch(docs, "docId", "body", query)
+      .select(col("id").as("docId"), col("sub_tf").cast("double").as("score"))
+      .orderBy(col("score").desc, col("docId").asc)
+  }
+
   /** Algorithm registry (reference server.go:39-53); unknown names fall
-    * back to BM25. "Phrase", "Proximity", "Grep", and "Symbol" are this
-    * engine's extension modes — every reference name resolves exactly as
-    * the reference's registry does.
+    * back to BM25. "Phrase", "Proximity", "Grep", "Symbol", and
+    * "Subtoken" are this engine's extension modes — every reference name
+    * resolves exactly as the reference's registry does.
     */
   def byName(name: String): String => DataFrame = name match {
     case "Classic TF-IDF" => vectorSpaceQuery
@@ -744,6 +759,7 @@ final class QueryEngine(
     case "Proximity" => proximityQuery
     case "Grep" => grepQuery
     case "Symbol" => symbolQuery
+    case "Subtoken" => subtokenQuery
     case _ => q => bm25Query(q)
   }
 

@@ -38,9 +38,18 @@ object CurateScaleBench {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Slice by MODULUS, not by id range: the corpus parquet is written
+    // in docId order, so `docId <= cap` would land every surviving row
+    // in the first cap/N fraction of the files — a handful of input
+    // splits would carry all the work and cap the achievable
+    // parallelism regardless of cores (measured: 2→8 cores gave only
+    // 1.3× until this changed). The modulus slice keeps every split
+    // populated.
+    val stride = math.max(1L,
+      2000000L / math.max(cap, 1L)) // corpus is 2M docs
     val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
       .select(col("docId"), col("content"))
-      .where(col("docId") <= cap)
+      .where(col("docId") % stride === 0)
     val nDocs = docs.count()
 
     def timed(f: => Long): (Double, Long) = {

@@ -306,6 +306,29 @@ class SearcherSpec extends AnyFunSuite {
     intercept[IllegalStateException] { bare.symbolQuery("hit") }
   }
 
+  test("Subtoken mode: inside-identifier search dispatched by name, loud without rawDocs") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "", "def parseHTTPResponse(x) = x", ""),
+      (2L, "", "val httpClient = new HTTPResponse()", ""),
+      (3L, "", "plain words no protocol", ""),
+      (4L, "", "http alone", "")
+    ).toDF("docId", "title", "body", "url")
+    val e = new QueryEngine(IndexBuilder.build(docs, persist = false),
+      rawDocs = Some(docs))
+    // conjunction over subtokens: http AND response → docs 1, 2 only
+    // (doc 2 ranks first: 2×http + 1×response = 3 vs doc 1's 2)
+    assert(e.byName("Subtoken")("http response").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 1L))
+    // whole-token BM25 cannot see inside parseHTTPResponse
+    assert(!e.byName("BM25")("response").collect()
+      .map(_.getLong(0)).toSet.contains(1L))
+    assert(e.subtokenQuery("  ").count() == 0)
+    val bare = new QueryEngine(IndexBuilder.build(docs, persist = false))
+    intercept[IllegalStateException] { bare.subtokenQuery("http") }
+  }
+
   test("moreLikeThis: seed's top tf·idf terms drive BM25, seed excluded") {
     val sp = spark
     import sp.implicits._
