@@ -281,4 +281,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\)".r.findFirstIn(plan).isDefined,
       s"scoring should run inside whole-stage codegen:\n$plan")
   }
+
+  test("late-round map-only passes are exchange-free: winnow, code shape, comment stats, grep -C") {
+    val docs = GateQueries.documents(spark, "/root/testdata/sf0.001")
+    val t = coalesce(col("text"), lit(""))
+    def noExchange(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val p = planOf(df)
+      assert(!p.contains("Exchange"), s"$name plan has a shuffle:\n$p")
+    }
+    noExchange(docs.select(col("doc_id"),
+      explode(TextPipeline.winnow(t, 3, 4))), "winnow")
+    noExchange(docs.where(graft.pipeline.CodeOps.codeShapeOk(t)),
+      "codeShapeOk")
+    noExchange(graft.pipeline.CodeOps.commentStats(docs, "doc_id", "text"),
+      "commentStats")
+    noExchange(graft.index.GramIndex.grepLinesContext(docs, "doc_id",
+      "text", "tabl", 2), "grepLinesContext")
+  }
+
+  test("blobDedup plan: occurrence side narrow; canonical-id agg map-combined; hit join broadcast") {
+    val sp = spark
+    import sp.implicits._
+    val docs = GateQueries.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("id"), coalesce(col("text"), lit(""))
+        .as("content"), col("lang"))
+    val (blobs, occ) = graft.pipeline.CodeOps.blobDedup(docs, "id",
+      "content", Seq("lang"))
+    // occurrences: one projection, no shuffle
+    assert(!planOf(occ).contains("Exchange"),
+      s"occ must be narrow:\n${planOf(occ)}")
+    // the (sha, id) canonical agg combines map-side BEFORE its exchange —
+    // proof the content bytes never ride the dedup shuffle
+    val bPlan = planOf(blobs)
+    assert(bPlan.contains("partial_min"),
+      s"canonical-id agg should map-combine:\n$bPlan")
+    // groupHitsBy: the top-k hit relation broadcasts; the corpus-sized
+    // meta side never sort-merge-joins
+    val hits = Seq((1L, 2.0), (2L, 1.0)).toDF("docId", "score")
+    val meta = GateQueries.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id").as("docId"), col("lang").as("repo"))
+    val g = graft.query.QueryEngine.groupHitsBy(hits, meta, "repo")
+    g.collect()
+    val gPlan = planOf(g)
+    assert(gPlan.contains("BroadcastHashJoin"),
+      s"hit relation should broadcast:\n$gPlan")
+    assert(!gPlan.contains("SortMergeJoin"),
+      s"meta side must not sort-merge:\n$gPlan")
+  }
 }
