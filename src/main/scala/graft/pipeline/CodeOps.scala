@@ -394,14 +394,18 @@ object CodeOps {
 
   /** Expand blob-level hits back to file occurrences: every extra hit
     * column (score, line_no, …) is carried through. `hits` must be keyed
-    * by `blob_id`; the first join is hit-sized (top-k bounded in the
-    * search use), the occurrence join is sha-keyed — bucketed, never
-    * all-pairs.
+    * by `blob_id` and is top-k bounded in the search use, so BOTH joins
+    * broadcast the hit side explicitly — the blob and occurrence
+    * relations are corpus-sized and must never sort-merge for a
+    * result-page lookup (Catalyst's size estimate through the search
+    * plan is a guess; the hint removes the gamble).
     */
   def expandBlobHits(hits: DataFrame, blobs: DataFrame,
-      occ: DataFrame): DataFrame =
-    hits.join(blobs.select(col("blob_id"), col("sha")), Seq("blob_id"))
-      .join(occ, Seq("sha"))
+      occ: DataFrame): DataFrame = {
+    val hitShas = blobs.select(col("blob_id"), col("sha"))
+      .join(broadcast(hits), Seq("blob_id"))
+    occ.join(broadcast(hitShas), Seq("sha"))
+  }
 
   // ---------------------------------------------------------------------
   // camelCase-aware identifier search (subtoken conjunction)
