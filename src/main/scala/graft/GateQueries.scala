@@ -4929,6 +4929,60 @@ object GateQueries {
              |GROUP BY doc_id HAVING count(*) = 2
              |ORDER BY sub_tf DESC, doc_id""".stripMargin)),
 
+    // The WHOLE engine over a SUBTOKENIZED corpus: re-join the subtoken
+    // stream with spaces and every operator — here full BM25 with the
+    // vocabulary-size IDF quirk — works at subtoken granularity
+    // unchanged (subtokens are [a-z0-9]+, so the standard analyzer is
+    // the identity on the re-joined text, and whitespace word count =
+    // subtoken count keeps doc lengths consistent). This is the
+    // persisted-subtoken-index path q141's transform hints at: one
+    // engine, any analyzer.
+    Gate("q142_subtoken_bm25",
+      (s, d) => {
+        val docs = codeFiles(s, d).select(
+          col("doc_id").cast("long").as("docId"), lit("").as("title"),
+          concat_ws(" ", graft.analysis.Analyzer.subtokensCol(
+            col("content"))).as("body"),
+          lit("").as("url"))
+        val e = new QueryEngine(IndexBuilder.build(docs, persist = false))
+        e.bm25Query("widget3 get2")
+          .select(col("docId").as("doc_id"),
+            round(col("score"), 6).as("score"))
+          .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+      },
+      Some(s"""WITH $CodeFilesCte,
+             |stoks AS (
+             |  SELECT doc_id, unnest(list_transform(list_filter(
+             |    regexp_split_to_array(
+             |      regexp_replace(regexp_replace(content,
+             |        '([a-z0-9])([A-Z])', '\\1 \\2', 'g'),
+             |        '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+             |      '[^a-zA-Z0-9]+'), x -> x <> ''), x -> lower(x))) AS term
+             |  FROM files),
+             |p2 AS (
+             |  SELECT term, doc_id, count(*)::BIGINT AS tf
+             |  FROM stoks GROUP BY term, doc_id),
+             |dl2 AS (
+             |  SELECT doc_id, count(*)::BIGINT AS len
+             |  FROM stoks GROUP BY doc_id),
+             |t2 AS (SELECT term, count(*)::BIGINT AS df FROM p2 GROUP BY term),
+             |vocab AS (SELECT count(*)::DOUBLE AS n FROM t2),
+             |avg_dl AS (
+             |  SELECT sum(len)::DOUBLE / count(*)::DOUBLE AS v FROM dl2),
+             |q(term, qcnt) AS (VALUES ('widget3', 1), ('get2', 1)),
+             |scored AS (
+             |  SELECT p.doc_id,
+             |    sum(q.qcnt * log10(vocab.n / t.df::DOUBLE) * 1.9 * p.tf::DOUBLE /
+             |        (0.9 * (0.6 + 0.4 * d.len::DOUBLE / avg_dl.v) + p.tf::DOUBLE)) AS raw
+             |  FROM p2 p
+             |  JOIN q ON p.term = q.term
+             |  JOIN t2 t ON p.term = t.term
+             |  JOIN dl2 d ON p.doc_id = d.doc_id
+             |  CROSS JOIN vocab CROSS JOIN avg_dl
+             |  GROUP BY p.doc_id)
+             |SELECT doc_id, round(raw, 6) AS score FROM scored
+             |ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // Glob-filtered BM25 (`file:src/**/*.py` + query terms): the q134
     // path filter composed into q117's filtered scoring — scores stay
     // corpus-global (strict-subset Lucene filter semantics).
