@@ -245,8 +245,18 @@ object Analyzer {
     */
   def tokensColUdf(c: Column): Column = tokensUdf(c)
 
-  /** code-identifier subtokens of a string column ([[subtokenizeFast]]). */
-  def subtokensCol(c: Column): Column = subtokensUdf(c)
+  /** code-identifier subtokens of a string column — the native
+    * codegen'd [[SubtokensExpr]] (byte-level state machine, no ScalaUDF
+    * boundary on subtoken corpus passes; semantics ≡ [[subtokenizeFast]],
+    * spec-pinned against the UDF twin on goldens + seeded fuzz).
+    */
+  def subtokensCol(c: Column): Column = SubtokensExpr.column(c)
+
+  /** ScalaUDF twin of [[subtokensCol]] over the SAME scanner — the
+    * semantics pin for the native expression's equivalence spec; never
+    * on a hot path.
+    */
+  def subtokensColUdf(c: Column): Column = subtokensUdf(c)
 
   /** Column regex twin of [[subtokensCol]] (equivalence tests only). */
   def subtokensColRegex(c: Column): Column =

@@ -98,6 +98,116 @@ object TokensExpr {
   }
 }
 
+/** `array<string>` of a document's code-identifier SUBTOKENS
+  * (camelCase / acronym-run / digit-boundary splitting, lowercased —
+  * [[Analyzer.subtokenizeFast]] semantics) computed over the UTF8String
+  * BYTES: the native codegen'd twin that takes the subtoken passes
+  * (q141 identifier search, q142 subtoken indexing, q54) off the
+  * ScalaUDF serialization boundary, exactly as [[TokensExpr]] did for
+  * the base analyzer. Single-pass state machine; in UTF-8 every byte of
+  * a non-ASCII char is ≥ 0x80 (negative as a signed byte), so each
+  * reads as a separator — identical to the char scanner's ASCII-only
+  * rule. Tokens are zero-copy views into one owned, lowercased-in-place
+  * byte array. null ⇒ empty array.
+  */
+case class SubtokensExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"subtokens expects string, got ${child.dataType}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val s = child.eval(input)
+    SubtokensExpr.compute(if (s == null) null else s.asInstanceOf[UTF8String])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.analysis.SubtokensExpr.compute(${c.isNull} ? null : ${c.value});
+      """
+    ev.copy(code = code, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubtokensExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "subtokens"
+}
+
+object SubtokensExpr {
+
+  def column(c: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      SubtokensExpr(org.apache.spark.sql.GraftColumnBridge.expression(c)))
+
+  private val Empty = new GenericArrayData(Array.empty[Any])
+
+  /** Static entry point used by both eval and the generated code. The
+    * state machine is byte-for-byte [[Analyzer.subtokenizeFast]]'s:
+    * kind 0 separator flushes; an UPPER after lower/digit starts a new
+    * token; a lower after an upper RUN of ≥ 2 takes the run's last
+    * letter with it (acronym rule); letter↔digit never splits.
+    */
+  def compute(s: UTF8String): GenericArrayData = {
+    if (s == null) return Empty
+    val bytes = DocTermsExpr.ownedBytes(s)
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    def emit(from: Int, until: Int): Unit = {
+      var j = from
+      while (j < until) {
+        val c = bytes(j)
+        if (c >= 'A' && c <= 'Z') bytes(j) = (c + 32).toByte
+        j += 1
+      }
+      out += UTF8String.fromBytes(bytes, from, until - from)
+    }
+    var i = 0
+    var start = -1
+    var prevKind = 0 // 0 none/sep, 1 lower, 2 upper, 3 digit
+    var upperRun = 0
+    while (i <= n) {
+      val kind =
+        if (i == n) 0
+        else {
+          val c = bytes(i)
+          if (c >= 'a' && c <= 'z') 1
+          else if (c >= 'A' && c <= 'Z') 2
+          else if (c >= '0' && c <= '9') 3 else 0
+        }
+      if (kind == 0) {
+        if (start >= 0) { emit(start, i); start = -1 }
+        upperRun = 0
+      } else if (kind == 2) {
+        if (prevKind == 1 || prevKind == 3) {
+          if (start >= 0) emit(start, i)
+          start = i
+          upperRun = 0
+        } else if (start < 0) start = i
+        upperRun += 1
+      } else {
+        if (kind == 1 && prevKind == 2 && upperRun >= 2) {
+          // ABc → "ab" flushed, the run's last upper opens the new word
+          emit(start, i - 1)
+          start = i - 1
+        } else if (start < 0) start = i
+        upperRun = 0
+      }
+      prevKind = kind
+      i += 1
+    }
+    if (out.isEmpty) Empty else new GenericArrayData(out.toArray)
+  }
+}
+
 /** Unicode White_Space word count (`strings.Fields` semantics, the
   * document-length definition — reference document.go:47-49) as a native
   * codegen'd expression over the raw UTF-8 bytes; the single-column twin

@@ -227,6 +227,33 @@ class AnalyzerSpec extends AnyFunSuite {
     }
   }
 
+  test("SubtokensExpr (native) ≡ UDF twin ≡ driver scanner: goldens + seeded fuzz") {
+    val spark = SparkSessionFixture.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val goldens = Seq(
+      "parseHTTPResponse2Code", "XMLHttpRequest", "fooBar baz_qux",
+      "ABc AB2c 2Code a1B", "KK", "A", "", null, "   ",
+      "httpClient.send(HTTPResponse)", "ü日ABüC",
+      "snake_case_only mixedCase UPPER lower 42x7Y")
+    val rnd = new scala.util.Random(1717)
+    val classes = "abXZ09 _.!\t\nK ü日"
+    val fuzz = (1 to 2000).map(_ =>
+      Seq.fill(rnd.nextInt(40))(classes(rnd.nextInt(classes.length))).mkString)
+    val rows = (goldens ++ fuzz).toDF("s")
+    val got = rows.select(
+        Analyzer.subtokensCol(col("s")).as("nat"),
+        Analyzer.subtokensColUdf(col("s")).as("udf"))
+      .collect()
+    got.zip(goldens ++ fuzz).foreach { case (r, in) =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"subtokens native≠udf for '$in'")
+      if (in != null)
+        assert(r.getSeq[String](0) == Analyzer.subtokenizeFast(in),
+          s"subtokens native≠driver for '$in'")
+    }
+  }
+
   test("TokensExpr never mutates its input strings (exactly-backed literals)") {
     val spark = SparkSessionFixture.spark
     import spark.implicits._

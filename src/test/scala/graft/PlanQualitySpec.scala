@@ -282,6 +282,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scoring should run inside whole-stage codegen:\n$plan")
   }
 
+  test("subtoken passes are native: no ScalaUDF in the identifier-search plan") {
+    val docs = GateQueries.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+    val p = planOf(graft.pipeline.CodeOps.subtokenSearch(docs, "doc_id",
+      "text", "spark table"))
+    assert(!p.contains("ScalaUDF"),
+      s"subtoken search must use the native SubtokensExpr:\n$p")
+    assert(p.contains("subtokens("),
+      s"native subtokens( should appear in the plan:\n$p")
+  }
+
   test("late-round map-only passes are exchange-free: winnow, code shape, comment stats, grep -C") {
     val docs = GateQueries.documents(spark, "/root/testdata/sf0.001")
     val t = coalesce(col("text"), lit(""))
