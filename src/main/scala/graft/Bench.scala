@@ -432,7 +432,15 @@ object Bench {
       // replace; the rest anti-join through untouched
       "rewrite_indexed" -> (() => graft.index.GramIndex.rewriteIndexed(
         spark, gramDir, documents, "doc_id", "text", "table", "TBL")
-        .agg(sum(length(col("content")))).head().getLong(0)))
+        .agg(sum(length(col("content")))).head().getLong(0)),
+      // camelCase identifier search: native SubtokensExpr postings +
+      // conjunctive count, one corpus pass
+      "subtoken_search" -> (() => graft.pipeline.CodeOps.subtokenSearch(
+        GateQueries.codeFiles(spark, sfDir), "doc_id", "content",
+        "Widget3 get2").count()),
+      // gapped exact phrase through the persisted positional sidecar
+      "gapped_phrase_top20" -> (() => graft.index.PositionalIndex
+        .phraseSearchGapped(spark, posDir, "table * join", 20).count()))
 
     // Query-path entries run once UNTIMED first: they model steady-state
     // workloads (serving, dedup sweeps), where JIT/codegen-cache/page-
