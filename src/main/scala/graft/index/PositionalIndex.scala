@@ -35,19 +35,30 @@ object PositionalIndex {
     */
   private val FieldGap = "\u0000"
 
+  /** Positions of gap between title and body (Lucene's default
+    * `positionIncrementGap`). Must exceed the longest supported gapped
+    * pattern: [[phraseHitsGapped]] does not re-verify wildcard slots, so
+    * a pattern spanning MORE positions than this gap could anchor its
+    * ends in different fields and fake a match through the empty slots.
+    * Callers of the gapped path enforce the bound
+    * ([[phraseSearchGapped]] rejects longer patterns).
+    */
+  private[index] val FieldGapWidth = 100
+
   /** (term, docId, pos) over the engine's document model — title tokens
     * then body tokens (the same stream [[IndexBuilder.tokenStream]]
     * indexes, so phrase semantics agree with what the tf index matched),
-    * with ONE position of gap between the fields (the Lucene
-    * position-increment idiom): a phrase must not match across the
-    * title→body boundary, where the tokens are not actually adjacent
-    * prose. The gap is a filtered sentinel token, so the whole op stays
-    * narrow: no shuffle.
+    * with [[FieldGapWidth]] positions of gap between the fields (the
+    * Lucene position-increment-gap idiom): a phrase — contiguous or
+    * gapped up to the supported pattern length — must not match across
+    * the title→body boundary, where the tokens are not actually adjacent
+    * prose. The gap is a run of filtered sentinel tokens, so the whole
+    * op stays narrow: no shuffle.
     */
   def positionsStream(docs: DataFrame): DataFrame =
     docs.select(col("docId"),
         posexplode(concat(Analyzer.tokensCol(col("title")),
-          array(lit(FieldGap)),
+          array_repeat(lit(FieldGap), FieldGapWidth),
           Analyzer.tokensCol(col("body")))).as(Seq("pos", "term")))
       .where(col("term") =!= FieldGap)
       .select(col("term"), col("docId"), col("pos").cast("long").as("pos"))
@@ -97,8 +108,9 @@ object PositionalIndex {
     * votes cast only by the ANCHOR terms and the hit bar at the anchor
     * count. Gap positions are not re-verified against the token stream:
     * interior positions of a field are contiguous by construction, and
-    * the title→body field gap is far larger than any pattern, so a
-    * cross-field alignment cannot fake a match. Leading/trailing
+    * the title→body field gap spans [[FieldGapWidth]] empty positions —
+    * wider than any pattern the callers accept — so a cross-field
+    * alignment cannot fake a match through the gap. Leading/trailing
     * wildcards are the caller's to trim — they constrain nothing here
     * (a leading gap aligned before the first token would otherwise
     * admit a doc with no token in that slot).
@@ -136,6 +148,9 @@ object PositionalIndex {
       .map(t => if (t == "*") None else Some(t))
     val pattern = raw.dropWhile(_.isEmpty).reverse.dropWhile(_.isEmpty)
       .reverse
+    require(pattern.size <= FieldGapWidth,
+      s"gapped pattern spans ${pattern.size} positions; max $FieldGapWidth " +
+        "(the title/body position-increment gap soundness bound)")
     val empty = Seq.empty[(Long, Long)].toDF("docId", "phrase_tf")
     val anchors = pattern.flatten
     if (anchors.isEmpty) return empty

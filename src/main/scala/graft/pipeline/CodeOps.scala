@@ -325,7 +325,11 @@ object CodeOps {
     * RE2-portable regex (no backtracking constructs, so Java regex and
     * RE2/DuckDB agree): `**` crosses directory separators, `*` and `?`
     * do not (`[^/]*` / `[^/]`), every other char is escaped as a
-    * literal. The standard gitignore/Zoekt `file:` semantics.
+    * literal. The standard gitignore/Zoekt `file:` semantics — in
+    * particular a whole path-segment `**` matches ZERO or more
+    * directories, so `src/&#42;&#42;/a.py` matches `src/a.py` (the
+    * segment compiles to an optional dir-run group, not a mandatory
+    * one).
     */
   def globToRegex(glob: String): String = {
     val sb = new StringBuilder("^")
@@ -333,7 +337,13 @@ object CodeOps {
     while (i < glob.length) {
       glob.charAt(i) match {
         case '*' if i + 1 < glob.length && glob.charAt(i + 1) == '*' =>
-          sb.append(".*"); i += 1
+          val atSegStart = i == 0 || glob.charAt(i - 1) == '/'
+          if (atSegStart && i + 2 < glob.length && glob.charAt(i + 2) == '/') {
+            // whole-segment `**/`: zero or more directories, slash included
+            sb.append("(?:.*/)?"); i += 2
+          } else {
+            sb.append(".*"); i += 1
+          }
         case '*' => sb.append("[^/]*")
         case '?' => sb.append("[^/]")
         case c if "\\.[]{}()+^$|".indexOf(c) >= 0 =>

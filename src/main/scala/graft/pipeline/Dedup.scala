@@ -224,7 +224,7 @@ object Dedup {
     * minhashes. Two documents collide in a band iff all rows of that band
     * agree — P[collide] = jaccard^(numHashes/bands) per band.
     */
-  /** Local clone-pair detection over robust winnowing fingerprints — the
+  /** Local clone-pair detection over winnowing fingerprints — the
     * MOSS pair report (Schleimer et al. SIGMOD'03 §5): document pairs
     * sharing ≥ `minShared` distinct winnow hashes, with the shared count
     * and the containment-style overlap `shared / min(|A|, |B|)` (6dp).

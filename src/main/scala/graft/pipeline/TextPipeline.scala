@@ -155,11 +155,15 @@ object TextPipeline {
   def fingerprint(text: Column, n: Int = 5): Column =
     array_min(transform(shingleSet(text, n), s => md5(s)))
 
-  /** Robust winnowing fingerprints (Schleimer/Wilkerson/Aiken,
-    * SIGMOD'03 — the MOSS algorithm): over the POSITIONAL shingle-hash
-    * sequence h₁..hₘ, every window of `w` consecutive hashes selects its
-    * minimum (ties → the RIGHTMOST minimal position, the paper's rule),
-    * and the fingerprint is the distinct selected `(pos, hash)` pairs.
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS primitive), plain winnowing with the rightmost-min tie-break:
+    * over the POSITIONAL shingle-hash sequence h₁..hₘ, every window of
+    * `w` consecutive hashes selects its minimum (ties → the RIGHTMOST
+    * minimal position), and the fingerprint is the distinct selected
+    * `(pos, hash)` pairs. (The paper's §5.2 "robust" refinement — prefer
+    * re-selecting the previous window's choice on ties to thin the
+    * fingerprint set — is a density optimization, not a correctness one;
+    * this relational form keeps the stateless per-window rule.)
     * Guarantees: any shared substring of ≥ w+n−1 tokens yields at least
     * one shared fingerprint, and fingerprint density is ~2/(w+1) — the
     * local, position-aware near-dup primitive (plagiarism / clone
@@ -238,9 +242,12 @@ object TextPipeline {
       frac: Double): DataFrame = {
     require(frac > 0.0 && frac <= 1.0, s"frac must be in (0, 1], got $frac")
     if (frac == 1.0) return docs
-    val thr = docs
-      .agg(expr(s"percentile($scoreCol, ${1.0 - frac})")).head().getDouble(0)
-    docs.where(col(scoreCol) >= thr)
+    // percentile over an empty (or all-null-score) relation is null —
+    // no threshold exists, so the cut is empty rather than an NPE
+    val row = docs
+      .agg(percentile(col(scoreCol), lit(1.0 - frac)).as("__thr")).head()
+    if (row.isNullAt(0)) docs.limit(0)
+    else docs.where(col(scoreCol) >= row.getDouble(0))
   }
 
   // ---------------------------------------------------------------------

@@ -830,8 +830,12 @@ object QueryEngine {
   def collapseSimilarHits(hits: DataFrame, sims: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val h = hits.select(col("docId"), col("score"))
-      .join(broadcast(sims.select(col("docId"), col("simhash"))), "docId")
+    // broadcast the k-row hits side; the corpus-sized sims relation
+    // STREAMS and is semi-reduced to hit docIds by the join — the
+    // subsequent self-join then runs over ≤ k rows
+    val h = sims.select(col("docId"), col("simhash"))
+      .join(broadcast(hits.select(col("docId"), col("score"))), "docId")
+      .select(col("docId"), col("score"), col("simhash"))
     val higher = col("b.score") > col("a.score") ||
       (col("b.score") === col("a.score") && col("b.docId") < col("a.docId"))
     val near = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <=

@@ -243,6 +243,13 @@ class CodeOpsSpec extends AnyFunSuite {
     assert(!m("a/*.txt", "xa/b.txt")) // anchored at the start
     assert(m("**/*.py", "deep/nested/dir/f.py")) // ** crosses
     assert(m("src/**", "src/a/b/c"))
+    // gitignore/Zoekt semantics: a whole-segment ** matches ZERO dirs too
+    assert(m("src/**/a.py", "src/a.py"))
+    assert(m("src/**/a.py", "src/x/a.py"))
+    assert(m("src/**/a.py", "src/x/y/a.py"))
+    assert(m("**/*.py", "f.py")) // leading **/ matches zero dirs
+    assert(!m("src/**/a.py", "src/xa.py")) // the zero-dir form keeps the /
+    assert(m("a**b", "axyb")) // mid-segment ** degrades to .* (bash-ish)
     assert(m("f?.py", "f1.py"))
     assert(!m("f?.py", "f/.py")) // ? is non-slash
     assert(!m("f?.py", "f12.py")) // exactly one char

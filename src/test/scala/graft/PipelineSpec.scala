@@ -1482,6 +1482,12 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       TextPipeline.selectTopQuantile(docs, "score", 0.0)
     }
+    // no threshold exists on an empty or all-null-score input → empty
+    // result (not an NPE from the null percentile aggregate)
+    assert(TextPipeline.selectTopQuantile(docs.limit(0), "score", 0.2)
+      .count() == 0)
+    val nulls = docs.withColumn("score", lit(null).cast("double"))
+    assert(TextPipeline.selectTopQuantile(nulls, "score", 0.2).count() == 0)
   }
 
   test("meanPoolEmbeddings: hand-computed means, dimension order, partition-proof") {

@@ -339,4 +339,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!gPlan.contains("SortMergeJoin"),
       s"meta side must not sort-merge:\n$gPlan")
   }
+
+  test("SERP collapse: corpus-sized sims streams, k-row hit side broadcasts") {
+    val sp = spark
+    import sp.implicits._
+    // the big side is a Range scan — if it ever lands under a broadcast
+    // build side, the plan would OOM the driver at corpus scale
+    val sims = spark.range(0, 100000)
+      .select(col("id").as("docId"), xxhash64(col("id")).as("simhash"))
+    val hits = (1L to 10L).map(i => (i, 100.0 - i)).toDF("docId", "score")
+    val df = graft.query.QueryEngine.collapseSimilarHits(hits, sims)
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.nonEmpty, "expected a broadcast join of sims × hits")
+    joins.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+      }
+      assert(!build.toString.contains("Range"),
+        s"corpus-sized sims side must stream, not broadcast:\n$j")
+    }
+    // and the rule still computes: hits all distinct sketches → all kept
+    assert(df.count() == 10)
+  }
 }

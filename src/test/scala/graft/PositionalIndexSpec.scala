@@ -178,6 +178,34 @@ class PositionalIndexSpec extends AnyFunSuite {
     assert(hits("table join") == Map(2L -> 1L))
   }
 
+  test("phraseHitsGapped: wildcard slots never bridge the title/body gap") {
+    // title ends with the first anchor, body starts with the second: with
+    // a single-position field gap, "a * b" would anchor a@p and b@p+2
+    // through the empty sentinel slot — a false match. The widened
+    // position-increment gap must reject it.
+    val docs = modelDocs(Seq(
+      (1L, "title ends a", "b starts body"),
+      (2L, "", "a x b"), // genuine gapped hit
+      (3L, "ends a q", "b body"))) // two-wide slot can't bridge either
+    val tf = PositionalIndex.phraseHitsGapped(
+        PositionalIndex.positionsStream(docs),
+        Seq(Some("a"), None, Some("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tf == Map(2L -> 1L))
+    val tf2 = PositionalIndex.phraseHitsGapped(
+        PositionalIndex.positionsStream(docs),
+        Seq(Some("a"), None, None, Some("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tf2 == Map.empty[Long, Long])
+    // patterns longer than the gap are rejected, not silently unsound
+    val dir = Files.createTempDirectory("graft-pos-gapw").toString
+    PositionalIndex.build(docs, dir, nShards = 2)
+    val wide = "a " + ("* " * 100) + "b"
+    intercept[IllegalArgumentException] {
+      PositionalIndex.phraseSearchGapped(spark, dir, wide, 10)
+    }
+  }
+
   test("nextwordSuggest: continuations by bigram df; last token; unarmed → empty") {
     val docs = modelDocs(Seq(
       (1L, "", "spark table join spark table"),
