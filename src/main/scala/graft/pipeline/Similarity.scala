@@ -855,33 +855,94 @@ object Similarity {
     * quadratically in k). Complementary to [[cosineNearDupPairs]]: LSH
     * blocking bounds misses probabilistically per pair, cluster blocking
     * is the published SemDeDup recipe and reuses a quantizer the ANN
-    * index already maintains. The within-cluster join necessarily
-    * carries each vector once per side — that IS the blocked compare —
-    * but never ×nTables, and never across clusters.
+    * index already maintains.
+    *
+    * Skew guard (the 100-TB hazard): cluster balance is the QUANTIZER's
+    * doing, and a degenerate quantizer (or iters = 0 with unlucky seed
+    * vectors) can drop cN documents on ONE shuffle key — (cN)²/2 cosine
+    * pairs in a single task. Two defenses, both always on:
+    *
+    *   1. The blocking exchange ships (cluster, id) ONLY — embeddings
+    *      are re-joined per side on the surviving candidate ids (the
+    *      [[cosineNearDupPairs]] candidates-then-verify shape), so the
+    *      hot key carries 16-byte rows, never ×2 vector payloads.
+    *   2. Any cluster whose population exceeds `maxClusterSize`
+    *      (detected by a k-bounded count aggregate) is sub-blocked by a
+    *      deterministic SRP band ([[srpBucketAt]], a disjoint hyperplane
+    *      range) with enough planes to bring the EXPECTED block back
+    *      under the cap. Within an oversized cluster recall becomes
+    *      probabilistic (near-identical directions still collide with
+    *      overwhelming probability; antipodal-ish pairs may be missed) —
+    *      the honest trade: a mega-cluster means the quantizer already
+    *      failed to separate the data, and the alternative is a job that
+    *      never finishes. Clusters at or under the cap are EXACT, so
+    *      results are unchanged wherever the published recipe was
+    *      actually viable.
     *
     * Output: (cluster, id_a, id_b, sim) with id_a < id_b and
-    * 6dp-rounded sim ≥ `eps`, one row per unordered within-cluster pair.
+    * 6dp-rounded sim ≥ `eps`, one row per unordered within-cluster
+    * (and, in oversized clusters, within-sub-block) pair.
     */
   def semanticDedupPairs(
       corpus: DataFrame, k: Int, eps: Double, iters: Int = 0,
-      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      maxClusterSize: Int = 1 << 16): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
+    require(maxClusterSize >= 2, s"maxClusterSize must be >= 2, got $maxClusterSize")
     // ivfCentroids derives dimensionality from the vectors themselves;
     // its dim parameter is signature symmetry only (0 = not consulted)
     val centroids = ivfCentroids(corpus, 0, k, iters, corpusIdCol, vecCol)
     val assigned = ivfAssign(corpus, centroids, corpusIdCol, vecCol)
       .select(col("cluster").cast("long").as("cluster"),
         col("vec_id").as("id"), col("embedding").as("__v"))
-    val l = assigned.select(col("cluster"),
-      col("id").as("id_a"), col("__v").as("__va"))
-    val r = assigned.select(col("cluster"),
-      col("id").as("id_b"), col("__v").as("__vb"))
-    l.join(r, "cluster")
-      .where(col("id_a") < col("id_b"))
+    val sp = corpus.sparkSession
+    import sp.implicits._
+    // k-bounded population probe; only clusters OVER the cap get a mask
+    val overCap = assigned.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxClusterSize)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val subKeyed =
+      if (overCap.isEmpty) assigned.withColumn("__sub", lit(0L))
+      else {
+        val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+        // per-cluster plane count: split 2^p ways so E[block] ≤ cap
+        def planesFor(n: Long): Int = {
+          var p = 0
+          while ((n >> p) > maxClusterSize && p < 16) p += 1
+          p
+        }
+        val masks = overCap
+          .map { case (cl, n) => (cl, (1L << planesFor(n)) - 1L) }
+          .toSeq.toDF("cluster", "__mask")
+        val maxPlanes = overCap.map { case (_, n) => planesFor(n) }.max
+        // when() short-circuits: rows of in-cap clusters never pay the
+        // dim × maxPlanes projection arithmetic
+        assigned.join(broadcast(masks), Seq("cluster"), "left")
+          .withColumn("__sub",
+            when(col("__mask").isNull, lit(0L)).otherwise(
+              srpBucketAt(col("__v"), dim, maxPlanes, SemDedupPlaneOffset)
+                .bitwiseAND(col("__mask"))))
+          .drop("__mask")
+      }
+    val ids = subKeyed.select(col("cluster"), col("__sub"), col("id"))
+    val candidates = ids.as("l")
+      .join(ids.as("r"), Seq("cluster", "__sub"))
+      .where(col("l.id") < col("r.id"))
+      .select(col("cluster"), col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val vecs = assigned.select(col("id"), col("__v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
       .select(col("cluster"), col("id_a"), col("id_b"),
         round(cosine(col("__va"), col("__vb")), 6).as("sim"))
       .where(col("sim") >= eps)
   }
+
+  /** Hyperplane range reserved for [[semanticDedupPairs]]'s oversized-
+    * cluster sub-banding — disjoint from [[cosineNearDupPairs]]'s table
+    * offsets (t · planesPerTable, small multiples) by a wide margin.
+    */
+  private val SemDedupPlaneOffset = 1 << 20
 
   // --------------------------------------------------------------------
   // Product quantization (Jégou, Douze, Schmid 2011) — the billion-vector

@@ -547,6 +547,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.select("cluster").distinct().count() == 8)
   }
 
+  test("semanticDedupPairs skew guard: a degenerate quantizer cannot produce a quadratic hot key") {
+    // k=2, iters=0 → centroids are vectors 0 and 1 verbatim. Centroid 1
+    // is the last axis; every other vector has a ZERO last coordinate and
+    // a positive first coordinate, so 119/120 docs (≥ 90%) land in
+    // cluster 0 — the degenerate-quantizer scenario. Directions are
+    // otherwise diverse (deterministic LCG), so the SRP sub-band can
+    // split the mega-cluster.
+    def lcg(s: Long): Long = (s * 6364136223846793005L + 1442695040888963407L)
+    // vi_0 > 0 and vi_7 = 0 for every non-centroid doc → cos to centroid
+    // 0 (= e1) is strictly positive while cos to centroid 1 (= e8) is 0,
+    // so cluster 0 swallows all 119 of them deterministically
+    def doc(seed: Long): Array[Float] = Array.tabulate(8) { d =>
+      if (d == 7) 0f
+      else if (d == 0) 0.2f + ((lcg(seed * 31) >>> 16) % 1000L) / 1000.0f
+      else (((lcg(seed * 31 + d) >>> 16) % 1000L) / 500.0f - 1.0f)
+    }
+    val vecs = ((0L until 120L).map { i =>
+      if (i == 0L) (i, Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+      else if (i == 1L) (i, Array(0f, 0f, 0f, 0f, 0f, 0f, 0f, 1f))
+      else if (i == 61L) (i, doc(60L)) // identical to doc 60
+      else (i, doc(i))
+    }).toDF("vec_id", "embedding")
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // eps = −1 keeps EVERY in-block pair → output count ≡ Σ C(block, 2),
+    // which makes per-key work directly observable
+    val unCapped = pairSet(Similarity.semanticDedupPairs(vecs, k = 2,
+      eps = -1.0))
+    assert(unCapped.size == 119 * 118 / 2,
+      s"expected one mega-cluster of 119, got ${unCapped.size} pairs")
+    val capped = Similarity.semanticDedupPairs(vecs, k = 2, eps = -1.0,
+      maxClusterSize = 8)
+    val cappedPairs = pairSet(capped)
+    // 1) strictly sub-quadratic: the mega-key was split
+    assert(cappedPairs.size < unCapped.size / 4,
+      s"capped pair count ${cappedPairs.size} not sub-quadratic vs ${unCapped.size}")
+    assert(cappedPairs.nonEmpty && cappedPairs.subsetOf(unCapped))
+    // 2) per-key bound: blocks are cliques in the pair graph, so the
+    // largest connected component IS the largest shuffle-key population
+    val parent = scala.collection.mutable.Map((0L until 120L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    cappedPairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val maxBlock = (0L until 120L).groupBy(find).values.map(_.size).max
+    assert(maxBlock <= 40, s"largest sub-block $maxBlock — SRP failed to split the hot key")
+    // 3) identical vectors always share every SRP band → true dups survive
+    assert(cappedPairs.contains((60L, 61L)))
+    assert(capped.where(col("id_a") === 60L && col("id_b") === 61L)
+      .head().getAs[Double]("sim") == 1.0)
+    // 4) clusters at/under the cap stay EXACT: high cap ≡ original result
+    assert(pairSet(Similarity.semanticDedupPairs(vecs, k = 2, eps = -1.0,
+      maxClusterSize = 1000)) == unCapped)
+  }
+
   test("bigramNll: corpus transition model, hand-computed, short docs 0") {
     def round6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble

@@ -364,4 +364,35 @@ class PlanQualitySpec extends AnyFunSuite {
     // and the rule still computes: hits all distinct sketches → all kept
     assert(df.count() == 10)
   }
+
+  test("SemDeDup blocking exchange ships (cluster, id) only — no embedding payload") {
+    val sp = spark
+    import sp.implicits._
+    val vecs = (0L until 200L).map { i =>
+      (i, Array.tabulate(8)(d => ((i * 31 + d * 7) % 13).toFloat - 6f))
+    }.toDF("vec_id", "embedding")
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val priorAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pairs = Similarity.semanticDedupPairs(vecs, k = 4, eps = 0.0)
+      val shuffles = pairs.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(shuffles.nonEmpty, "expected shuffle joins with broadcast disabled")
+      // the candidate-blocking exchanges (keyed by the sub-block column)
+      // must be vector-free: embeddings cross the wire only in the
+      // id-keyed verify joins, once per surviving side
+      val blocking = shuffles.filter(_.output.exists(_.name == "__sub"))
+      assert(blocking.nonEmpty, "expected the (cluster, __sub) blocking exchange")
+      blocking.foreach { e =>
+        assert(!e.output.exists(a => a.name.startsWith("__v")),
+          s"blocking exchange carries an embedding column:\n$e")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+      spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
+    }
+  }
 }
