@@ -1,0 +1,54 @@
+package graft.tools
+
+import graft.index.BlockIndex
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Focused timing of the batched block-max WAND path — the diagnosis
+  * harness for the r4→r5 bm25_wand_20_queries_batched drift. Isolates
+  * the query from the shared Bench JVM: builds the sf index untimed,
+  * optionally replays the heavy upsert prep that Bench runs before its
+  * timed entries (arg "prep"), then times warmup + 5 runs of the same
+  * 20-query batch Bench uses and prints each run plus min/median.
+  */
+object WandBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val withPrep = args.contains("prep")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.GateQueries.docsAsModel(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-wand-idx").toString
+    BlockIndex.build(docs, idxDir, BlockIndex.Layout(blockSpan = 4096, nShards = 8))
+    if (withPrep) {
+      val upsDir = java.nio.file.Files.createTempDirectory("graft-wand-ups").toString
+      val upsKeyDir = java.nio.file.Files.createTempDirectory("graft-wand-upskey").toString
+      graft.streaming.StreamOps.indexUpsertBatch(
+        docs.select(col("title"), col("body"),
+          concat(lit("u"), col("docId")).as("url")),
+        batchId = 0L, upsDir,
+        BlockIndex.Layout(blockSpan = 4096, nShards = 8), Seq("url"),
+        upsKeyDir, genTag = "bench")
+      println("[wand] upsert prep done")
+    }
+    val pool = Seq("spark join", "table window fast", "customer query",
+      "vector stream batch", "group sort merge", "filter scan row",
+      "big small slow", "hash agg column", "line part value", "key data order")
+    val queries = pool ++ pool.map(_ + " table")
+    def once(): Long = BlockIndex.bm25TopKBatch(spark, idxDir, queries, 10).count()
+    once() // warmup
+    val runs = (1 to 5).map { i =>
+      val t0 = System.nanoTime(); once()
+      val s = (System.nanoTime() - t0) / 1e9
+      println(f"[wand] batched run $i: $s%.3f s"); s
+    }
+    val sorted = runs.sorted
+    println(f"[wand] batched min=${sorted.head}%.3f median=${sorted(2)}%.3f prep=$withPrep cpus=$cpus sf=$sfDir")
+    spark.stop()
+  }
+}
