@@ -156,10 +156,14 @@ object Bench {
         embeddings.where(col("vec_id") < 5).withColumnRenamed("vec_id", "query_id"),
         embeddings, k = 10, rerank = 50, dim = 64).count()),
       // product quantization: 8 bytes/vector candidate scan (8× below
-      // SQ8) + exact re-rank; codebooks Lloyd-refined at build time
+      // SQ8) + exact re-rank; codebooks Lloyd-refined at build time on a
+      // BOUNDED smallest-id sample (the 100-TB recipe: train passes
+      // touch min(n, S) rows, the full corpus is scanned once by the
+      // coding pass; cap 512 < n here so the bench exercises the
+      // sampled regime)
       "pq_build" -> (() => {
         Similarity.pqBuild(embeddings, pqDir, dim = 64, m = 8, ksub = 16,
-          iters = 3)
+          iters = 3, trainSample = 512)
         1L
       }),
       "ann_pq_top10" -> (() => Similarity.pqTopKIndexed(spark, pqDir,
@@ -169,7 +173,7 @@ object Bench {
       // width) — the two levers composed
       "ivfpq_build" -> (() => {
         Similarity.ivfPqBuild(embeddings, ivfPqDir, dim = 64, kClusters = 8,
-          m = 8, ksub = 16, iters = 3)
+          m = 8, ksub = 16, iters = 3, trainSample = 512)
         1L
       }),
       "ann_ivfpq_top10" -> (() => Similarity.ivfPqTopKIndexed(spark, ivfPqDir,

@@ -230,28 +230,43 @@ object Similarity {
     * assign-and-average. Assignment is by cosine, matching the query
     * metric. Returns K dense centroid vectors on the driver (K·dim
     * doubles — trivially broadcastable).
+    *
+    * Refinement runs over the `min(n, trainSample)` smallest-id vectors,
+    * cached across rounds (the [[pqTrain]] rule, same rationale): a
+    * coarse quantizer converges on a bounded deterministic sample;
+    * `iters` assign passes over 100 TB would be `iters` full scans for
+    * no quality gain. At or under the cap the result is byte-identical
+    * to training on everything, and iters = 0 never reads past the
+    * first K rows.
     */
   def ivfCentroids(
       corpus: DataFrame, dim: Int, k: Int, iters: Int = 5,
-      corpusIdCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      corpusIdCol: String = "vec_id", vecCol: String = "embedding",
+      trainSample: Int = 1 << 16): Array[Array[Double]] = {
+    require(trainSample >= k, s"trainSample ($trainSample) must be >= k ($k)")
     val c = corpus.select(col(corpusIdCol).cast("long").as("id"), col(vecCol).as("v"))
     var centroids: Array[Array[Double]] = c.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
-    for (_ <- 1 to iters) {
-      val assigned = assignClusters(c, centroids)
-      val sums = assigned
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = centroids.map(_.clone())
-      sums.foreach { r =>
-        val (cl, pos) = (r.getInt(0), r.getInt(1))
-        next(cl)(pos) = r.getDouble(2) / r.getLong(3)
+    if (iters == 0) return centroids
+    val train = c.orderBy(col("id")).limit(trainSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = assignClusters(train, centroids)
+        val sums = assigned
+          .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("x").cast("double")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = centroids.map(_.clone())
+        sums.foreach { r =>
+          val (cl, pos) = (r.getInt(0), r.getInt(1))
+          next(cl)(pos) = r.getDouble(2) / r.getLong(3)
+        }
+        centroids = next
       }
-      centroids = next
-    }
-    centroids
+      centroids
+    } finally train.unpersist()
   }
 
   /** (id, v, cluster) — nearest centroid by 6dp-ROUNDED cosine; ties
@@ -968,13 +983,26 @@ object Similarity {
     * the [[assignClusters]] rule) and re-centers. One distributed
     * aggregation per round — posexplode fans out, map-side combine
     * collapses to m·ksub·ds rows before the shuffle.
+    *
+    * Refinement trains on the `min(n, trainSample)` SMALLEST-ID vectors
+    * (deterministic — no RNG, and the init vectors are a subset of the
+    * sample by construction), cached across rounds. A codebook converges
+    * on a bounded sample; `iters` full-corpus assign passes would be
+    * `iters` linear scans of 100 TB for no recall gain — the full corpus
+    * is scanned exactly ONCE, by the coding pass of the build. When the
+    * corpus is at or under the cap this is byte-identical to training on
+    * everything (so oracles and small-scale results are unchanged), and
+    * iters = 0 never runs the loop at all.
     */
   def pqTrain(
       corpus: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int = 5,
       corpusIdCol: String = "vec_id",
-      vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+      vecCol: String = "embedding",
+      trainSample: Int = 1 << 16): Array[Array[Array[Double]]] = {
     require(dim % m == 0, s"dim ($dim) must be divisible by m ($m)")
     require(ksub >= 1 && ksub <= 256, s"ksub must be in [1,256], got $ksub")
+    require(trainSample >= ksub,
+      s"trainSample ($trainSample) must be >= ksub ($ksub)")
     val ds = dim / m
     val c = corpus.select(col(corpusIdCol).cast("long").as("id"),
       col(vecCol).as("v"))
@@ -984,24 +1012,29 @@ object Similarity {
       .map(full => Array.tabulate(m)(j => full.slice(j * ds, (j + 1) * ds)))
       .transpose // [ksub][m][ds] → [m][ksub][ds]
       .map(_.toArray)
-    for (_ <- 1 to iters) {
-      val sums = c
-        .select(posexplode(pqCode(col("v"), codebooks)).as(Seq("j", "cb")),
-          asDouble(col("v")).as("vd"))
-        .select(col("j"), (col("cb").cast("int") + 128).as("code"),
-          posexplode(slice(col("vd"), col("j") * ds + 1, lit(ds)))
-            .as(Seq("pos", "x")))
-        .groupBy(col("j"), col("code"), col("pos"))
-        .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val next = codebooks.map(_.map(_.clone()))
-      sums.foreach { r =>
-        val (j, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
-        next(j)(code)(pos) = r.getDouble(3) / r.getLong(4)
+    if (iters == 0) return codebooks
+    val train = c.orderBy(col("id")).limit(trainSample)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val sums = train
+          .select(posexplode(pqCode(col("v"), codebooks)).as(Seq("j", "cb")),
+            asDouble(col("v")).as("vd"))
+          .select(col("j"), (col("cb").cast("int") + 128).as("code"),
+            posexplode(slice(col("vd"), col("j") * ds + 1, lit(ds)))
+              .as(Seq("pos", "x")))
+          .groupBy(col("j"), col("code"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next = codebooks.map(_.map(_.clone()))
+        sums.foreach { r =>
+          val (j, code, pos) = (r.getInt(0), r.getInt(1), r.getInt(2))
+          next(j)(code)(pos) = r.getDouble(3) / r.getLong(4)
+        }
+        codebooks = next
       }
-      codebooks = next
-    }
-    codebooks
+      codebooks
+    } finally train.unpersist()
   }
 
   /** Encode a vector to its m PQ codes (`array<tinyint>`, code−128 — the
@@ -1088,9 +1121,10 @@ object Similarity {
   def pqBuild(
       corpus: DataFrame, dir: String, dim: Int, m: Int, ksub: Int,
       iters: Int = 5, corpusIdCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", trainSample: Int = 1 << 16): Unit = {
     graft.index.MetaIO.deleteIfExists(s"$dir/$PqBookName")
-    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol)
+    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol,
+      trainSample)
     corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
         col(vecCol).as("embedding"),
         pqCode(col(vecCol), books).as("codes"))
@@ -1151,9 +1185,11 @@ object Similarity {
   def pqTopK(
       queries: DataFrame, corpus: DataFrame, k: Int, rerank: Int, dim: Int,
       m: Int, ksub: Int, iters: Int = 5, queryIdCol: String = "query_id",
-      vecCol: String = "embedding", corpusIdCol: String = "vec_id"): DataFrame = {
+      vecCol: String = "embedding", corpusIdCol: String = "vec_id",
+      trainSample: Int = 1 << 16): DataFrame = {
     require(rerank >= k, s"rerank window ($rerank) must be >= k ($k)")
-    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol)
+    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol,
+      trainSample)
     val q = queries.select(col(queryIdCol).cast("long").as("query_id"),
       asDouble(col(vecCol)).as("__qv"))
     val c = corpus.select(col(corpusIdCol).cast("long").as("vec_id"),
@@ -1193,13 +1229,14 @@ object Similarity {
   def ivfPqBuild(
       corpus: DataFrame, dir: String, dim: Int, kClusters: Int, m: Int,
       ksub: Int, iters: Int = 5, corpusIdCol: String = "vec_id",
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", trainSample: Int = 1 << 16): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     graft.index.MetaIO.deleteIfExists(s"$dir/$PqBookName")
     val centroids = ivfCentroids(corpus, dim, kClusters, iters,
-      corpusIdCol, vecCol)
-    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol)
+      corpusIdCol, vecCol, trainSample)
+    val books = pqTrain(corpus, dim, m, ksub, iters, corpusIdCol, vecCol,
+      trainSample)
     centroids.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
       .toDF("cluster", "weights")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")

@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.pipeline.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Where does pq_build spend its time? Times pqBuild / ivfPqBuild at
+  * several iteration counts (and, when given, a training-sample cap) on
+  * the sf embeddings table.
+  */
+object PqBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = graft.GateQueries.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    println(s"[pq] n=${emb.count()}")
+    def t(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[pq] $name%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+    }
+    for (iters <- Seq(0, 1, 3)) {
+      val d = java.nio.file.Files.createTempDirectory(s"pqb$iters").toString
+      t(s"pq_build iters=$iters") {
+        Similarity.pqBuild(emb, d, dim = 64, m = 8, ksub = 16, iters = iters)
+      }
+    }
+    for (cap <- Seq(512, 1 << 16)) {
+      val d = java.nio.file.Files.createTempDirectory(s"pqbs$cap").toString
+      t(s"pq_build iters=3 sample=$cap") {
+        Similarity.pqBuild(emb, d, dim = 64, m = 8, ksub = 16, iters = 3,
+          trainSample = cap)
+      }
+      val d2 = java.nio.file.Files.createTempDirectory(s"ivfpqbs$cap").toString
+      t(s"ivfpq_build iters=3 sample=$cap") {
+        Similarity.ivfPqBuild(emb, d2, dim = 64, kClusters = 8, m = 8,
+          ksub = 16, iters = 3, trainSample = cap)
+      }
+    }
+    spark.stop()
+  }
+}
