@@ -4802,6 +4802,26 @@ object GateQueries {
       },
       Some(GrepRegexLinesOracle)),
 
+    // The common grep idioms — a character class ([Tt]) and a bounded
+    // repeat (b{1}) — through the INDEXED regex path: the class expands
+    // into the Cox OR algebra (variant gram conjunctions) and the exact
+    // repeat keeps run adjacency, so the pattern rides the gram
+    // prefilter instead of the full verify scan (regime asserted in
+    // GramIndexSpec; Java and RE2 agree on the subset, so the DuckDB
+    // oracle runs the same pattern verbatim).
+    Gate("q137c_grep_regex_class_indexed",
+      (s, d) => {
+        val ml = documents(s, d).select(col("doc_id"),
+          replace(coalesce(col("text"), lit("")), lit(" "), lit("\n"))
+            .as("content"))
+        graft.index.GramIndex.grepLinesRegexIndexed(s, mlGramIndexDir(s, d),
+            ml, "doc_id", "content", "[Tt]ab{1}(le|ular)")
+          .select(col("docId").as("doc_id"), col("line_no"), col("line"))
+          .orderBy(col("doc_id"), col("line_no"))
+      },
+      Some(GrepRegexLinesOracle.replace("'tab(le|ular)'",
+        "'[Tt]ab{1}(le|ular)'"))),
+
     // The code-curation CAPSTONE: shape gate (q123 thresholds) ∧
     // secret-free ∧ exact-dedup keeper ∧ novelty ≥ 0.3, then the
     // sort-free top-half quality cut computed over the SURVIVORS — five

@@ -489,23 +489,32 @@ object GramIndex {
   }
 
   /** Compile a Java-regex pattern to its necessary gram condition.
-    * None ⇒ a construct outside the supported subset (bounded
-    * repetition `{m,n}`, backreferences, lookarounds, unknown escapes)
-    * — callers full-scan; the pattern still fails loudly in the verify
-    * if it is genuinely invalid, same as grep.
+    * None ⇒ a construct outside the supported subset (backreferences,
+    * lookarounds, unknown escapes, malformed quantifiers) — callers
+    * full-scan; the pattern still fails loudly in the verify if it is
+    * genuinely invalid, same as grep.
     *
     * Supported: literals, escapes of metacharacters, `.`, character
-    * classes `[…]` (opaque), groups `(…)` (non-capturing `(?:…)` too),
-    * alternation, postfix `*` `+` `?`, anchors `^` `$`, and class
-    * escapes `\d \D \w \W \s \S \b \B` (opaque one-position atoms).
-    * Semantics used per element:
-    *   - a maximal run of exactly-once literal chars requires ALL its
-    *     k-grams (runs shorter than k require nothing);
-    *   - `x?` / `x*` may be absent → contributes Any and breaks the run;
-    *   - `x+` guarantees ≥1 occurrence → contributes x's own condition,
-    *     and (for a literal char) extends the PRECEDING run before
-    *     breaking adjacency (`ab+c` requires "ab" — its k-grams if long
-    *     enough — but not "bc", since the c follows the LAST b);
+    * classes `[…]`, groups `(…)` (non-capturing `(?:…)` too),
+    * alternation, postfix `*` `+` `?` and bounded repeats `{m}` `{m,}`
+    * `{m,n}`, anchors `^` `$`, and class escapes `\d \D \w \W \s \S
+    * \b \B` (opaque one-position atoms). Semantics used per element:
+    *   - a maximal run of exactly-once positions requires its k-grams;
+    *     a position may hold a SMALL literal character class (≤
+    *     [[MaxClassExpand]] expansions, e.g. `[Gg]et`, `v[0-3]x`), in
+    *     which case the run compiles to the OR over its expanded
+    *     variants' gram conjunctions, capped at [[MaxRunVariants]]
+    *     variants per run (past the cap the run splits — weaker but
+    *     sound). Negated classes, class escapes inside classes, and
+    *     wide ranges stay opaque atoms;
+    *   - `x?` / `x*` / `x{0,…}` may be absent → contributes Any and
+    *     breaks the run;
+    *   - `x+` / `x{m,…}` guarantees ≥ m ≥ 1 adjacent occurrences →
+    *     extends the PRECEDING run with m copies before breaking
+    *     adjacency (`ab+c` requires "ab" but not "bc", since the c
+    *     follows the LAST b);
+    *   - `x{m}` is exactly m adjacent copies — the run CONTINUES through
+    *     it (`a\d{2}b` breaks, but `ax{2}b` requires "axxb");
     *   - a group contributes its branches' OR.
     */
   private[graft] def regexGramQuery(pattern: String, k: Int): Option[GramQ] = {
@@ -514,10 +523,80 @@ object GramIndex {
     val ClassEscapes = "dDwWsSbB"
     val LiteralEscapes = "\\.()[]{}|*+?^$-/"
 
-    def peekPostfix(): Char =
-      if (i < n && (pattern.charAt(i) == '*' || pattern.charAt(i) == '+' ||
-        pattern.charAt(i) == '?')) { val c = pattern.charAt(i); i += 1; c }
-      else ' '
+    sealed trait Post
+    case object PNone extends Post // no quantifier: exactly once
+    case object POpt extends Post // ? * {0,…}: may be absent
+    case class PAtLeast(m: Int) extends Post // + {m,} {m,n}: ≥ m, open tail
+    case class PExact(m: Int) extends Post // {m}: exactly m, adjacency holds
+
+    /** Parse an optional postfix quantifier. None = malformed `{…}`. */
+    def parsePostfix(): Option[Post] = {
+      if (i >= n) return Some(PNone)
+      pattern.charAt(i) match {
+        case '*' | '?' => i += 1; Some(POpt)
+        case '+' => i += 1; Some(PAtLeast(1))
+        case '{' =>
+          val close = pattern.indexOf('}', i + 1)
+          if (close < 0) return None
+          val body = pattern.substring(i + 1, close)
+          def num(t: String): Option[Int] =
+            if (t.nonEmpty && t.length <= 6 && t.forall(_.isDigit))
+              Some(t.toInt)
+            else None
+          // the clamp must stay >= k: a clamped x-run shorter than a
+          // gram window could otherwise fuse the chars on both sides of
+          // the repeat into a gram the real text never contains
+          val clamp = math.max(MaxExactRepeat, k)
+          val post = body.split(",", -1) match {
+            case Array(a) => num(a).map(m =>
+              if (m == 0) POpt else PExact(math.min(m, clamp)))
+            case Array(a, b) => num(a).flatMap { m =>
+              val hi = if (b.isEmpty) Some(Int.MaxValue) else num(b)
+              hi.map { mx =>
+                if (m == 0) POpt
+                else if (mx == m) PExact(math.min(m, clamp))
+                else PAtLeast(math.min(m, clamp))
+              }
+            }
+            case _ => None
+          }
+          post.foreach(_ => i = close + 1)
+          post
+        case _ => Some(PNone)
+      }
+    }
+
+    /** Class body after `[`. Some(Some(cs)) = expandable to literal
+      * chars cs; Some(None) = valid but opaque; None = unterminated.
+      */
+    def parseClass(): Option[Option[Seq[Char]]] = {
+      var opaque = false
+      if (i < n && pattern.charAt(i) == '^') { opaque = true; i += 1 }
+      val chars = Seq.newBuilder[Char]
+      var first = true
+      while (i < n && (pattern.charAt(i) != ']' || first)) {
+        val c = pattern.charAt(i)
+        if (c == '\\') {
+          if (i + 1 >= n) return None
+          val e = pattern.charAt(i + 1)
+          if (LiteralEscapes.indexOf(e) >= 0) chars += e
+          else opaque = true // \d etc. inside the class
+          i += 2
+        } else if (i + 2 < n && pattern.charAt(i + 1) == '-' &&
+            pattern.charAt(i + 2) != ']') {
+          val (lo, hi) = (c, pattern.charAt(i + 2))
+          if (lo <= hi && hi - lo < MaxClassExpand) chars ++= (lo to hi)
+          else opaque = true
+          i += 3
+        } else { chars += c; i += 1 }
+        first = false
+      }
+      if (i >= n) return None // unterminated class
+      i += 1
+      val cs = chars.result().distinct
+      if (opaque || cs.isEmpty || cs.size > MaxClassExpand) Some(None)
+      else Some(Some(cs))
+    }
 
     // returns None on unsupported construct; propagates up
     def parseAlt(depth: Int): Option[GramQ] = {
@@ -536,20 +615,35 @@ object GramIndex {
 
     def parseConcat(depth: Int): Option[GramQ] = {
       val parts = Seq.newBuilder[GramQ]
-      val run = new java.lang.StringBuilder
+      // the current literal run, as the set of its expanded variants —
+      // every position appends one char to EVERY variant, so variant
+      // lengths stay uniform and the ≥ k emission test is all-or-none
+      var runs: List[String] = List("")
       def flushRun(): Unit = {
-        if (run.length >= k) {
-          val s = run.toString
-          parts += GramQ.and(
-            (0 to s.length - k).map(j => GramQ.Gram(s.substring(j, j + k))))
+        if (runs.head.length >= k) {
+          parts += GramQ.or(runs.map(v => GramQ.and(
+            (0 to v.length - k).map(j => GramQ.Gram(v.substring(j, j + k))))))
         }
-        run.setLength(0)
+        runs = List("")
       }
-      def literalChar(c: Char): Unit = peekPostfix() match {
-        case '*' | '?' => flushRun() // optional: excluded, adjacency broken
-        case '+' => run.append(c); flushRun() // ≥1: last copy ends the run
-        case _ => run.append(c)
+      def appendPos(cs: Seq[Char]): Unit = {
+        // past the variant cap, split the run: the prefix's condition is
+        // emitted as-is and the suffix restarts — weaker, still sound
+        if (runs.size * cs.size > MaxRunVariants) flushRun()
+        runs = for (r <- runs; c <- cs) yield r + c
       }
+      /** One run-position atom holding any of `cs`, with its quantifier. */
+      def atom(cs: Seq[Char]): Boolean = parsePostfix() match {
+        case None => false
+        case Some(PNone) => appendPos(cs); true
+        case Some(POpt) => flushRun(); true
+        case Some(PExact(m)) =>
+          (1 to m).foreach(_ => appendPos(cs)); true
+        case Some(PAtLeast(m)) =>
+          (1 to m).foreach(_ => appendPos(cs)); flushRun(); true
+      }
+      /** An opaque one-position atom: no requirement, breaks the run. */
+      def opaqueAtom(): Boolean = { flushRun(); parsePostfix().isDefined }
       while (i < n) {
         val c = pattern.charAt(i)
         c match {
@@ -572,23 +666,20 @@ object GramIndex {
             if (i >= n || pattern.charAt(i) != ')') return None
             i += 1
             flushRun()
-            peekPostfix() match {
-              case '*' | '?' => // optional group: no requirement
-              case _ => parts += inner // '+' or none: ≥1 occurrence
+            parsePostfix() match {
+              case None => return None
+              case Some(POpt) => // optional group: no requirement
+              case Some(_) => parts += inner // ≥1 occurrence
             }
           case '[' =>
             i += 1
-            if (i < n && pattern.charAt(i) == '^') i += 1
-            if (i < n && pattern.charAt(i) == ']') i += 1 // leading ] literal
-            while (i < n && pattern.charAt(i) != ']') {
-              if (pattern.charAt(i) == '\\') i += 1
-              i += 1
+            parseClass() match {
+              case None => return None // unterminated
+              case Some(None) => if (!opaqueAtom()) return None
+              case Some(Some(cs)) => if (!atom(cs)) return None
             }
-            if (i >= n) return None // unterminated class
-            i += 1
-            flushRun(); peekPostfix() // opaque one-position atom
           case '.' =>
-            i += 1; flushRun(); peekPostfix()
+            i += 1; if (!opaqueAtom()) return None
           case '^' | '$' =>
             // zero-width anchor: conservatively breaks the literal run
             i += 1; flushRun()
@@ -596,15 +687,17 @@ object GramIndex {
             if (i + 1 >= n) return None
             val e = pattern.charAt(i + 1)
             i += 2
-            if (ClassEscapes.indexOf(e) >= 0) { flushRun(); peekPostfix() }
-            else if (LiteralEscapes.indexOf(e) >= 0) literalChar(e)
-            else return None // \1 backrefs, \p{…}, \Q…\E, …
+            if (ClassEscapes.indexOf(e) >= 0) {
+              if (!opaqueAtom()) return None
+            } else if (LiteralEscapes.indexOf(e) >= 0) {
+              if (!atom(Seq(e))) return None
+            } else return None // \1 backrefs, \p{…}, \Q…\E, …
           case '{' | '}' =>
-            return None // bounded repetition: out of the subset
+            return None // quantifier with no preceding atom
           case '*' | '+' | '?' =>
             return None // dangling postfix — invalid pattern anyway
           case _ =>
-            i += 1; literalChar(c)
+            i += 1; if (!atom(Seq(c))) return None
         }
       }
       flushRun()
@@ -614,6 +707,24 @@ object GramIndex {
     val q = parseAlt(0)
     if (i < n) None else q // trailing unparsed input (stray ')')
   }
+
+  /** Largest character-class expansion the regex compiler turns into an
+    * OR of literal variants (`[Gg]et`); wider or negated classes stay
+    * opaque one-position atoms.
+    */
+  private[graft] val MaxClassExpand = 8
+
+  /** Cap on expanded variants per literal run — the product of its
+    * classes' widths. Past it the run splits (prefix condition emitted,
+    * suffix restarts): weaker but sound, and the gram-count collapse in
+    * [[pruneGramQuery]] still bounds total posting reads.
+    */
+  private[graft] val MaxRunVariants = 16
+
+  /** Clamp on `{m…}` repeat expansion — more adjacent copies than this
+    * contribute as "at least this many" (sound; bounds run length).
+    */
+  private[graft] val MaxExactRepeat = 64
 
   /** Prune each AND to its `maxGrams` RAREST gram conjuncts (absent
     * grams are df 0 — rarest of all), exactly the [[rarestOf]] cost

@@ -229,18 +229,50 @@ class GramIndexSpec extends AnyFunSuite {
     assert(q("abc*def") == Some(And(Seq(Gram("def"))))
       || q("abc*def") == Some(Gram("def"))) // "ab" < k contributes nothing
     // opaque atoms break runs but keep surrounding requirements
-    assert(q("t[aA]ble") == Some(Gram("ble")))
+    assert(q("t[^aA]ble") == Some(Gram("ble"))) // negated class: opaque
     assert(q("abc\\d+xyz") == Some(And(Seq(Gram("abc"), Gram("xyz")))))
     // an Any branch dissolves the whole OR; escape of a metachar is literal
     assert(q("(foobar|x)qq") == Some(GramQ.Any))
     assert(q("a\\.bc") == Some(Gram("a.b")) ||
       q("a\\.bc") == Some(And(Seq(Gram("a.b"), Gram(".bc")))))
     // outside the subset → None (callers full-scan)
-    for (p <- Seq("a{2,3}bc", "abc\\1", "(?=x)abc", "\\p{L}abc", "abc\\Edef"))
+    for (p <- Seq("abc\\1", "(?=x)abc", "\\p{L}abc", "abc\\Edef", "abc{2,"))
       assert(q(p).isEmpty, s"pattern '$p'")
     // unbalanced parens / stray postfix → None, never a crash
-    for (p <- Seq("(abc", "abc)", "*abc"))
+    for (p <- Seq("(abc", "abc)", "*abc", "{2}abc"))
       assert(q(p).isEmpty, s"pattern '$p'")
+  }
+
+  test("regexGramQuery: small char classes expand to variant ORs; bounded repeats") {
+    import GramIndex.GramQ
+    import GramIndex.GramQ.{And, Gram, Or}
+    def q(p: String) = GramIndex.regexGramQuery(p, 3)
+    // the classic grep idiom: one class position → OR over the variants
+    assert(q("t[aA]ble") == Some(Or(Seq(
+      And(Seq(Gram("tab"), Gram("abl"), Gram("ble"))),
+      And(Seq(Gram("tAb"), Gram("Abl"), Gram("ble")))))))
+    assert(q("[Gg]et") == Some(Or(Seq(Gram("Get"), Gram("get")))))
+    // a small range expands; a wide one stays opaque
+    assert(q("v[0-2]x") == Some(Or(Seq(Gram("v0x"), Gram("v1x"), Gram("v2x")))))
+    assert(q("v[0-9a-z]xy") == Some(GramQ.Any)) // opaque; "xy" < k
+    assert(q("ta[0-9a-z]ble") == Some(Gram("ble")))
+    // two classes multiply variants (4 here, under the run cap)
+    assert(q("[ab][cd]e") == Some(Or(Seq(
+      Gram("ace"), Gram("ade"), Gram("bce"), Gram("bde")))))
+    // bounded repeats: {m} exact keeps adjacency through the atom,
+    // {m,n} / {m,} guarantee m adjacent copies then break the run
+    assert(q("ax{2}b") == Some(And(Seq(Gram("axx"), Gram("xxb")))))
+    assert(q("ax{2,3}b") == Some(Gram("axx")))
+    assert(q("ax{2,}b") == Some(Gram("axx")))
+    assert(q("ax{0,2}b") == Some(GramQ.Any)) // may be absent, runs < k
+    assert(q("a{2,3}bc") == Some(GramQ.Any)) // runs "aa", "bc" both < k
+    assert(q("tab{2}le") == Some(And(Seq(
+      Gram("tab"), Gram("abb"), Gram("bbl"), Gram("ble")))))
+    // class + repeat compose; clamped huge repeats stay sound
+    assert(q("[xy]{2}ab") == Some(Or(Seq(
+      And(Seq(Gram("xxa"), Gram("xab"))), And(Seq(Gram("xya"), Gram("yab"))),
+      And(Seq(Gram("yxa"), Gram("xab"))), And(Seq(Gram("yya"), Gram("yab")))))))
+    assert(q("ax{500}b").isDefined && q("ax{500}b") != Some(GramQ.Any))
   }
 
   test("regex alternation ≡ brute rlike, engages the indexed prefilter; fallback preserved") {
@@ -266,11 +298,22 @@ class GramIndexSpec extends AnyFunSuite {
       "alternation did not engage the gram prefilter")
     // … while an out-of-subset pattern still full-scans (no prefilter)
     val fb = GramIndex.regexSearchIndexed(spark, dir, docs, "doc_id",
-      "text", "ta{1,2}ble")
+      "text", "ta\\p{L}ble")
     val fbPlan = fb.queryExecution.executedPlan.toString
     assert(!fbPlan.contains("collect_set") && !fbPlan.contains("LeftSemi"),
       s"out-of-subset pattern must fall back to the verify scan:\n$fbPlan")
-    assert(fb.collect().map(_.getLong(0)).toSet == bruteRegexIds("ta{1,2}ble"))
+    assert(fb.collect().map(_.getLong(0)).toSet == bruteRegexIds("ta\\p{L}ble"))
+    // char-class and bounded-repeat idioms now ride the indexed path:
+    // correct AND gram-prefiltered (LeftSemi or collect_set in the plan)
+    for (p <- Seq("t[aA]ble", "par[qk]uet", "ta{1,2}ble", "rea{1}d")) {
+      val ix = GramIndex.regexSearchIndexed(spark, dir, docs, "doc_id",
+        "text", p)
+      assert(ix.collect().map(_.getLong(0)).toSet == bruteRegexIds(p),
+        s"indexed '$p'")
+      val plan = ix.queryExecution.executedPlan.toString
+      assert(plan.contains("collect_set") || plan.contains("LeftSemi"),
+        s"'$p' should engage the gram prefilter:\n$plan")
+    }
   }
 
   private def bruteRegexIds(pattern: String): Set[Long] =
