@@ -132,6 +132,37 @@ object GateQueries {
     })
   }
 
+  /** Index built by the STREAMING micro-batch sink rather than a cold
+    * build: the corpus arrives as 5 serial batches of contiguous docId
+    * ranges through [[graft.streaming.StreamOps.indexRefreshBatch]]
+    * (explicit ids so both engines agree on identity), with tiered
+    * maintenance (maxSegments = 3) folding segments MID-stream — the
+    * committed artifact holds a mix of merged and per-batch segments.
+    * The q143 gates read its tables back against the cold-build SQL
+    * oracles, closing the one oracle blind spot the stateful streaming
+    * paths had (they were spec-only before).
+    */
+  private val streamedDirs = scala.collection.mutable.Map.empty[String, String]
+  def streamedIndexDir(spark: SparkSession, dir: String): String = synchronized {
+    streamedDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files
+        .createTempDirectory("graft-streamidx").toString
+      val docs = docsAsModel(spark, dir)
+      val maxId = docs.agg(max(col("docId"))).head().getLong(0)
+      val span = maxId / 5 + 1 // non-negative range arithmetic, 5 batches
+      for (b <- 0L until 5L)
+        graft.streaming.StreamOps.indexRefreshBatch(
+          docs.where(col("docId") >= b * span && col("docId") < (b + 1) * span)
+            .select(col("title"), col("body"), col("url")),
+          batchId = b, d,
+          graft.index.BlockIndex.Layout(blockSpan = 256, nShards = 8),
+          idSortCols = Seq("url"), genTag = "gate", maxSegments = 3,
+          docsWithIds = Some(docs.where(
+            col("docId") >= b * span && col("docId") < (b + 1) * span)))
+      d
+    })
+  }
+
   /** Persistent positional sidecar ([[graft.index.PositionalIndex]])
     * built once per corpus directory — q53b's phrase search runs against
     * the sharded on-disk artifact, not an in-memory relation.
@@ -5511,7 +5542,35 @@ object GateQueries {
           s, posSegIndexDir(s, d), "table scan", 20)
         .select(col("docId").as("doc_id"), col("min_span"))
         .orderBy(col("min_span"), col("doc_id")),
-      pipelineEntries.find(_.name == "q56b_proximity_search").get.oracle))
+      pipelineEntries.find(_.name == "q56b_proximity_search").get.oracle),
+
+    // ---- streamed-index ≡ cold-build (the streaming oracle gates) ----
+    // The micro-batch sink's committed SEGMENTS are plain parquet, so
+    // the one spec-only blind spot — "does the streaming path build the
+    // same index?" — is DuckDB-checkable: stream the corpus through
+    // graft.streaming.StreamOps.indexRefreshBatch in 5 serial batches
+    // (with tiered maintenance folding segments mid-stream), then gate
+    // the resulting postings / doc-length / BM25 tables against the
+    // SAME SQL as the cold-build gates q01/q02/q09.
+    Gate("q143_streamed_postings",
+      (s, d) => graft.index.BlockIndex.decodePostings(
+          graft.index.BlockIndex.readBlocks(s, streamedIndexDir(s, d)))
+        .select(col("term"), col("docId").as("doc_id"),
+          col("tf").cast("long").as("tf"))
+        .orderBy(col("term"), col("doc_id")),
+      entries.find(_.name == "q01_postings").get.oracle),
+    Gate("q143b_streamed_doc_lens",
+      (s, d) => graft.index.BlockIndex.readDocLens(s, streamedIndexDir(s, d))
+        .select(col("docId").as("doc_id"), col("len").cast("long").as("len"))
+        .orderBy(col("doc_id")),
+      entries.find(_.name == "q02_doc_lens").get.oracle),
+    Gate("q143c_streamed_bm25_topk",
+      (s, d) => graft.index.BlockIndex
+        .bm25TopK(s, streamedIndexDir(s, d), ScoredQ, 30)
+        .select(col("docId").as("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20),
+      entries.find(_.name == "q09_bm25_topk").get.oracle))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     (entries ++ blockEntries ++ bundleEntries ++ pipelineEntries ++

@@ -789,7 +789,7 @@ object BlockIndex {
     }
 
   /** The materialized doc-length relation across all segments. */
-  private def readDocLens(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def readDocLens(spark: SparkSession, dir: String): DataFrame =
     segDirs(dir)
       .flatMap(d => metaTablePath(d, DocLensName, LegacyDocLensName))
       .map(p => spark.read.parquet(p).select(col("docId"), col("len")))
