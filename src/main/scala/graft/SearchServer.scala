@@ -17,10 +17,30 @@ import java.nio.charset.StandardCharsets
   * per-request Spark work is exactly the CLI's DataFrame plan, the server
   * itself is stateless beyond the prebuilt index bundle.
   */
-class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
+class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0,
+    serpCacheTtlMs: Long = 60000L) {
 
   final case class Hit(docId: Long, title: String, url: String,
       snippet: String)
+
+  // ---- SERP cache -----------------------------------------------------
+  // Every request otherwise re-plans and re-runs the scoring job — a
+  // fixed multi-job Spark floor per hit of a head-heavy query
+  // distribution that serves identical results. A bounded LRU of
+  // fully-rendered pages (hits + total, snippets included) absorbs the
+  // repeats; the TTL bounds staleness against a concurrently refreshed
+  // persisted index (serpCacheTtlMs = 0 disables caching entirely).
+  private final case class SerpEntry(hits: Seq[Hit], total: Long, at: Long)
+  private val MaxSerpEntries = 256
+  private val serpCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, Int), SerpEntry](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), SerpEntry]): Boolean =
+        size() > MaxSerpEntries
+    })
+  /** Requests answered from the SERP cache (observability + spec hook). */
+  @volatile private[graft] var cacheHits = 0L
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -33,9 +53,10 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
         val page = p.get("page").flatMap(_.toIntOption).filter(_ >= 1).getOrElse(1)
         val (hits, total) = search(q, alg, page)
         // zero results + a fixable typo → "did you mean" link (a bounded
-        // vocab-sized candidate job, only on the empty-SERP path)
+        // vocab-sized candidate job, only on the empty-SERP path; cached
+        // under the same TTL so a hammered dead query pays it once)
         val didYouMean =
-          if (total == 0 && q.nonEmpty) engine.suggestQuery(q) else None
+          if (total == 0 && q.nonEmpty) suggestCached(q) else None
         val body = html(q, alg, page, hits, total, didYouMean)
           .getBytes(StandardCharsets.UTF_8)
         ex.getResponseHeaders.set("Content-Type", "text/html; charset=utf-8")
@@ -88,6 +109,17 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
     * `page` (5/page) materialized in rank order, plus the total count.
     */
   def search(query: String, alg: String, page: Int): (Seq[Hit], Long) = {
+    val key = (query, alg, page)
+    if (serpCacheTtlMs > 0) {
+      val e = serpCache.get(key)
+      if (e != null) {
+        if (System.currentTimeMillis() - e.at <= serpCacheTtlMs) {
+          cacheHits += 1
+          return (e.hits, e.total)
+        }
+        serpCache.remove(key)
+      }
+    }
     // persist the ranked result so the scoring plan runs ONCE per
     // request: count() materializes the cache, paginate+materialize read
     // back the cached partitions instead of re-executing the query
@@ -130,8 +162,29 @@ class SearchServer(engine: QueryEngine, docs: DataFrame, port: Int = 0) {
         Hit(id, r.getAs[String]("title"), r.getAs[String]("url"),
           snippets.getOrElse(id, ""))
       }
+      if (serpCacheTtlMs > 0)
+        serpCache.put(key,
+          SerpEntry(hits.toSeq, total, System.currentTimeMillis()))
       (hits.toSeq, total)
     } finally ranked.unpersist()
+  }
+
+  private val suggestCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Option[String], Long)](
+        16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Option[String], Long)]): Boolean =
+        size() > 64
+    })
+
+  private def suggestCached(q: String): Option[String] = {
+    if (serpCacheTtlMs <= 0) return engine.suggestQuery(q)
+    val e = suggestCache.get(q)
+    if (e != null && System.currentTimeMillis() - e._2 <= serpCacheTtlMs)
+      return e._1
+    val s = engine.suggestQuery(q)
+    suggestCache.put(q, (s, System.currentTimeMillis()))
+    s
   }
 
   private def params(raw: String): Map[String, String] =

@@ -1,0 +1,58 @@
+package graft.tools
+
+import graft.SearchServer
+import graft.query.QueryEngine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Serving-layer throughput: a head-heavy SERP workload (10 distinct
+  * queries, 10 hits each, mixed order) over real HTTP against the same
+  * engine, with the SERP cache off vs on. The cache-off number is the
+  * per-request Spark job floor; the cache-on number is what a serving
+  * tier actually sustains on a repeated-query distribution.
+  */
+object ServeBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.GateQueries.docsAsModel(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count()
+    val engine = new QueryEngine(graft.index.IndexBuilder.build(docs))
+    val queries = Seq("spark join", "table window fast", "customer query",
+      "vector stream batch", "group sort merge", "filter scan row",
+      "big small slow", "hash agg column", "line part value", "key data order")
+    // head-heavy: each query requested 10× in round-robin order
+    val workload = (0 until 100).map(i => queries(i % queries.size))
+
+    def run(ttlMs: Long, label: String): Double = {
+      val srv = new SearchServer(engine, docs, port = 0,
+        serpCacheTtlMs = ttlMs)
+      val port = srv.start()
+      try {
+        def get(q: String): Unit = {
+          val u = java.net.URI.create(
+            s"http://127.0.0.1:$port/?q=${
+              java.net.URLEncoder.encode(q, "UTF-8")}&alg=BM25").toURL
+          val in = u.openStream()
+          try { while (in.read() >= 0) () } finally in.close()
+        }
+        get(queries.head) // warmup (JIT + first-plan)
+        val t0 = System.nanoTime()
+        workload.foreach(get)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val qps = workload.size / sec
+        println(f"[serve] $label%-10s ${sec}%7.2f s  ${qps}%8.1f q/s  (cacheHits=${srv.cacheHits})")
+        qps
+      } finally srv.stop()
+    }
+    val cold = run(0L, "cache-off")
+    val warm = run(60000L, "cache-on")
+    println(f"[serve] speedup ${warm / cold}%.1fx  sf=$sfDir cpus=$cpus")
+    spark.stop()
+  }
+}

@@ -45,6 +45,38 @@ class SearchServerSpec extends AnyFunSuite {
     assert(i3 >= 0 && i2 >= 0 && i3 < i2, "rank order must be #3 then #2")
   }
 
+  test("SERP cache: identical request served from cache, identical body; TTL=0 disables") {
+    val cached = new SearchServer(engine, docs, port = 0,
+      serpCacheTtlMs = 60000L)
+    val port = cached.start()
+    try {
+      def fetch(): String = client.send(
+        HttpRequest.newBuilder(URI.create(
+          s"http://127.0.0.1:$port/?q=matrix+communication+channel&alg=BM25"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val first = fetch()
+      assert(cached.cacheHits == 0L)
+      val second = fetch()
+      assert(cached.cacheHits == 1L, "repeat request must hit the SERP cache")
+      assert(second == first, "cached SERP must render identically")
+      // a different page is its own cache key — not a false hit
+      client.send(HttpRequest.newBuilder(URI.create(
+        s"http://127.0.0.1:$port/?q=matrix+communication+channel&alg=BM25&page=2"))
+        .GET().build(), HttpResponse.BodyHandlers.ofString())
+      assert(cached.cacheHits == 1L)
+    } finally cached.stop()
+    val uncached = new SearchServer(engine, docs, port = 0,
+      serpCacheTtlMs = 0L)
+    uncached.start()
+    try {
+      val (h1, t1) = uncached.search("matrix communication channel", "BM25", 1)
+      val (h2, t2) = uncached.search("matrix communication channel", "BM25", 1)
+      assert(uncached.cacheHits == 0L, "TTL=0 must bypass the cache")
+      assert(h1 == h2 && t1 == t2)
+    } finally uncached.stop()
+  }
+
   test("unknown algorithm falls back to BM25 (reference server.go:39-53)") {
     val (_, viaUnknown) = get("?q=matrix+communication+channel&alg=NoSuchAlg")
     val (_, viaBm25) = get("?q=matrix+communication+channel&alg=BM25")
