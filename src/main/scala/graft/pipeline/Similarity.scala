@@ -235,9 +235,9 @@ object Similarity {
     * cached across rounds (the [[pqTrain]] rule, same rationale): a
     * coarse quantizer converges on a bounded deterministic sample;
     * `iters` assign passes over 100 TB would be `iters` full scans for
-    * no quality gain. At or under the cap the result is byte-identical
-    * to training on everything, and iters = 0 never reads past the
-    * first K rows.
+    * no quality gain. At or under the cap the training set is the whole
+    * corpus (results agree up to distributed double-summation order);
+    * iters = 0 never reads past the first K rows.
     */
   def ivfCentroids(
       corpus: DataFrame, dim: Int, k: Int, iters: Int = 5,
@@ -248,7 +248,10 @@ object Similarity {
     var centroids: Array[Array[Double]] = c.orderBy(col("id")).limit(k).collect()
       .map(_.getSeq[Float](1).map(_.toDouble).toArray)
     if (iters == 0) return centroids
+    // same single-partition-after-limit hazard as pqTrain: spread the
+    // cached sample before the per-round assign aggregations
     val train = c.orderBy(col("id")).limit(trainSample)
+      .repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {
@@ -990,9 +993,10 @@ object Similarity {
     * on a bounded sample; `iters` full-corpus assign passes would be
     * `iters` linear scans of 100 TB for no recall gain — the full corpus
     * is scanned exactly ONCE, by the coding pass of the build. When the
-    * corpus is at or under the cap this is byte-identical to training on
-    * everything (so oracles and small-scale results are unchanged), and
-    * iters = 0 never runs the loop at all.
+    * corpus is at or under the cap the training SET is everything (so
+    * results agree up to distributed double-summation order; the
+    * oracle-gated iters = 0 path never runs the loop and stays
+    * byte-deterministic).
     */
   def pqTrain(
       corpus: DataFrame, dim: Int, m: Int, ksub: Int, iters: Int = 5,
@@ -1013,7 +1017,10 @@ object Similarity {
       .transpose // [ksub][m][ds] → [m][ksub][ds]
       .map(_.toArray)
     if (iters == 0) return codebooks
+    // limit() collapses to ONE partition — repartition the sample back
+    // out or every training aggregation's map side runs single-task
     val train = c.orderBy(col("id")).limit(trainSample)
+      .repartition(col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {

@@ -1,0 +1,113 @@
+package graft.tools
+
+import graft.pipeline.{CodeOps, Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-operator scaling-efficiency sweep (the round-5 verdict item):
+  * the expensive ANN / dedup builds that had no per-op row get one,
+  * each run at 2 and 8 cores on inputs big enough to dominate the job
+  * floor. Text ops read the CorpusGen parquet; vector ops derive a
+  * deterministic synthetic embedding table in-plan (no RNG, no driver
+  * loop). Usage:
+  *
+  *   runMain graft.tools.CorpusGen 200000 /tmp/graft-corpus   # once
+  *   SPARK_GRAFT_CPUS=2 runMain graft.tools.OpScalingBench /tmp/graft-corpus
+  *   SPARK_GRAFT_CPUS=8 runMain graft.tools.OpScalingBench /tmp/graft-corpus
+  *
+  * Efficiency = (1/sec@8) / (4 · 1/sec@2) = sec@2 / (4 · sec@8),
+  * computed across the two runs and recorded in BENCH.md.
+  */
+object OpScalingBench {
+  def main(args: Array[String]): Unit = {
+    val corpusDir = if (args.nonEmpty) args(0) else "/tmp/graft-corpus"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // spread the corpus across the worker threads: the parquet read's
+    // partition count follows FILE sizes, not cores — without this the
+    // map-heavy ops run on however many input splits the files gave
+    val docs = spark.read.parquet(s"$corpusDir/corpus.parquet")
+      .select(col("docId"), col("repo"), col("path"), col("content"))
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.count()
+
+    // deterministic synthetic embeddings: 100k × 64 dims, hash-derived
+    // values so directions are DIVERSE (a small-modulus formula collapses
+    // the table onto a handful of identical vectors, which degenerates
+    // every quantizer and turns the pair ops quadratic) — same bytes at
+    // any parallelism
+    val dim = 64
+    val emb = spark.range(0L, 100000L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          d => (pmod(xxhash64(col("id") * dim + d), lit(2000L))
+            .cast("double") / 1000.0 - 1.0).cast("float"))
+          .as("embedding"))
+      .repartition(cpus.toInt)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    emb.count()
+    // a smaller slice for the pair-producing op (within-cluster compare
+    // is quadratic per block by design — size the input, not the op)
+    val embSmall = emb.where(col("vec_id") < 20000L)
+
+    def fresh(tag: String) =
+      java.nio.file.Files.createTempDirectory(s"opscale-$tag").toString
+    // single timed run per op: these are multi-minute distributed jobs
+    // whose JIT/codegen warmup amortizes inside the run (unlike the
+    // sub-second query entries Bench warms explicitly)
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""[opscale] {"op":"$name","cpus":$cpus,"sec":$sec%.2f,"rows":$rows}""")
+    }
+
+    // serial-floor probes: the same ops at near-zero data size measure
+    // the parallelism-independent fraction (driver plan analysis +
+    // codegen of the m·ksub·ds expression trees, codebook collects,
+    // commit IO) so the table can report compute-scaling separately
+    val embTiny = emb.where(col("vec_id") < 1000L)
+    t("pq_build_floor") {
+      Similarity.pqBuild(embTiny, fresh("pqf"), dim = dim, m = 8, ksub = 16,
+        iters = 3, trainSample = 1 << 16)
+      1L
+    }
+    t("ivfpq_build_floor") {
+      Similarity.ivfPqBuild(embTiny, fresh("ivfpqf"), dim = dim,
+        kClusters = 64, m = 8, ksub = 16, iters = 3, trainSample = 1 << 16)
+      1L
+    }
+    t("semantic_dedup_floor") {
+      Similarity.semanticDedupPairs(embTiny, k = 128, eps = 0.95,
+        iters = 0).count()
+    }
+    t("pq_build") {
+      Similarity.pqBuild(emb, fresh("pq"), dim = dim, m = 8, ksub = 16,
+        iters = 3, trainSample = 1 << 16)
+      1L
+    }
+    t("ivfpq_build") {
+      Similarity.ivfPqBuild(emb, fresh("ivfpq"), dim = dim, kClusters = 64,
+        m = 8, ksub = 16, iters = 3, trainSample = 1 << 16)
+      1L
+    }
+    t("semantic_dedup_pairs") {
+      Similarity.semanticDedupPairs(embSmall, k = 128, eps = 0.95,
+        iters = 0).count()
+    }
+    t("winnow_pairs") {
+      Dedup.winnowPairs(docs, "docId", "content", minShared = 3).count()
+    }
+    t("blob_dedup") {
+      val (blobs, _) = CodeOps.blobDedup(docs, "docId", "content",
+        Seq("repo", "path"))
+      blobs.count()
+    }
+    println(s"""[opscale] {"n_docs":$nDocs,"cpus":$cpus,"corpus":"$corpusDir"}""")
+    spark.stop()
+  }
+}

@@ -833,28 +833,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(mse(3) <= mse(0) + 1e-9, s"refined MSE ${mse(3)} > init ${mse(0)}")
   }
 
-  test("pq/ivf bounded-sample training: cap >= n is byte-identical; cap < n trains on the smallest-id prefix") {
+  test("pq/ivf bounded-sample training: cap >= n covers everything; cap < n trains on the smallest-id prefix") {
     val n = sqCorpus.count().toInt
     def flat(b: Array[Array[Array[Double]]]) = b.flatMap(_.flatMap(_.toSeq)).toSeq
-    // cap at/above the corpus: exactly the full-corpus codebooks
-    assert(flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
-        iters = 3, trainSample = n)) ==
+    // equality up to distributed double-summation order: the sample is
+    // hash-spread across partitions before the training aggregations,
+    // so partial-sum merge order (not the sample CONTENT) may differ
+    def close(a: Seq[Double], b: Seq[Double]): Boolean =
+      a.size == b.size && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    // cap at/above the corpus: the full-corpus codebooks
+    assert(close(flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
+        iters = 3, trainSample = n)),
       flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
-        iters = 3, trainSample = 1 << 16)))
-    // cap below the corpus: identical to training on the truncated
-    // corpus — the sample IS the min(n, S) smallest-id prefix
+        iters = 3, trainSample = 1 << 16))))
+    // cap below the corpus: trains on the min(n, S) smallest-id prefix —
+    // same books as training on the truncated corpus
     val half = n / 2
-    assert(flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
-        iters = 3, trainSample = half)) ==
+    assert(close(flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
+        iters = 3, trainSample = half)),
       flat(Similarity.pqTrain(sqCorpus.where(col("vec_id") < half),
-        dim = 8, m = 2, ksub = 4, iters = 3, trainSample = 1 << 16)))
+        dim = 8, m = 2, ksub = 4, iters = 3, trainSample = 1 << 16))))
     // same contract for the coarse quantizer
     def cflat(c: Array[Array[Double]]) = c.flatMap(_.toSeq).toSeq
-    assert(cflat(Similarity.ivfCentroids(sqCorpus, 8, k = 3, iters = 3,
-        trainSample = half)) ==
+    assert(close(cflat(Similarity.ivfCentroids(sqCorpus, 8, k = 3, iters = 3,
+        trainSample = half)),
       cflat(Similarity.ivfCentroids(sqCorpus.where(col("vec_id") < half),
-        8, k = 3, iters = 3)))
-    // iters = 0 ignores the cap entirely (init = ksub smallest ids)
+        8, k = 3, iters = 3))))
+    // iters = 0 ignores the cap entirely (init = ksub smallest ids,
+    // collected in id order — byte-deterministic, the oracle path)
     assert(flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
         iters = 0, trainSample = 4)) ==
       flat(Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
