@@ -833,6 +833,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(mse(3) <= mse(0) + 1e-9, s"refined MSE ${mse(3)} > init ${mse(0)}")
   }
 
+  test("native cosine_sim ≡ the HOF formulation, bit-for-bit, incl. edges") {
+    // mixed magnitudes + signs, float32 values with inexact doubles, a
+    // zero vector, and both element types — the accumulation order and
+    // sqrt grouping must match exactly, not within epsilon
+    def fvec(seed: Long): Array[Float] = Array.tabulate(16) { d =>
+      (((seed * 2654435761L + d * 40503L) % 2001L) / 400.0f - 2.5f)
+    }
+    val rows = (0L until 200L).map(i => (i, fvec(i), fvec(i * 7 + 3))) ++
+      Seq((997L, Array.fill(16)(0.0f), fvec(1)), // zero-norm left
+        (998L, fvec(2), Array.fill(16)(0.0f)), // zero-norm right
+        (999L, Array.fill(16)(0.0f), Array.fill(16)(0.0f)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        Similarity.cosine(col("a"), col("b")).as("n"),
+        Similarity.cosineHof(col("a"), col("b")).as("h"))
+      .collect()
+    got.foreach { r =>
+      val (n, h) = (r.getDouble(1), r.getDouble(2))
+      assert(java.lang.Double.doubleToRawLongBits(n) ==
+        java.lang.Double.doubleToRawLongBits(h),
+        s"id=${r.getLong(0)}: native $n != hof $h")
+    }
+    // double-element arrays (centroid literals) work too
+    val dbl = df.select(Similarity.cosine(col("a"),
+      array((0 until 16).map(d => lit(d * 0.25 - 2.0)): _*)).as("s"))
+    assert(dbl.collect().forall(r => !r.isNullAt(0)))
+    // null array → 0.0 (matches the HOF when/otherwise fallthrough);
+    // length mismatch → null (matches zip_with null padding)
+    val edge = Seq((1L, fvec(5))).toDF("id", "a")
+      .select(
+        Similarity.cosine(lit(null).cast("array<float>"), col("a")).as("na"),
+        Similarity.cosine(col("a"), slice(col("a"), 1, 8)).as("mis"))
+      .head()
+    assert(edge.getDouble(0) == 0.0)
+    assert(edge.isNullAt(1))
+    // and the ANN plan stays native: no interpreted HOF nodes
+    val plan = Similarity.bruteForceTopK(
+      df.select(col("id").as("query_id"), col("a").as("embedding")).limit(2),
+      df.select(col("id").as("vec_id"), col("a").as("embedding")), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"), s"native cosine missing:\n$plan")
+    assert(!plan.contains("aggregate("), s"interpreted HOF survives:\n$plan")
+  }
+
   test("pq/ivf bounded-sample training: cap >= n covers everything; cap < n trains on the smallest-id prefix") {
     val n = sqCorpus.count().toInt
     def flat(b: Array[Array[Array[Double]]]) = b.flatMap(_.flatMap(_.toSeq)).toSeq
