@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** PQ encoding of a vector column in ONE native pass — the codegen'd
+  * twin of the Column formulation in [[Similarity.pqCode]] (equality
+  * spec-asserted). Per subspace j, the codeword minimizing the
+  * 6dp-ROUNDED squared L2 distance (ties → the lowest code), stored as
+  * `code − 128` bytes — identical arithmetic, including Spark's exact
+  * `round` semantics (`BigDecimal.valueOf(_).setScale(6, HALF_UP)`),
+  * so codes — and therefore every persisted PQ artifact and oracle —
+  * are unchanged.
+  *
+  * Why native: the Column form builds m·ksub `aggregate(zip_with(…))`
+  * trees, each interpreted per row through CodegenFallback lambda
+  * machinery and each re-evaluating its `slice(transform(v))`
+  * sub-vector — the PQ build's coding pass was the dominant cost of
+  * pq_build/ivfpq_build in the per-op scaling sweep. Here the m·ksub·ds
+  * multiply-adds run in primitive loops inside whole-stage codegen.
+  *
+  * A null input vector yields a null codes array (the corpus contract
+  * requires non-null embeddings; the HOF form's behavior on null was an
+  * accidental all-zero-code artifact of null-first struct ordering).
+  */
+case class PqCodeExpr(child: Expression,
+    codebooks: Array[Array[Array[Double]]]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pq_code expects array<float|double>, got $dt")
+  }
+
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    PqCodeExpr.compute(v.asInstanceOf[ArrayData], isFloat, codebooks)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", codebooks,
+      "double[][][]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.pipeline.PqCodeExpr.compute($v, $isFloat, $booksRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodeExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = "pq_code"
+}
+
+object PqCodeExpr {
+
+  def column(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      PqCodeExpr(org.apache.spark.sql.GraftColumnBridge.expression(vec),
+        codebooks))
+
+  /** Spark's exact Round(_, 6) arithmetic for doubles. */
+  private def round6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Static entry point used by both eval and the generated code. */
+  def compute(v: ArrayData, vFloat: Boolean,
+      books: Array[Array[Array[Double]]]): ArrayData = {
+    val m = books.length
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val book = books(j)
+      val ds = book(0).length
+      val off = j * ds
+      var bestD = Double.PositiveInfinity
+      var best = 0
+      var c = 0
+      while (c < book.length) {
+        val w = book(c)
+        var s = 0.0
+        var i = 0
+        while (i < ds) {
+          val x = (if (vFloat) v.getFloat(off + i).toDouble
+                   else v.getDouble(off + i)) - w(i)
+          s += x * x
+          i += 1
+        }
+        val d = round6(s)
+        if (d < bestD) { bestD = d; best = c } // ties keep the LOWER code
+        c += 1
+      }
+      codes(j) = (best - 128).toByte
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+}

@@ -1056,14 +1056,18 @@ object Similarity {
 
   /** Encode a vector to its m PQ codes (`array<tinyint>`, code−128 — the
     * [[sq8Code]] storage convention): per subspace, the codeword
-    * minimizing 6dp-rounded squared L2, ties → the lowest code (array_min
-    * over (dist, code) structs — the [[assignClusters]] argmin shape,
-    * linear in ksub). Expression size is m·ksub·ds leaf ops: fine for the
-    * gate configuration (8·16·8); at the full ksub = 256 a build should
-    * move assignment to a broadcast codeword TABLE + one min(struct)
-    * aggregation, the same escape hatch [[assignClusters]] documents.
+    * minimizing 6dp-rounded squared L2, ties → the lowest code. Native
+    * one-pass expression ([[PqCodeExpr]], equality spec-asserted) — the
+    * codebooks ride along as a reference object, so expression size no
+    * longer grows with m·ksub·ds and the coding pass stays inside
+    * whole-stage codegen at any codebook size.
     */
-  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column = {
+  def pqCode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    PqCodeExpr.column(vec, codebooks)
+
+  /** The pre-native Column formulation, kept for the equivalence spec. */
+  private[graft] def pqCodeHof(vec: Column,
+      codebooks: Array[Array[Array[Double]]]): Column = {
     val m = codebooks.length
     val ds = codebooks(0)(0).length
     val vd = asDouble(vec)

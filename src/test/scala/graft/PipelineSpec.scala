@@ -877,6 +877,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("aggregate("), s"interpreted HOF survives:\n$plan")
   }
 
+  test("native pq_code ≡ the Column formulation on every vector; codebooks as reference object") {
+    val books = Similarity.pqTrain(sqCorpus, dim = 8, m = 2, ksub = 4,
+      iters = 2)
+    val both = sqCorpus.select(col("vec_id"),
+        Similarity.pqCode(col("embedding"), books).as("n"),
+        Similarity.pqCodeHof(col("embedding"), books).as("h"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Byte](1) == r.getSeq[Byte](2),
+        s"vec ${r.getLong(0)}: native ${r.getSeq[Byte](1)} != hof ${r.getSeq[Byte](2)}")
+    }
+    // ties must fall to the LOWEST code: duplicate codewords in a book
+    val dup = Array(Array(Array(1.0, 0.0), Array(1.0, 0.0), Array(0.0, 1.0)))
+    val t = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .select(Similarity.pqCode(col("embedding"), dup).as("c")).head()
+    assert(t.getSeq[Byte](0) == Seq((-128).toByte))
+  }
+
   test("pq/ivf bounded-sample training: cap >= n covers everything; cap < n trains on the smallest-id prefix") {
     val n = sqCorpus.count().toInt
     def flat(b: Array[Array[Array[Double]]]) = b.flatMap(_.flatMap(_.toSeq)).toSeq
