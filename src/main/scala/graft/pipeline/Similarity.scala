@@ -890,11 +890,7 @@ object Similarity {
     * vectors) can drop cN documents on ONE shuffle key — (cN)²/2 cosine
     * pairs in a single task. Two defenses, both always on:
     *
-    *   1. The blocking exchange ships (cluster, id) ONLY — embeddings
-    *      are re-joined per side on the surviving candidate ids (the
-    *      [[cosineNearDupPairs]] candidates-then-verify shape), so the
-    *      hot key carries 16-byte rows, never ×2 vector payloads.
-    *   2. Any cluster whose population exceeds `maxClusterSize`
+    *   1. Any cluster whose population exceeds `maxClusterSize`
     *      (detected by a k-bounded count aggregate) is sub-blocked by a
     *      deterministic SRP band ([[srpBucketAt]], a disjoint hyperplane
     *      range) with enough planes to bring the EXPECTED block back
@@ -906,6 +902,18 @@ object Similarity {
     *      never finishes. Clusters at or under the cap are EXACT, so
     *      results are unchanged wherever the published recipe was
     *      actually viable.
+    *   2. The blocked compare is ONE co-partitioned self-join on
+    *      (cluster, sub-block) with each side carrying its vectors —
+    *      each embedding crosses the wire once per side (2n rows
+    *      total). The candidates-then-verify alternative (ship
+    *      (cluster, id) pairs, re-join vectors) was built and measured
+    *      in the r5 per-op sweep: within-cluster pairs are DENSE
+    *      (Σ s²/2 rows — ~18× the exchange bytes of the vectors at
+    *      s≈780, dim 64) and the three pair shuffles made the op
+    *      shuffle-bound. Candidates-then-verify is the right shape for
+    *      SPARSE candidate sets ([[cosineNearDupPairs]]'s LSH banding);
+    *      dense blocked compares ship the vectors. The cap bounds the
+    *      per-task vector working set (64k × dim doubles).
     *
     * Output: (cluster, id_a, id_b, sim) with id_a < id_b and
     * 6dp-rounded sim ≥ `eps`, one row per unordered within-cluster
@@ -952,15 +960,12 @@ object Similarity {
                 .bitwiseAND(col("__mask"))))
           .drop("__mask")
       }
-    val ids = subKeyed.select(col("cluster"), col("__sub"), col("id"))
-    val candidates = ids.as("l")
-      .join(ids.as("r"), Seq("cluster", "__sub"))
-      .where(col("l.id") < col("r.id"))
-      .select(col("cluster"), col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val vecs = assigned.select(col("id"), col("__v"))
-    candidates
-      .join(vecs.select(col("id").as("id_a"), col("__v").as("__va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb")), "id_b")
+    val l = subKeyed.select(col("cluster"), col("__sub"),
+      col("id").as("id_a"), col("__v").as("__va"))
+    val r = subKeyed.select(col("cluster"), col("__sub"),
+      col("id").as("id_b"), col("__v").as("__vb"))
+    l.join(r, Seq("cluster", "__sub"))
+      .where(col("id_a") < col("id_b"))
       .select(col("cluster"), col("id_a"), col("id_b"),
         round(cosine(col("__va"), col("__vb")), 6).as("sim"))
       .where(col("sim") >= eps)

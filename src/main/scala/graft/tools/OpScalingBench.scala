@@ -42,7 +42,7 @@ object OpScalingBench {
     // every quantizer and turns the pair ops quadratic) — same bytes at
     // any parallelism
     val dim = 64
-    val emb = spark.range(0L, 100000L)
+    val emb = spark.range(0L, 1000000L)
       .select(col("id").as("vec_id"),
         transform(sequence(lit(0), lit(dim - 1)),
           d => (pmod(xxhash64(col("id") * dim + d), lit(2000L))
@@ -53,14 +53,20 @@ object OpScalingBench {
     emb.count()
     // a smaller slice for the pair-producing op (within-cluster compare
     // is quadratic per block by design — size the input, not the op)
-    val embSmall = emb.where(col("vec_id") < 20000L)
+    val embSmall = emb.where(col("vec_id") < 400000L)
 
     def fresh(tag: String) =
       java.nio.file.Files.createTempDirectory(s"opscale-$tag").toString
     // single timed run per op: these are multi-minute distributed jobs
     // whose JIT/codegen warmup amortizes inside the run (unlike the
     // sub-second query entries Bench warms explicitly)
+    // SPARK_GRAFT_OPS=comma,list restricts which ops run (re-measuring
+    // one op after a change without paying the whole sweep)
+    val only = sys.env.get("SPARK_GRAFT_OPS")
+      .map(_.split(",").map(_.trim).toSet)
     def t(name: String)(f: => Long): Unit = {
+      if (!only.forall(o => o.contains(name) || o.exists(name.startsWith)))
+        return
       val t0 = System.nanoTime(); val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""[opscale] {"op":"$name","cpus":$cpus,"sec":$sec%.2f,"rows":$rows}""")
@@ -82,7 +88,7 @@ object OpScalingBench {
       1L
     }
     t("semantic_dedup_floor") {
-      Similarity.semanticDedupPairs(embTiny, k = 128, eps = 0.95,
+      Similarity.semanticDedupPairs(embTiny, k = 512, eps = 0.95,
         iters = 0).count()
     }
     t("pq_build") {
@@ -96,7 +102,7 @@ object OpScalingBench {
       1L
     }
     t("semantic_dedup_pairs") {
-      Similarity.semanticDedupPairs(embSmall, k = 128, eps = 0.95,
+      Similarity.semanticDedupPairs(embSmall, k = 512, eps = 0.95,
         iters = 0).count()
     }
     t("winnow_pairs") {

@@ -365,7 +365,7 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.count() == 10)
   }
 
-  test("SemDeDup blocking exchange ships (cluster, id) only — no embedding payload") {
+  test("SemDeDup blocked compare: every exchange is (cluster, sub-block) keyed — vectors cross once per side, pairs never re-shuffle") {
     val sp = spark
     import sp.implicits._
     val vecs = (0L until 200L).map { i =>
@@ -381,15 +381,19 @@ class PlanQualitySpec extends AnyFunSuite {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }
       assert(shuffles.nonEmpty, "expected shuffle joins with broadcast disabled")
-      // the candidate-blocking exchanges (keyed by the sub-block column)
-      // must be vector-free: embeddings cross the wire only in the
-      // id-keyed verify joins, once per surviving side
-      val blocking = shuffles.filter(_.output.exists(_.name == "__sub"))
-      assert(blocking.nonEmpty, "expected the (cluster, __sub) blocking exchange")
-      blocking.foreach { e =>
-        assert(!e.output.exists(a => a.name.startsWith("__v")),
-          s"blocking exchange carries an embedding column:\n$e")
+      // the dense blocked compare ships each vector ONCE per side on the
+      // blocking key; the quadratic pair relation must never hit an
+      // exchange (the r5 sweep measured the pair-shuffle shape at ~18×
+      // the exchange bytes — see the semanticDedupPairs scaladoc)
+      shuffles.foreach { e =>
+        val part = e.outputPartitioning.toString
+        assert(part.contains("__sub"),
+          s"exchange not keyed by the (cluster, __sub) block: $part")
+        assert(!e.output.exists(a => a.name == "id_a" || a.name == "id_b")
+          || !(e.output.exists(_.name == "id_a") && e.output.exists(_.name == "id_b")),
+          s"materialized pair relation crossed an exchange:\n$e")
       }
+      assert(shuffles.size <= 2, s"expected ≤ 2 blocking exchanges, got ${shuffles.size}")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
       spark.conf.set("spark.sql.adaptive.enabled", priorAqe)
