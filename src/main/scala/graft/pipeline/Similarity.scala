@@ -353,7 +353,12 @@ object Similarity {
     centroids.zipWithIndex.map { case (w, i) => (i, w.toSeq) }.toSeq
       .toDF("cluster", "weights")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // cluster the write: without the repartition every task opens a file
+    // in every list directory (tasks × K files + a serial driver commit
+    // that grows with file count — measured as the ivfpq_build scaling
+    // ceiling in the r5 per-op sweep); clustered, it's one file per list
     ivfAssign(corpus, centroids, corpusIdCol, vecCol)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
     // record the corpus id ceiling so appends can police their contract
     val mx = corpus.agg(coalesce(max(col(corpusIdCol).cast("long")), lit(-1L)))
@@ -513,6 +518,7 @@ object Similarity {
     if (union.isEmpty) return
     val gen = s"delta-compact-${System.nanoTime()}"
     union.reduce(_ unionByName _)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
     writeIvfDeltas(dir, Seq(gen), baseLive = false, ivfMaxVecId(dir))
     // reclaim everything the committed state no longer references
@@ -556,6 +562,7 @@ object Similarity {
         " (an already-committed append folded by compaction replays as this)")
     val centroids = readIvfCentroids(spark, dir)
     ivfAssign(newVecs, centroids, corpusIdCol, vecCol)
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/$gen")
     val baseLive = roots.headOption.contains("lists")
     val committed = (if (baseLive) roots.drop(1) else roots) :+ gen
@@ -1269,6 +1276,7 @@ object Similarity {
     ivfAssign(corpus, centroids, corpusIdCol, vecCol)
       .select(col("vec_id"), col("embedding"),
         pqCode(col("embedding"), books).as("codes"), col("cluster"))
+      .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$dir/lists")
     writePqBooks(dir, books)
   }
